@@ -1,0 +1,229 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are shuffle-minimal DataFrame compositions:
+
+- exact        — hash-groupBy on a content digest (one shuffle)
+- minhash/LSH  — shingle → k min-hashes → band signatures → bucket
+                 self-join (candidate pairs only; never all-pairs)
+- ngram Jaccard— verified similarity on LSH candidates
+
+Hash functions use ``md5`` (not ``xxhash64``) so a DuckDB oracle can
+reproduce signatures bit-for-bit; swap to ``xxhash64`` at deployment for
+throughput (same plan shape).  The engine-native substitute for the
+reference's external MaraCluster clustering (SURVEY §2.14) is the same
+MinHash+LSH pipeline applied to binned peak vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content match (md5 digest).
+
+    One hash-shuffle on the digest; at 100 TB this is the cheapest possible
+    exact dedup (digest is 16 bytes vs full text in the shuffle).
+    """
+    digest = F.md5(F.col(text_col))
+    w_min = (
+        df.select(F.col(id_col), digest.alias("__digest"))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Whitespace-token n-gram shingles as an array<string>.
+
+    ``sequence``+``slice`` keeps it JVM-side; empty/short docs yield the
+    whole-document singleton so they still participate.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """k independent min-hashes over shingles: ``min(md5(seed || shingle))``.
+
+    Seeded md5 gives k independent permutations; output is
+    ``array<string>`` of length ``num_hashes``.
+    """
+    sh = word_shingles(text, shingle_n)
+
+    def seeded(seed: int):
+        # single-arg closure: a 2-arg lambda would receive (element, index)
+        def h(s: Column) -> Column:
+            return F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+        return h
+
+    return F.array(*[F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)])
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature via explode + groupBy-min.
+
+    The scalable shape: shingles are materialized ONCE (explode), each gets
+    k seeded hashes, and the signature is a single map-side-combinable
+    ``min`` aggregation — one shuffle of (id, k×32B), no quadratic array
+    re-evaluation.  Output: (id, mh0..mh{k-1}).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    hashed = sh.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs ``(id_a < id_b)``.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs agreeing on any full band land in one bucket.  The self-join is on
+    the (band, bucket-digest) key — shuffle size is O(docs·bands), never
+    O(docs²).  Skewed buckets (boilerplate text) are handled by AQE skew
+    splitting; a salt-and-cap can be layered on for adversarial data.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures_df(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact Jaccard similarity of word-n-gram sets (verification step)."""
+    sa, sb = F.array_distinct(word_shingles(text_a, n)), F.array_distinct(word_shingles(text_b, n))
+    return jaccard_of_sets(sa, sb)
+
+
+def jaccard_of_sets(sa: Column, sb: Column) -> Column:
+    """Jaccard of two pre-deduplicated arrays."""
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dedup: LSH candidates → exact Jaccard verify → pairs ≥ threshold.
+
+    The verify join carries pre-computed distinct shingle SETS (computed once
+    per doc), so per-pair work is one hash-set intersect — not a re-parse of
+    both texts.
+    """
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    withsets = (
+        pairs.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+    )
+    return (
+        withsets.withColumn(
+            "jaccard", F.round(jaccard_of_sets(F.col("sa"), F.col("sb")), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles, built from xxhash64 bit votes.
+
+    For each of 64 bit positions, sum ±1 votes across shingle hashes and
+    take the sign.  Pure higher-order-function expression (no UDF): the
+    per-bit vote is ``aggregate`` over the shingle array.  Cross-engine
+    oracle parity is impractical (xxhash64 is Spark-specific), so SimHash is
+    covered by unit tests + a rows-only driver check.
+    """
+    sh = F.array_distinct(word_shingles(text, shingle_n))
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def voter(bit: int):
+        def step(acc: Column, h: Column) -> Column:
+            return acc + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+        return step
+
+    bits = []
+    for bit in range(64):
+        vote = F.aggregate(hashes, F.lit(0), voter(bit))
+        bits.append(
+            F.shiftleft(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), bit)
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out

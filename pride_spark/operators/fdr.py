@@ -1,0 +1,182 @@
+"""Target–decoy FDR and q-value computation — pure window functions.
+
+Reproduces the semantics the reference delegates to PIA
+(``/root/reference/src/.../proteomics/PIAModelerService.java:75-76,99-101``:
+``calculateAllFDR`` / ``calculateCombinedFDRScore``; published definition in
+Uszkoreit et al., J. Proteome Res. 2015).  Records sorted best-score-first:
+
+    FDR(i)     = #decoys(rank ≤ i) / #targets(rank ≤ i)
+    q-value(i) = min FDR(j) over all j ranked at-or-worse than i
+
+Tie handling: RANGE frames keyed on the score itself, so every row with an
+equal score receives identical FDR/q — deterministic under any partitioning
+(the reference's sequential loop breaks ties by iteration order, which is
+not reproducible; we replicate the *intended*, tie-stable semantics).
+
+Scale: a naive ``Window.orderBy(score)`` is a single-partition sort — fatal
+at 100 TB.  The default path here is a two-pass distributed version:
+range-partition by score, per-partition RANGE-frame partials, then broadcast
+per-partition offsets (SURVEY §4 "custom work actually needed" item 1).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_KEY, _PID = "__fdr_key", "__fdr_pid"
+
+
+def add_fdr_qvalue(
+    df: DataFrame,
+    score_col: str,
+    is_decoy_col: str,
+    *,
+    better: str = "higher",
+    partition_cols: Sequence[str] | None = None,
+    out_fdr: str = "fdr",
+    out_qvalue: str = "qvalue",
+    scalable: bool = True,
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``fdr`` and ``qvalue`` columns.
+
+    ``better='higher'`` means larger scores are better matches.  With
+    ``partition_cols`` the computation is per-group (already distributed);
+    without, ``scalable=True`` uses the two-pass global pattern and
+    ``scalable=False`` a single global window (test/oracle path only).
+    """
+    if better not in ("higher", "lower"):
+        raise ValueError("better must be 'higher' or 'lower'")
+    decoy = F.col(is_decoy_col).cast("long")
+    target = F.lit(1) - decoy
+
+    if partition_cols or not scalable:
+        order = F.col(score_col).desc() if better == "higher" else F.col(score_col).asc()
+        base = Window.partitionBy(*partition_cols) if partition_cols else Window
+        w_cum = base.orderBy(order).rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        w_suffix = base.orderBy(order).rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        fdr = (F.sum(decoy).over(w_cum) / F.greatest(F.sum(target).over(w_cum), F.lit(1))).alias(out_fdr)
+        df = df.withColumn(out_fdr, fdr)
+        return df.withColumn(out_qvalue, F.min(out_fdr).over(w_suffix))
+
+    return _global_two_pass(
+        df, score_col, decoy, target, better, out_fdr, out_qvalue, num_range_partitions
+    )
+
+
+def _global_two_pass(
+    df: DataFrame,
+    score_col: str,
+    decoy,
+    target,
+    better: str,
+    out_fdr: str,
+    out_qvalue: str,
+    num_range_partitions: int | None,
+) -> DataFrame:
+    """Distributed global-order FDR: range partition + broadcast offsets.
+
+    Pass 1: range-partition on a best-first key; per-partition decoy/target
+    totals (tiny: one row per partition) → driver prefix sums.
+    Pass 2: per-partition RANGE-frame cumsums + broadcast offsets → FDR.
+    Pass 3: per-partition suffix-min of FDR + broadcast suffix-min of each
+    later partition's min FDR → q-value.  All shuffles are narrow; nothing
+    ever lands on a single task.
+    """
+    spark = df.sparkSession
+    n = num_range_partitions or spark.sparkContext.defaultParallelism
+    # Ascending "badness" key: smaller = better match.
+    key = -F.col(score_col) if better == "higher" else F.col(score_col)
+    part = (
+        df.withColumn(_KEY, key.cast("double"))
+        .repartitionByRange(n, _KEY)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    stats = {
+        r[_PID]: (r["d"], r["t"])
+        for r in part.groupBy(_PID)
+        .agg(F.sum(decoy).alias("d"), F.sum(target).alias("t"))
+        .collect()
+    }
+    # Prefix offsets: totals of all better (lower-pid) partitions.
+    offsets, cd, ct = [], 0, 0
+    for pid in sorted(stats):
+        offsets.append((pid, cd, ct))
+        cd += stats[pid][0]
+        ct += stats[pid][1]
+    off_df = spark.createDataFrame(offsets, f"{_PID} int, __off_d long, __off_t long")
+
+    w_cum = Window.partitionBy(_PID).orderBy(_KEY).rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    with_fdr = (
+        part.join(F.broadcast(off_df), _PID)
+        .withColumn(
+            out_fdr,
+            (F.sum(decoy).over(w_cum) + F.col("__off_d"))
+            / F.greatest(F.sum(target).over(w_cum) + F.col("__off_t"), F.lit(1)),
+        )
+        .persist()
+    )
+    # Suffix minimum across partitions: min FDR of every worse partition.
+    pid_min = {
+        r[_PID]: r["m"] for r in with_fdr.groupBy(_PID).agg(F.min(out_fdr).alias("m")).collect()
+    }
+    suffix, running = [], float("inf")
+    for pid in sorted(pid_min, reverse=True):
+        suffix.append((pid, running))  # min over strictly-later partitions
+        running = min(running, pid_min[pid])
+    later_df = spark.createDataFrame(
+        [(p, None if m == float("inf") else m) for p, m in suffix],
+        f"{_PID} int, __later_min double",
+    )
+    w_suffix = Window.partitionBy(_PID).orderBy(_KEY).rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    out = (
+        with_fdr.join(F.broadcast(later_df), _PID)
+        .withColumn(
+            out_qvalue,
+            F.least(F.min(out_fdr).over(w_suffix), F.coalesce("__later_min", F.lit(float("inf")))),
+        )
+        .drop(_KEY, _PID, "__off_d", "__off_t", "__later_min")
+    )
+    part.unpersist()
+    return out
+
+
+def repair_zero_qvalues(df: DataFrame, qvalue_col: str = "qvalue", scale: int = 6) -> DataFrame:
+    """A2 — replace q==0 with ``round(min(positive q)/10, 6)`` (HALF_UP).
+
+    Ref: PrideAnalysisAssayService.java:508-509,608,627; formula at
+    utility/SubmissionPipelineUtils.java:368-377.  The global scalar is a
+    one-row aggregate broadcast back — no shuffle of the fact table.
+    """
+    q = F.col(qvalue_col)
+    min_pos = df.select(F.min(F.when(q > 0, q)).alias("m"))
+    # Spark's round() is HALF_UP for positive values — matches BigDecimal.
+    repaired = F.when(q > 0, q).otherwise(F.round(F.col("m") / 10, scale))
+    return df.crossJoin(F.broadcast(min_pos)).withColumn(qvalue_col, repaired).drop("m")
+
+
+def top_n_per_spectrum(
+    df: DataFrame,
+    n: int = 1,
+    spectrum_cols: Sequence[str] = ("spectrumId",),
+    score_col: str = "searchEngineScore",
+    better: str = "higher",
+    tie_cols: Sequence[str] = ("psmId",),
+) -> DataFrame:
+    """Keep the N best identifications per spectrum.
+
+    Ref: PIA ``setAllTopIdentifications(0|1)`` at PIAModelerService.java:67,114.
+    Deterministic tie-break on ``tie_cols`` so results are reproducible.
+    """
+    order = [F.col(score_col).desc() if better == "higher" else F.col(score_col).asc()]
+    order += [F.col(c) for c in tie_cols]
+    w = Window.partitionBy(*spectrum_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

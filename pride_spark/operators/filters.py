@@ -1,0 +1,172 @@
+"""The PSM/protein filter stack (SURVEY §2.3 F1–F18).
+
+Every filter is a pure predicate pushed into the scan by Catalyst; the stack
+runs BEFORE the expensive PSM↔spectrum join, mirroring the reference's stage
+ordering (``PrideAnalysisAssayService.java:455-472`` before ``:489``) — but
+here the optimizer enforces it instead of hand-written loop order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pride_spark.functions.mass import delta_mz
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """Defaults mirror the reference CLI defaults.
+
+    Ref: PrideAnalysisAssayService.java:79-95; nextflow.config:20-24.
+    """
+
+    qvalue_threshold: float = 0.01        # F9
+    protein_qvalue_threshold: float = 0.01  # F6
+    min_peptide_length: int = 7           # F7
+    min_unique_peptides: int = 0          # F10
+    min_psms: int = 1000                  # F11
+    delta_mz_hard: float = 10.0           # F14 hard error
+    delta_mz_soft: float = 0.9            # F14 counted
+
+
+def source_id_filter(df: DataFrame, col: str = "sourceId") -> DataFrame:
+    """F5 — drop PSMs without a spectrum reference (``index=null``).
+
+    Ref: PrideAnalysisAssayService.java:456-458.
+    """
+    return df.filter(F.coalesce(F.col(col), F.lit("")) != "index=null")
+
+
+def peptide_length_filter(df: DataFrame, min_len: int = 7, col: str = "peptideSequence") -> DataFrame:
+    """F7 — minimum peptide length.  Ref: PrideAnalysisAssayService.java:462-463."""
+    return df.filter(F.length(F.col(col)) >= min_len)
+
+
+def phospho_artifact_filter(df: DataFrame, mods_col: str = "modifications") -> DataFrame:
+    """F8 — drop PSMs carrying the phospho-on-Ala artifact (UNIMOD:21 on A).
+
+    Ref: PrideAnalysisAssayService.java:464.  The mod struct carries a 1-based
+    position; residue is looked up in the sequence via ``substring``.
+    """
+    has_artifact = F.exists(
+        F.col(mods_col),
+        lambda m: (m["accession"] == "UNIMOD:21")
+        & (F.col("peptideSequence").substr(m["position"], F.lit(1)) == "A"),
+    )
+    return df.filter(~F.coalesce(has_artifact, F.lit(False)))
+
+
+def psm_qvalue_filter(df: DataFrame, threshold: float = 0.01, col: str = "qvalue") -> DataFrame:
+    """F9 — PSM q-value gate.  Ref: PrideAnalysisAssayService.java:467-468."""
+    return df.filter(F.col(col) <= threshold)
+
+
+def score_denoise(scores: Column) -> Column:
+    """F16 — drop scores that are null / NaN / 0.0 or in the excluded CV set.
+
+    Operates on an ``array<struct>`` of Param; ref:
+    PrideAnalysisAssayService.java:594-605.
+    """
+    excluded = ("MS:1002355", "MS:1002354")
+    return F.filter(
+        scores,
+        lambda s: s["value"].isNotNull()
+        & ~F.isnan(s["value"].cast("double"))
+        & (s["value"].cast("double") != 0.0)
+        & ~s["accession"].isin(*excluded),
+    )
+
+
+def spectrum_validity_filter(
+    df: DataFrame,
+    masses: str = "masses",
+    intensities: str = "intensities",
+    required_non_null: tuple[str, ...] = ("precursorMz", "precursorCharge"),
+) -> DataFrame:
+    """F12 — peak arrays non-empty/parallel + precursor fields present.
+
+    Ref: PSMClusteringService.java:45-51 (the ``spectra-json-check`` CLI).
+    """
+    cond = (F.size(masses) == F.size(intensities)) & (F.size(masses) > 0)
+    for c in required_non_null:
+        cond = cond & F.col(c).isNotNull()
+    return df.filter(cond)
+
+
+def ms_level_filter(df: DataFrame, col: str = "msLevel") -> DataFrame:
+    """F13 — discard MS1 spectra.  Ref: JmzReaderSpectrumService.java:105-106."""
+    return df.filter(F.col(col) >= 2)
+
+
+def delta_mass_validation(
+    df: DataFrame,
+    cfg: FilterConfig = FilterConfig(),
+    observed="massToCharge",
+    charge="charge",
+    sequence="peptideSequence",
+    mod_mass_sum=None,
+) -> DataFrame:
+    """F14 — Δm/z buckets: > hard → dropped (error channel), > soft → flagged.
+
+    Ref: PrideAnalysisAssayService.java:646-660.  Returns the surviving rows
+    with a ``deltaMz`` column and a boolean ``deltaMzSuspect`` flag; the
+    caller aggregates the flag for the error-rate counter (A14).
+    """
+    d = delta_mz(observed, charge, sequence, mod_mass_sum)
+    return (
+        df.withColumn("deltaMz", d)
+        .filter(F.col("deltaMz") <= cfg.delta_mz_hard)
+        .withColumn("deltaMzSuspect", F.col("deltaMz") > cfg.delta_mz_soft)
+    )
+
+
+def scan_id_validation(df: DataFrame, id_col: str = "spectrumId", is_wiff: Column | None = None) -> DataFrame:
+    """F15 — non-WIFF spectrum ids must parse as integers.
+
+    Ref: PrideAnalysisAssayService.java:556-562.
+    """
+    numeric = F.regexp_extract(F.col(id_col), r"(\d+)$", 1)
+    ok = numeric != ""
+    if is_wiff is not None:
+        ok = ok | is_wiff
+    return df.filter(ok)
+
+
+def result_file_filters(files: DataFrame) -> DataFrame:
+    """F1–F4 — the project-file selection stack.
+
+    Ref: PrideAnalysisAssayService.java:128 (F1);
+    ws/PrideArchiveWebService.java:88-90 (F2), :116-124 (F3);
+    utility/SubmissionPipelineUtils.java:39-41 (F4).
+    """
+    name = F.lower(F.col("fileName"))
+    return (
+        files.filter(F.coalesce(F.col("fileCategoryAccession"), F.lit("")) != "PRIDE:1002848")
+        .filter(~name.contains("pride.mztab") & ~name.contains("pride.mgf"))
+        .filter(F.col("fileCategoryValue") == "RESULT")
+        .filter(
+            F.exists(F.col("publicFileLocations"), lambda l: l["accession"] == "PRIDE:0000469")
+        )
+        .filter(~name.rlike(r"\.(gz|zip)$"))
+    )
+
+
+def assay_validity_gate(
+    psms: DataFrame, cfg: FilterConfig = FilterConfig()
+) -> tuple[bool, dict]:
+    """F11 — require decoys>0 AND targets>0 AND total > minPSMs, else abort.
+
+    Ref: PrideAnalysisAssayService.java:440-447,477-480.  One aggregate job
+    (count + conditional sums in a single pass), driver-side decision.
+    """
+    row = psms.agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("isDecoy").cast("long")).alias("decoys"),
+        F.sum((~F.col("isDecoy")).cast("long")).alias("targets"),
+    ).first()
+    stats = {"total": row["total"], "decoys": row["decoys"] or 0, "targets": row["targets"] or 0}
+    ok = stats["decoys"] > 0 and stats["targets"] > 0 and stats["total"] >= cfg.min_psms
+    return ok, stats

@@ -1,0 +1,143 @@
+"""Join operators (SURVEY §2.4 J1–J10).
+
+The two non-equi shapes are the containment theta joins (J1/J2) — broadcast
+nested-loop over tiny dimensions — and the left-semi membership join (J7).
+The workhorse J5 equi-join is left to Catalyst/AQE (sort-merge with skew
+splitting); helpers here add the deterministic first-match semantics and the
+positional-zip join the reference does imperatively.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def contains_first_match(
+    probe: DataFrame,
+    dim: DataFrame,
+    probe_text: str,
+    dim_text: str,
+    probe_keys: Sequence[str],
+    order_cols: Sequence[str],
+    how: str = "inner",
+    block_lengths: Sequence[int] | None = None,
+) -> DataFrame:
+    """J1/J2 — theta join ``dim.text CONTAINS probe.text`` keeping the first match.
+
+    Ref: PrideAnalysisAssayService.java:408-413 (result file ↔ project files,
+    case-insensitive containment, ``findFirst``) and :906-924 (J2).  The dim
+    side is broadcast (file listings are tiny) so the nested-loop never
+    shuffles the probe side; "first" is made deterministic with an explicit
+    ``row_number`` over ``order_cols`` per probe row (``probe_keys``) instead
+    of iteration order.
+
+    Scale path: when every probe string has a known length (``block_lengths``),
+    the dim side is exploded into all substrings of those lengths and the
+    containment becomes an equi-join — O(dim·len) keys instead of an
+    O(probe·dim) nested loop.  Same result set (substring match ⇔ contains).
+    """
+    if block_lengths:
+
+        def sub_at(length: int):
+            # single-arg closure: a 2-arg lambda would receive (element, index)
+            def f(i: Column) -> Column:
+                return F.lower(dim[dim_text]).substr(i, F.lit(length))
+
+            return f
+
+        subs = []
+        for L in block_lengths:
+            subs.append(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length(F.lower(dim[dim_text])) - F.lit(L - 1), F.lit(0)),
+                    ),
+                    sub_at(L),
+                )
+            )
+        exploded = dim.withColumn(
+            "__sub", F.explode(F.array_distinct(F.flatten(F.array(*subs))))
+        )
+        joined = probe.join(exploded, F.lower(probe[probe_text]) == exploded["__sub"], how)
+        joined = joined.drop("__sub").dropDuplicates(
+            [*probe_keys, *order_cols]
+        )
+    else:
+        cond = F.lower(dim[dim_text]).contains(F.lower(probe[probe_text]))
+        joined = probe.join(F.broadcast(dim), cond, how)
+    w = Window.partitionBy(*[probe[k] for k in probe_keys]).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return joined.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+def psm_spectrum_join(
+    psms: DataFrame,
+    spectra: DataFrame,
+    on: Sequence[str] = ("fileName", "spectrumKey"),
+    how: str = "inner",
+) -> DataFrame:
+    """J5 — the big PSM ↔ raw-spectrum equi-join.
+
+    Ref: orchestrated per-PSM point reads at
+    PrideAnalysisAssayService.java:545-553; here it is one shuffle join on
+    (fileName, spectrumKey) with AQE skew handling.  ``spectrumKey`` is the
+    normalized id produced at ingest (spectrum-id repair C9/S7 happens once,
+    not per lookup).
+    """
+    return psms.join(spectra, list(on), how)
+
+
+def positional_zip_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: Sequence[str],
+    right_index_col: str,
+    index_name: str = "__pos",
+) -> DataFrame:
+    """J8 — join the i-th row (in a declared order) of ``left`` to
+    ``right.right_index_col == i`` (0-based).
+
+    Ref: InferenceService.java:99-111 zips JSON-line order against the
+    MaraCluster ``spectrumIndex``.  File order is made explicit via
+    ``left_order``; at scale this is a two-pass distributed row-number
+    (range partition + offsets) — but since cluster tables are per-file and
+    bounded, a windowed row_number per natural key is adequate here.
+    """
+    w = Window.orderBy(*[F.col(c) for c in left_order])
+    indexed = left.withColumn(index_name, F.row_number().over(w) - 1)
+    return indexed.join(right, indexed[index_name] == right[right_index_col], "inner")
+
+
+def semi_join_members(
+    facts: DataFrame, members: DataFrame, fact_key: str, member_key: str
+) -> DataFrame:
+    """J7 — keep fact rows whose key appears in the membership set.
+
+    Ref: PrideAnalysisAssayService.java:926-936 (protein accession ∈ report
+    protein accessions, used at :786).
+    """
+    return facts.join(
+        members.select(F.col(member_key).alias(fact_key)).distinct(), fact_key, "left_semi"
+    )
+
+
+def broadcast_props_join(
+    facts: DataFrame,
+    props: DataFrame,
+    key: str,
+    props_col: str,
+    fallback: Column,
+    out_col: str = "sampleProperties",
+) -> DataFrame:
+    """J6 — per-file sample properties with project-level fallback.
+
+    Ref: PrideAnalysisAssayService.java:574-579 (join), :359-385 (fallback).
+    """
+    return facts.join(F.broadcast(props), key, "left").withColumn(
+        out_col, F.coalesce(F.col(props_col), fallback)
+    )

@@ -1,0 +1,103 @@
+"""Protein rollup: explode + aggregate (SURVEY §2.5 X1, §2.6 A3–A10).
+
+The reference materializes five keyed maps in ehcache
+(``PrideAnalysisAssayService.java:525-530``) and iterates them in
+``proteinIndexStep`` (``:938-995``); here each map is one ``groupBy`` and
+the whole rollup is a single shuffle on the exploded protein accession.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_protein_accessions(psms: DataFrame, col: str = "proteinAccessions") -> DataFrame:
+    """X1 — one row per (PSM, protein accession); drives all protein rollups.
+
+    Ref: PrideAnalysisAssayService.java:784-824; InferenceService.java:199-237.
+    """
+    return psms.withColumn("proteinAccession", F.explode(F.col(col)))
+
+
+def protein_rollup(
+    psm_protein: DataFrame,
+    *,
+    protein_col: str = "proteinAccession",
+    score_col: str = "qvalue",
+    better: str = "lower",
+) -> DataFrame:
+    """A3–A9 in one aggregation pass over the exploded PSM table.
+
+    Produces, per protein:
+      - ``psmAccessions``  — member overview structs deduped by
+        peptideSequence (A3; dedup ref :948-955, TreeSet on sequence — we
+        keep the best-scoring row per (protein, sequence))
+      - ``bestSearchEngineScoreValue`` — min q (A4, InferenceService.java:69-83)
+      - ``isDecoy`` — bool_or over members (A6, :845)
+      - ``modificationsNames`` — collect_set of mod names (A7, :818-822,971)
+      - ``numberPSMs`` / ``numberPeptides`` (A8, :963-964)
+      - ``proteinScore`` — ``-log10(bestQ)`` formatted ###.##### (A9, :97,950-951)
+    """
+    order = F.col(score_col).asc() if better == "lower" else F.col(score_col).desc()
+    from pyspark.sql import Window
+
+    # A3 dedup: best row per (protein, peptideSequence), deterministic tie-break.
+    w = Window.partitionBy(protein_col, "peptideSequence").orderBy(order, F.col("usi"))
+    deduped = (
+        psm_protein.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+    )
+    agg = deduped.groupBy(protein_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("precursorCharge").alias("charge"),
+                    F.col("precursorMz").alias("precursorMass"),
+                    F.col("usi").alias("usi"),
+                    F.col("peptideSequence").alias("peptideSequence"),
+                    F.col("peptidoform").alias("peptidoform"),
+                )
+            )
+        ).alias("psmAccessions"),
+        F.min(F.col(score_col)).alias("bestSearchEngineScoreValue"),
+        F.max(F.col("isDecoy")).alias("isDecoy"),
+        F.sort_array(
+            F.array_distinct(F.flatten(F.collect_list(F.col("modificationNames"))))
+        ).alias("modificationsNames"),
+        F.count("*").alias("numberPSMs"),
+        F.countDistinct("peptideSequence").alias("numberPeptides"),
+    )
+    return agg.withColumn(
+        "proteinScore",
+        F.format_number(-F.log10(F.col("bestSearchEngineScoreValue")), 5),
+    )
+
+
+def distinguishable_categories(
+    psm_protein: DataFrame,
+    *,
+    protein_col: str = "proteinAccession",
+    peptidoform_col: str = "peptidoform",
+) -> DataFrame:
+    """A5 — protein inference category.
+
+    A protein is ``distinguishable`` iff some peptidoform maps to exactly
+    this one protein; else ``indistinguishable``.
+    Ref: InferenceService.java:52-61 (used PrideAnalysisAssayService.java:841);
+    reported under CV ``MS:1001600`` (:966).
+    """
+    pep_sets = (
+        psm_protein.groupBy(peptidoform_col)
+        .agg(F.collect_set(protein_col).alias("prots"))
+        .filter(F.size("prots") == 1)
+        .select(F.element_at("prots", 1).alias(protein_col))
+        .distinct()
+        .withColumn("__unique", F.lit(True))
+    )
+    proteins = psm_protein.select(protein_col).distinct()
+    return proteins.join(pep_sets, protein_col, "left").select(
+        protein_col,
+        F.when(F.col("__unique"), F.lit("distinguishable"))
+        .otherwise(F.lit("indistinguishable"))
+        .alias("inferenceCategory"),
+    )

@@ -1,0 +1,912 @@
+"""Query registry: every implemented operator from SURVEY §2, exercised on
+the driver's synthetic tables, each paired with a DuckDB oracle SQL string.
+
+Design rule: the Spark side of each query calls the REAL package operator
+(``pride_spark.operators.*`` / ``pride_spark.functions.*``) with the
+TPC-H-ish columns mapped onto its domain parameters — so the correctness
+gate checks production code paths, not query-local reimplementations.
+
+Numeric-parity rules (so value hashes match DuckDB bit-for-bit):
+- sums of doubles go through ``DECIMAL(18,6)`` (order-independent exact
+  arithmetic in both engines), then cast back to double;
+- integer/integer divisions stay raw (IEEE-deterministic);
+- float-fold results (cosine, mass sums) are rounded to 5–6 dp;
+- DuckDB regexps are RE2: oracles use lookahead-free equivalents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pride_spark.functions.mass import missed_cleavages, theoretical_mass
+from pride_spark.functions.strings import (
+    capitalize,
+    clean_usi_special_chars,
+    file_name_no_extension,
+    make_isobaric,
+    remove_charge_state,
+)
+from pride_spark.functions.usi import build_usi, spectra_usi
+from pride_spark.operators import dedup, similarity, text
+from pride_spark.operators.fdr import add_fdr_qvalue, repair_zero_qvalues, top_n_per_spectrum
+from pride_spark.operators.joins import contains_first_match, positional_zip_join, semi_join_members
+from pride_spark.operators.rollup import distinguishable_categories, protein_rollup
+from pride_spark.session import tune
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark_fn, oracle_sql or None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col) -> F.Column:
+    """Order-independent exact sum of a double column (via decimal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+# SQL fragment mirroring _dsum
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with the TIMESTAMP(NANOS) column converted to micros.
+
+    Spark reads parquet nano timestamps only as long (nanosAsLong); the
+    conversion uses integer ``div`` so no double-precision loss occurs.
+    """
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.6 A1/A8/A14) — pricing rollup with map-side combine.
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter stack (SURVEY §2.3 F5–F9 shape): conjunctive predicates, pushed to scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q02_filter_stack",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_returnflag <> 'A' AND l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def q02_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 30)
+        & F.col("l_discount").between(0.02, 0.08)
+        & (F.col("l_returnflag") != "A")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# FDR / q-value windows (SURVEY §2.6 ⚙, §2.7) — THE flagship operator, run on
+# orders with o_orderstatus='F' as the decoy flag; scalable two-pass path.
+# ---------------------------------------------------------------------------
+@register(
+    "q03_fdr_qvalue",
+    """
+    WITH scored AS (
+      SELECT o_orderkey, o_totalprice AS score, (o_orderstatus = 'F') AS is_decoy
+      FROM orders
+    ), cume AS (
+      SELECT o_orderkey, score, is_decoy,
+        SUM(CASE WHEN is_decoy THEN 1 ELSE 0 END)
+          OVER (ORDER BY score DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd,
+        SUM(CASE WHEN is_decoy THEN 0 ELSE 1 END)
+          OVER (ORDER BY score DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+      FROM scored
+    ), f AS (
+      SELECT o_orderkey, score, is_decoy, cd / GREATEST(ct, 1) AS fdr FROM cume
+    ), q AS (
+      SELECT o_orderkey, is_decoy, fdr,
+        MIN(fdr) OVER (ORDER BY score DESC RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS qvalue
+      FROM f
+    ), rep AS (
+      SELECT MIN(qvalue) FILTER (WHERE qvalue > 0) AS minq FROM q
+    )
+    SELECT o_orderkey, is_decoy AS isDecoy, fdr,
+           CASE WHEN qvalue > 0 THEN qvalue ELSE ROUND((SELECT minq FROM rep) / 10, 6) END AS qvalue
+    FROM q
+    """,
+)
+def q03_fdr_qvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").alias("isDecoy"),
+    )
+    out = add_fdr_qvalue(o, "score", "isDecoy", better="higher", scalable=True)
+    out = repair_zero_qvalues(out, "qvalue")
+    return out.select("o_orderkey", "isDecoy", "fdr", "qvalue")
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group (SURVEY §2.6 A13 / PIA top-N per spectrum).
+# ---------------------------------------------------------------------------
+@register(
+    "q04_topn_per_group",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q04_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    best = top_n_per_spectrum(
+        li, n=1, spectrum_cols=("l_orderkey",), score_col="l_extendedprice",
+        better="higher", tie_cols=("l_linenumber",),
+    )
+    return best.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# The big equi-join (SURVEY §2.4 J5 shape) + aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q05_big_join_agg",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_orderkey) AS order_count,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_quantity > 10
+    GROUP BY o_orderpriority
+    """,
+)
+def q05_big_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_quantity") > 10)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star join over broadcast dimensions (SURVEY §2.4 J4/J6/J10 shape).
+# ---------------------------------------------------------------------------
+@register(
+    "q06_star_join",
+    """
+    SELECT r_name, p_type, COUNT(*) AS n, SUM(l_quantity) AS qty
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      JOIN part     ON l_partkey = p_partkey
+    GROUP BY r_name, p_type
+    """,
+)
+def q06_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("r_name", "p_type")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment theta join, first match (SURVEY §2.4 J1/J2): order key padded
+# to 9 digits is contained in the owning customer's name.
+# ---------------------------------------------------------------------------
+@register(
+    "q07_theta_contains_join",
+    """
+    SELECT o_orderkey, c_custkey, c_name
+    FROM (
+      SELECT o.o_orderkey, c.c_custkey, c.c_name,
+             ROW_NUMBER() OVER (PARTITION BY o.o_orderkey ORDER BY c.c_custkey) AS rn
+      FROM (SELECT o_orderkey, LPAD(CAST(o_custkey AS VARCHAR), 9, '0') AS pad FROM orders) o
+      JOIN customer c ON CONTAINS(LOWER(c.c_name), o.pad)
+    ) WHERE rn = 1
+    """,
+)
+def q07_theta_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.lpad(F.col("o_custkey").cast("string"), 9, "0").alias("pad")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    first = contains_first_match(
+        o, c, probe_text="pad", dim_text="c_name",
+        probe_keys=("o_orderkey",), order_cols=("c_custkey",),
+        block_lengths=[9],  # all pads are 9 chars → substring equi-join path
+    )
+    return first.select("o_orderkey", "c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Left-semi membership join (SURVEY §2.4 J7).
+# ---------------------------------------------------------------------------
+@register(
+    "q08_semi_join",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    """,
+)
+def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    members = li.filter(F.col("l_quantity") >= 49)
+    return semi_join_members(o, members, "o_orderkey", "l_orderkey").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left join with fallback/coalesce (SURVEY §2.4 J6 shape).
+# ---------------------------------------------------------------------------
+@register(
+    "q09_left_join_fallback",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE({_dsum_sql('o.o_totalprice')}, 0.0) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q09_left_join_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(_dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global scalar repair (SURVEY §2.6 A2: q-value zero replacement).
+# ---------------------------------------------------------------------------
+@register(
+    "q10_min_positive_repair",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0 THEN l_discount
+                ELSE ROUND((SELECT MIN(l_discount) FROM lineitem WHERE l_discount > 0) / 10, 6)
+           END AS disc_repaired
+    FROM lineitem
+    """,
+)
+def q10_min_positive_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_discount").alias("disc_repaired")
+    )
+    return repair_zero_qvalues(li, "disc_repaired")
+
+
+# ---------------------------------------------------------------------------
+# Union + distinct (SURVEY §2.9).
+# ---------------------------------------------------------------------------
+@register(
+    "q11_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q11_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Partitioned running windows (SURVEY §2.7): per-customer cumulative spend.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q12_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup by content digest (north-star; SURVEY "dedup" extension).
+# ---------------------------------------------------------------------------
+@register(
+    "q13_dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, MD5(text) AS digest
+    FROM documents GROUP BY MD5(text)
+    """,
+)
+def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex (north-star text analysis).
+# ---------------------------------------------------------------------------
+@register(
+    "q14_token_stats",
+    r"""
+    SELECT doc_id,
+           LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe
+    FROM documents
+    """,
+)
+def q14_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# USI construction + truncation + special-char cleaning (SURVEY §2.10 C2–C4).
+# ---------------------------------------------------------------------------
+@register(
+    "q15_usi_build",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             TRANSLATE(CONCAT_WS(':', 'mzspec', UPPER(source), 'doc', 'index',
+                                 CAST(doc_id AS VARCHAR), lang),
+                       '()_ =&$@;+?{^}%]>[~<#|', '') AS usi
+      FROM documents
+    )
+    SELECT doc_id, usi,
+           ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(usi, ':'), 1, 5), ':') AS spectra_usi
+    FROM u
+    """,
+)
+def q15_usi_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    usi = clean_usi_special_chars(
+        build_usi(
+            F.upper(F.col("source")),
+            F.lit("doc"),
+            F.lit("index"),
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+        )
+    )
+    return docs.select(
+        "doc_id", usi.alias("usi"), spectra_usi(usi).alias("spectra_usi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar string functions C5/C7/C8/C19 (SURVEY §2.10).
+# ---------------------------------------------------------------------------
+@register(
+    "q16_scalar_strings",
+    r"""
+    SELECT p_partkey,
+           TRANSLATE(UPPER(p_name), 'L', 'I') AS iso,
+           REGEXP_REPLACE(CONCAT(p_brand, '/', CAST(p_size AS VARCHAR)), '/\d+$', '') AS nocharge,
+           CONCAT(UPPER(SUBSTRING(p_type, 1, 1)), LOWER(SUBSTRING(p_type, 2))) AS cap,
+           REGEXP_REPLACE(REGEXP_REPLACE(CONCAT(p_name, '.mzML.gz'), '\.(gz|zip)$', ''),
+                          '\.[^.]*$', '') AS file_no_ext
+    FROM part
+    """,
+)
+def q16_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        make_isobaric(F.upper(F.col("p_name"))).alias("iso"),
+        remove_charge_state(F.concat(F.col("p_brand"), F.lit("/"), F.col("p_size").cast("string"))).alias("nocharge"),
+        capitalize(F.col("p_type")).alias("cap"),
+        file_name_no_extension(F.concat(F.col("p_name"), F.lit(".mzML.gz"))).alias("file_no_ext"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date formatting (SURVEY §2.10 C16) + grouped agg.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_date_format",
+    f"""
+    SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS d,
+           COUNT(*) AS n,
+           {_dsum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q17_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").alias("n"), _dsum("o_totalprice").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (SURVEY §2.11) over the events props column.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_json_extract",
+    """
+    SELECT event_type, COUNT(*) AS n, SUM(CAST(props->>'k' AS BIGINT)) AS k_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling time window (batch shape of the streaming surface, SURVEY §2.12).
+# ---------------------------------------------------------------------------
+@register(
+    "q19_tumbling_window",
+    f"""
+    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           COUNT(*) AS n,
+           {_dsum_sql('value')} AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), _dsum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("hour_start"), "n", "value_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (north-star text analysis).
+# ---------------------------------------------------------------------------
+@register(
+    "q20_quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tok,
+             LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS n_nospace,
+             LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             LENGTH(text) AS n_char
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((
+             (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END) +
+             (CASE WHEN n_tok > 0 AND (CAST(n_nospace AS DOUBLE)/n_tok) >= 2.0
+                        AND (CAST(n_nospace AS DOUBLE)/n_tok) <= 12.0 THEN 1.0 ELSE 0.0 END) +
+             (CASE WHEN n_char > 0 THEN CAST(n_alpha AS DOUBLE)/n_char ELSE 0.0 END)
+           ) / 3.0, 6) AS quality
+    FROM t
+    """,
+)
+def q20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (north-star text analysis).
+# ---------------------------------------------------------------------------
+@register(
+    "q21_lang_detect",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang,
+        LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['der','die','und','das','ist'], x))) AS h_de,
+        LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','a','and','of','to'], x))) AS h_en,
+        LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['el','la','de','que','y'], x))) AS h_es,
+        LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['le','la','et','les','des'], x))) AS h_fr
+      FROM t
+    )
+    SELECT doc_id, lang AS lang_claimed,
+           CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+)
+def q21_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_claimed"),
+        text.detect_language(F.col("text")).alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (north-star similarity baseline).
+# ---------------------------------------------------------------------------
+@register(
+    "q22_cosine_topk",
+    """
+    WITH p AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 100),
+    b AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+    scored AS (
+      SELECT query_id, nbr_id,
+             ROUND(LIST_INNER_PRODUCT(qv, nv) /
+                   (SQRT(LIST_INNER_PRODUCT(qv, qv)) * SQRT(LIST_INNER_PRODUCT(nv, nv))),
+                   6) AS cosine
+      FROM p JOIN b ON query_id <> nbr_id
+    )
+    SELECT query_id, nbr_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, nbr_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q22_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 100)
+    return similarity.brute_force_topk(emb, "vec_id", "embedding", k=3, probe=probe)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (north-star near-dedup, md5-seeded for oracle parity).
+# ---------------------------------------------------------------------------
+_MINHASH_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 2, 1) + 1),
+                            i -> ARRAY_TO_STRING(LIST_SLICE(w, i, i + 2), ' ')) AS sh
+      FROM t
+    )
+    SELECT doc_id,
+           LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0|' || x))) AS mh0,
+           LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1|' || x))) AS mh1,
+           LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2|' || x))) AS mh2,
+           LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3|' || x))) AS mh3
+    FROM s
+"""
+
+
+@register("q23_minhash_signature", _MINHASH_ORACLE)
+def q23_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures_df(
+        docs, "text", "doc_id", num_hashes=4, shingle_n=3
+    ).withColumnRenamed("id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs + exact n-gram Jaccard verify (north-star).
+# ---------------------------------------------------------------------------
+@register(
+    "q24_lsh_near_dup",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, text,
+             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 2, 1) + 1),
+                            i -> ARRAY_TO_STRING(LIST_SLICE(w, i, i + 2), ' ')) AS sh
+      FROM t
+    ), sig AS (
+      SELECT doc_id, text, sh,
+             [LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0|' || x))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1|' || x))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2|' || x))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3|' || x))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4|' || x))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5|' || x))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6|' || x))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7|' || x)))] AS sg
+      FROM s
+    ), banded AS (
+      SELECT doc_id, band, MD5(ARRAY_TO_STRING(LIST_SLICE(sg, band * 2 + 1, band * 2 + 2), '|')) AS bucket
+      FROM sig, UNNEST([0, 1, 2, 3]) AS u(band)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b,
+             ROUND(
+               CAST(LEN(LIST_FILTER(LIST_DISTINCT(sa.sh), x -> LIST_CONTAINS(sb.sh, x))) AS DOUBLE)
+               / LEN(LIST_DISTINCT(LIST_CONCAT(sa.sh, sb.sh))), 6) AS jaccard
+      FROM pairs JOIN sig sa ON pairs.id_a = sa.doc_id
+                 JOIN sig sb ON pairs.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.1
+    """,
+)
+def q24_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dedup_minhash(
+        docs, "text", "doc_id", threshold=0.1, num_hashes=8, bands=4, shingle_n=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode + rollup (SURVEY §2.5 X1 shape) over document tokens.
+# ---------------------------------------------------------------------------
+@register(
+    "q25_explode_tokens",
+    r"""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS token FROM documents)
+    GROUP BY token HAVING COUNT(*) >= 50
+    """,
+)
+def q25_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional zip join (SURVEY §2.4 J8: i-th record ↔ cluster table index).
+# ---------------------------------------------------------------------------
+@register(
+    "q26_positional_join",
+    """
+    WITH indexed AS (
+      SELECT event_id, value,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS pos
+      FROM events
+    ), cluster_map AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS spectrumIndex,
+             CAST(event_id % 50 AS BIGINT) AS clusterId
+      FROM events
+    )
+    SELECT clusterId, COUNT(*) AS n, MIN(event_id) AS min_event,
+           SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS n_high
+    FROM indexed JOIN cluster_map ON indexed.pos = cluster_map.spectrumIndex
+    GROUP BY clusterId
+    """,
+)
+def q26_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")  # raw ns-long ts is a valid ordering key
+    w = Window.orderBy("ts", "event_id")
+    cluster_map = ev.select(
+        (F.row_number().over(w) - 1).alias("spectrumIndex"),
+        (F.col("event_id") % 50).cast("bigint").alias("clusterId"),
+    )
+    joined = positional_zip_join(
+        ev.select("event_id", "value", "ts"), cluster_map,
+        left_order=("ts", "event_id"), right_index_col="spectrumIndex",
+    )
+    return joined.groupBy("clusterId").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_event"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("n_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inference category A5 (SURVEY §2.6): supplier distinguishable iff it is the
+# only supplier of some part — same collect_set-size-1 plan as the protein op.
+# ---------------------------------------------------------------------------
+@register(
+    "q27_inference_category",
+    """
+    WITH pairs AS (SELECT DISTINCT l_partkey AS pf, l_suppkey AS prot FROM lineitem),
+    uniq AS (
+      SELECT DISTINCT prot FROM (
+        SELECT pf, MIN(prot) AS prot FROM pairs
+        GROUP BY pf HAVING COUNT(DISTINCT prot) = 1
+      )
+    ),
+    prots AS (SELECT DISTINCT prot FROM pairs)
+    SELECT p.prot AS proteinAccession,
+           CASE WHEN u.prot IS NOT NULL THEN 'distinguishable'
+                ELSE 'indistinguishable' END AS inferenceCategory
+    FROM prots p LEFT JOIN uniq u ON p.prot = u.prot
+    """,
+)
+def q27_inference_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("proteinAccession"),
+        F.col("l_partkey").alias("peptidoform"),
+    )
+    return distinguishable_categories(li)
+
+
+# ---------------------------------------------------------------------------
+# Protein rollup A3–A9 (SURVEY §2.6) with lineitem mapped onto the PSM shape.
+# ---------------------------------------------------------------------------
+@register(
+    "q28_protein_rollup",
+    """
+    WITH base AS (
+      SELECT l_suppkey AS prot, CAST(l_partkey AS VARCHAR) AS seq,
+             l_extendedprice AS score, (l_returnflag = 'R') AS dec,
+             CONCAT(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR)) AS usi,
+             l_returnflag AS mod_name
+      FROM lineitem
+    ), ded AS (
+      SELECT * FROM (
+        SELECT base.*, ROW_NUMBER() OVER (PARTITION BY prot, seq ORDER BY score, usi) AS rn
+        FROM base
+      ) WHERE rn = 1
+    )
+    SELECT prot AS proteinAccession,
+           COUNT(*) AS numberPSMs,
+           COUNT(DISTINCT seq) AS numberPeptides,
+           MIN(score) AS bestSearchEngineScoreValue,
+           BOOL_OR(dec) AS isDecoy,
+           LIST_SORT(LIST_DISTINCT(LIST(mod_name))) AS modificationsNames,
+           ROUND(-LOG10(MIN(score)), 5) AS proteinScore
+    FROM ded GROUP BY prot
+    """,
+)
+def q28_protein_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("proteinAccession"),
+        F.col("l_partkey").cast("string").alias("peptideSequence"),
+        F.col("l_extendedprice").alias("score"),
+        (F.col("l_returnflag") == "R").alias("isDecoy"),
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("usi"),
+        F.array(F.col("l_returnflag")).alias("modificationNames"),
+        F.lit(None).cast("string").alias("peptidoform"),
+        F.lit(None).cast("int").alias("precursorCharge"),
+        F.lit(None).cast("double").alias("precursorMz"),
+    )
+    rolled = protein_rollup(li, protein_col="proteinAccession", score_col="score", better="lower")
+    return rolled.select(
+        "proteinAccession",
+        "numberPSMs",
+        "numberPeptides",
+        "bestSearchEngineScoreValue",
+        "isDecoy",
+        "modificationsNames",
+        F.round(-F.log10("bestSearchEngineScoreValue"), 5).alias("proteinScore"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peptide mass + missed cleavages C11/C12 (SURVEY §2.10) on part names.
+# ---------------------------------------------------------------------------
+@register(
+    "q29_mass_cleavage",
+    r"""
+    WITH t AS (
+      SELECT p_partkey,
+             REGEXP_REPLACE(UPPER(p_name), ' ', '', 'g') AS seq
+      FROM part
+    )
+    SELECT p_partkey, seq,
+           LEN(REGEXP_EXTRACT_ALL(
+             REGEXP_REPLACE(REGEXP_REPLACE(seq, '[KR]$', ''), '(K|R)P', '', 'g'),
+             '[KR]')) AS mc,
+           (LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(seq, ''), ch ->
+             CASE ch
+               WHEN 'G' THEN 57021460 WHEN 'A' THEN 71037110 WHEN 'S' THEN 87032030
+               WHEN 'P' THEN 97052760 WHEN 'V' THEN 99068410 WHEN 'T' THEN 101047680
+               WHEN 'C' THEN 103009190 WHEN 'L' THEN 113084060 WHEN 'I' THEN 113084060
+               WHEN 'N' THEN 114042930 WHEN 'D' THEN 115026940 WHEN 'Q' THEN 128058580
+               WHEN 'K' THEN 128094960 WHEN 'E' THEN 129042590 WHEN 'M' THEN 131040490
+               WHEN 'H' THEN 137058910 WHEN 'F' THEN 147068410 WHEN 'R' THEN 156101110
+               WHEN 'Y' THEN 163063330 WHEN 'W' THEN 186079310 ELSE 0 END))
+             + 18010565) / 1000000.0 AS mass
+    FROM t
+    """,
+)
+def q29_mass_cleavage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    seq = F.regexp_replace(F.upper(F.col("p_name")), " ", "")
+    return p.select(
+        "p_partkey",
+        seq.alias("seq"),
+        missed_cleavages(seq).alias("mc"),
+        theoretical_mass(seq).alias("mass"),
+    )

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs one JVM per assay with hand-tuned ehcache tiers
+(``/root/reference/src/.../utility/AppCacheManager.java:38-61``); here the
+equivalent knobs are AQE + shuffle sizing, which generalize from local[32]
+to a 1000-executor cluster without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Config applied to every session this package creates.  All of these are
+#: also safe to set at runtime on a borrowed session (see :func:`tune`).
+RUNTIME_CONF = {
+    # AQE: runtime re-planning, partition coalescing, skew-join splitting —
+    # the scale story for the big PSM↔spectrum join (SURVEY §2.4 J5).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamp semantics matching the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any pandas-UDF path (the slow-path escape hatch).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The synthetic events table carries TIMESTAMP(NANOS) parquet columns,
+    # which Spark only reads as long; sources convert explicitly.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "pride-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the package defaults applied."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable defaults to a session we did not create.
+
+    The correctness driver hands us its own session; timestamp/AQE conf must
+    still match the oracle's semantics.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # immutable conf on some builds — keep going
+            pass
+    return spark

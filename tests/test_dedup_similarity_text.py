@@ -1,0 +1,121 @@
+"""North-star operator tests: dedup, similarity search, text analysis."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pride_spark.operators import dedup, similarity, text
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id long, t string"
+    )
+    got = sorted(r["id"] for r in dedup.exact_dedup(df, "t", "id").collect())
+    assert got == [1, 3]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    got = df.select(dedup.word_shingles(F.col("t"), 3).alias("s")).first()["s"]
+    assert got == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], "t string")
+    assert short.select(dedup.word_shingles(F.col("t"), 3).alias("s")).first()["s"] == ["a b"]
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words here in this text")],
+        "id long, t string",
+    )
+    sigs = {r["id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+            for r in dedup.minhash_signatures_df(df, "t", "id", num_hashes=4).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_near_dedup_finds_mutated_duplicate(spark):
+    base = "w%d " * 50
+    doc = " ".join(f"w{i}" for i in range(60))
+    mutated = " ".join(f"w{i}" for i in range(59)) + " zz"   # one token changed
+    other = " ".join(f"x{i}" for i in range(60))
+    df = spark.createDataFrame([(1, doc), (2, mutated), (3, other)], "id long, t string")
+    pairs = dedup.near_dedup_minhash(df, "t", "id", threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.8
+
+
+def test_simhash_close_docs_close_hashes(spark):
+    doc = " ".join(f"w{i}" for i in range(100))
+    mutated = " ".join(f"w{i}" for i in range(99)) + " zz"
+    other = " ".join(f"x{i}" for i in range(100))
+    df = spark.createDataFrame([(1, doc), (2, mutated), (3, other)], "id long, t string")
+    h = {r["id"]: r["h"] for r in df.select("id", dedup.simhash64(F.col("t")).alias("h")).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(h[1], h[2]) < 8
+    assert hamming(h[1], h[3]) > 16
+
+
+def test_brute_force_topk_exact(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.brute_force_topk(df, "vec_id", "embedding", k=1).collect()
+    nearest = {r["query_id"]: r["nbr_id"] for r in got}
+    assert nearest[1] == 2 and nearest[2] == 1 and nearest[4] == 3
+
+
+def test_lsh_topk_recall(spark):
+    import random
+
+    random.seed(3)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[random.gauss(0, 1) for _ in range(8)] for _ in range(2)]  # 4 buckets
+    exact = {(r["query_id"], r["nbr_id"])
+             for r in similarity.brute_force_topk(df, "vec_id", "embedding", k=1).collect()}
+    approx = {(r["query_id"], r["nbr_id"])
+              for r in similarity.lsh_topk(df, "vec_id", "embedding", planes, k=1).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5  # 2 planes → same-bucket prob for near-identical vectors is high
+
+
+def test_language_detection(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"),
+         (2, "el gato de la casa y que perro"),
+         (3, "der hund und die katze ist hier"),
+         (4, "xyz abc qqq")],
+        "id long, t string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", text.detect_language(F.col("t")).alias("l")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "a decent length document with plenty of normal words in it")], "id long, t string"
+    )
+    row = df.select(
+        text.quality_score(F.col("t")).alias("q"),
+        text.token_count(F.col("t")).alias("n"),
+        text.bpe_ish_token_count(F.col("t")).alias("b"),
+        text.rolling_fingerprint(F.col("t")).alias("fp"),
+    ).first()
+    assert row["n"] == 11 and row["b"] == 11
+    assert row["q"] > 0.9
+    assert isinstance(row["fp"], int) and 0 <= row["fp"] < 1_000_000_007
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    s = "hello world"
+    expected = 0
+    for ch in s:
+        expected = (expected * 31 + ord(ch)) % 1_000_000_007
+    df = spark.createDataFrame([(s,)], "t string")
+    assert df.select(text.rolling_fingerprint(F.col("t")).alias("f")).first()["f"] == expected

@@ -1,0 +1,108 @@
+"""FDR / q-value correctness: window implementation vs a pure-Python
+re-derivation of the published PIA semantics (SURVEY §2.6)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pride_spark.operators.fdr import add_fdr_qvalue, repair_zero_qvalues, top_n_per_spectrum
+
+
+def python_fdr(rows, better="higher"):
+    """Reference implementation: best-first scan, tie-inclusive counts."""
+    key = (lambda r: -r[1]) if better == "higher" else (lambda r: r[1])
+    ordered = sorted(rows, key=key)
+    # group rows by tied score, best-first
+    groups: list[list[tuple]] = []
+    for r in ordered:
+        if groups and groups[-1][0][1] == r[1]:
+            groups[-1].append(r)
+        else:
+            groups.append([r])
+    fdr, group_fdr = {}, []
+    cd = ct = 0
+    for members in groups:
+        for _id, _s, dec in members:
+            cd += bool(dec)
+            ct += not dec
+        f = cd / max(ct, 1)
+        group_fdr.append(f)
+        for _id, _s, _d in members:
+            fdr[_id] = f
+    qs = {}
+    running = float("inf")
+    for members, f in zip(reversed(groups), reversed(group_fdr)):
+        running = min(running, f)
+        for _id, _s, _d in members:
+            qs[_id] = running
+    return fdr, qs
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    random.seed(7)
+    rows = [(i, round(random.random() * 50, 2), random.random() < 0.4) for i in range(3000)]
+    return rows, spark.createDataFrame(rows, "id long, score double, isDecoy boolean")
+
+
+def test_fdr_matches_reference_python(scored, spark):
+    rows, df = scored
+    got = {
+        r["id"]: (r["fdr"], r["qvalue"])
+        for r in add_fdr_qvalue(df, "score", "isDecoy", scalable=False).collect()
+    }
+    fdr, q = python_fdr(rows)
+    for i, (f, qq) in got.items():
+        assert abs(f - fdr[i]) < 1e-12, f"fdr mismatch id={i}"
+        assert abs(qq - q[i]) < 1e-12, f"qvalue mismatch id={i}"
+
+
+def test_scalable_equals_naive(scored):
+    rows, df = scored
+    naive = add_fdr_qvalue(df, "score", "isDecoy", scalable=False)
+    scal = add_fdr_qvalue(df, "score", "isDecoy", scalable=True, num_range_partitions=5)
+    n = {r["id"]: (r["fdr"], r["qvalue"]) for r in naive.collect()}
+    s = {r["id"]: (r["fdr"], r["qvalue"]) for r in scal.collect()}
+    assert n == s
+
+
+def test_qvalue_monotone_in_score(scored):
+    _, df = scored
+    out = add_fdr_qvalue(df, "score", "isDecoy", scalable=True).collect()
+    by_score = sorted(out, key=lambda r: -r["score"])
+    qs = [r["qvalue"] for r in by_score]
+    assert qs == sorted(qs), "q-values must be non-decreasing from best to worst score"
+
+
+def test_partitioned_fdr(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0, False), ("a", 2, 9.0, True), ("b", 3, 8.0, False), ("b", 4, 7.0, False)],
+        "grp string, id long, score double, isDecoy boolean",
+    )
+    out = {r["id"]: r["fdr"] for r in
+           add_fdr_qvalue(df, "score", "isDecoy", partition_cols=["grp"]).collect()}
+    assert out[1] == 0.0 and out[2] == 1.0  # group a: 1 decoy / 1 target at rank 2
+    assert out[3] == 0.0 and out[4] == 0.0  # group b: no decoys
+
+
+def test_repair_zero_qvalues(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 0.004), (3, 0.02)], "id long, qvalue double"
+    )
+    got = {r["id"]: r["qvalue"] for r in repair_zero_qvalues(df).collect()}
+    # min positive q = 0.004 → zero replaced by round(0.0004, 6)
+    assert got[1] == pytest.approx(0.0004)
+    assert got[2] == 0.004 and got[3] == 0.02
+
+
+def test_top_n_per_spectrum(spark):
+    df = spark.createDataFrame(
+        [("s1", "p1", 5.0), ("s1", "p2", 7.0), ("s1", "p3", 7.0), ("s2", "p4", 1.0)],
+        "spectrumId string, psmId string, searchEngineScore double",
+    )
+    top1 = top_n_per_spectrum(df, n=1).collect()
+    by_spec = {r["spectrumId"]: r["psmId"] for r in top1}
+    assert by_spec == {"s1": "p2", "s2": "p4"}  # tie broken on psmId

@@ -1,0 +1,116 @@
+"""Join + rollup operator tests (SURVEY §2.4–§2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pride_spark.operators.joins import (
+    contains_first_match,
+    positional_zip_join,
+    psm_spectrum_join,
+    semi_join_members,
+)
+from pride_spark.operators.rollup import (
+    distinguishable_categories,
+    explode_protein_accessions,
+    protein_rollup,
+)
+
+
+def test_contains_first_match_blocked_equals_nested(spark):
+    probe = spark.createDataFrame(
+        [(1, "run01"), (2, "run02"), (3, "run99")], "pid long, base string"
+    )
+    dim = spark.createDataFrame(
+        [("A", "data_RUN01.mzML"), ("B", "run01-copy.mgf"), ("C", "xxRun02.mzML")],
+        "facc string, fileName string",
+    )
+    kw = dict(probe_text="base", dim_text="fileName", probe_keys=("pid",), order_cols=("facc",))
+    nested = {(r["pid"], r["facc"]) for r in contains_first_match(probe, dim, **kw).collect()}
+    blocked = {
+        (r["pid"], r["facc"])
+        for r in contains_first_match(probe, dim, block_lengths=[5], **kw).collect()
+    }
+    assert nested == blocked == {(1, "A"), (2, "C")}  # first match by facc; run99 unmatched
+
+
+def test_psm_spectrum_join(spark):
+    psms = spark.createDataFrame(
+        [("p1", "f1", "10"), ("p2", "f1", "99"), ("p3", "f2", "10")],
+        "psmId string, fileName string, spectrumKey string",
+    )
+    spectra = spark.createDataFrame(
+        [("f1", "10", 2), ("f2", "10", 2)], "fileName string, spectrumKey string, msLevel int"
+    )
+    got = {r["psmId"] for r in psm_spectrum_join(psms, spectra).collect()}
+    assert got == {"p1", "p3"}  # p2 has no spectrum → dropped (inner)
+
+
+def test_positional_zip_join(spark):
+    left = spark.createDataFrame([("c", 30), ("a", 10), ("b", 20)], "k string, v int")
+    right = spark.createDataFrame([(0, "first"), (2, "third")], "idx int, tag string")
+    got = {
+        (r["k"], r["tag"])
+        for r in positional_zip_join(left, right, left_order=("k",), right_index_col="idx").collect()
+    }
+    assert got == {("a", "first"), ("c", "third")}
+
+
+def test_semi_join(spark):
+    facts = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    members = spark.createDataFrame([(2, "x"), (2, "y"), (3, "z")], "m long, other string")
+    got = {r["k"] for r in semi_join_members(facts, members, "k", "m").collect()}
+    assert got == {2, 3}
+
+
+def _psm_protein(spark):
+    rows = [
+        # protein P1: exclusive peptide AAA (distinguishable)
+        ("u1", "AAA", "AAA/2", 2, 500.0, False, 0.001, ["m1"], "P1"),
+        ("u2", "AAA", "AAA/2", 2, 500.0, False, 0.002, ["m2"], "P1"),   # same peptide, worse q
+        ("u3", "BBB", "BBB/2", 2, 600.0, False, 0.003, [], "P1"),
+        # P2/P3 share peptide CCC only (indistinguishable)
+        ("u4", "CCC", "CCC/3", 3, 700.0, False, 0.004, [], "P2"),
+        ("u4", "CCC", "CCC/3", 3, 700.0, False, 0.004, [], "P3"),
+        # decoy-only protein P4
+        ("u5", "DDD", "DDD/2", 2, 800.0, True, 0.05, [], "P4"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "usi string, peptideSequence string, peptidoform string, precursorCharge int, "
+        "precursorMz double, isDecoy boolean, qvalue double, modificationNames array<string>, "
+        "proteinAccession string",
+    )
+
+
+def test_protein_rollup(spark):
+    rolled = {r["proteinAccession"]: r for r in protein_rollup(_psm_protein(spark)).collect()}
+    p1 = rolled["P1"]
+    assert p1["numberPSMs"] == 2          # u1/u2 dedup by peptideSequence → AAA + BBB
+    assert p1["numberPeptides"] == 2
+    assert p1["bestSearchEngineScoreValue"] == 0.001
+    assert p1["isDecoy"] is False
+    assert p1["modificationsNames"] == ["m1"]  # mods of the kept (best) rows only
+    assert [x["usi"] for x in p1["psmAccessions"]] == ["u1", "u3"]
+    assert rolled["P4"]["isDecoy"] is True
+
+
+def test_distinguishable_categories(spark):
+    got = {
+        r["proteinAccession"]: r["inferenceCategory"]
+        for r in distinguishable_categories(_psm_protein(spark)).collect()
+    }
+    assert got == {
+        "P1": "distinguishable",
+        "P2": "indistinguishable",
+        "P3": "indistinguishable",
+        "P4": "distinguishable",
+    }
+
+
+def test_explode_protein_accessions(spark):
+    df = spark.createDataFrame(
+        [("u1", ["P1", "P2"]), ("u2", ["P1"])], "usi string, proteinAccessions array<string>"
+    )
+    got = explode_protein_accessions(df).groupBy("proteinAccession").count().collect()
+    assert {(r["proteinAccession"], r["count"]) for r in got} == {("P1", 2), ("P2", 1)}
