@@ -1,0 +1,86 @@
+"""K5 — MGF export of archive spectra, byte-compatible with the reference.
+
+Format (``/root/reference/src/.../proteomics/MGFPRIDEWriter.java:12-62``):
+
+    BEGIN IONS
+    TITLE=id=<usi>[,sequence=<peptidoform>]
+    PEPMASS=<precursorMz>
+    CHARGE=<precursorCharge as double><'+' if > 0>
+    <mass %10.3f>\t<intensity %10.3f, left-trimmed>
+    ...
+    END IONS
+
+The whole record is built as ONE string column (concat + zip_with +
+array_join) so the writer is a plain distributed ``write.text`` — no
+Python, no per-row driver loop (the reference appends row-at-a-time on a
+single thread).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def mgf_record(
+    usi: Column,
+    peptidoform: Column,
+    precursor_mz: Column,
+    precursor_charge: Column,
+    masses: Column,
+    intensities: Column,
+) -> Column:
+    """One complete BEGIN IONS…END IONS block as a string column."""
+    title = F.concat(
+        F.lit("TITLE=id="),
+        usi,
+        F.when(
+            peptidoform.isNotNull() & (F.length(peptidoform) > 0),
+            F.concat(F.lit(",sequence="), peptidoform),
+        ).otherwise(F.lit("")),
+    )
+    charge_d = precursor_charge.cast("double")
+    charge = F.concat(
+        F.lit("CHARGE="),
+        charge_d.cast("string"),
+        F.when(charge_d > 0, F.lit("+")).otherwise(F.lit("")),
+    )
+    peaks = F.array_join(
+        F.zip_with(
+            masses,
+            intensities,
+            lambda m, i: F.concat(
+                F.format_string("%10.3f", m), F.lit("\t"), F.ltrim(F.format_string("%10.3f", i))
+            ),
+        ),
+        "\n",
+    )
+    return F.concat_ws(
+        "\n",
+        F.lit("BEGIN IONS"),
+        title,
+        F.concat(F.lit("PEPMASS="), precursor_mz.cast("string")),
+        charge,
+        peaks,
+        F.lit("END IONS"),
+    )
+
+
+def to_mgf_df(spectra: DataFrame) -> DataFrame:
+    """Project a T1-shaped DataFrame to one-MGF-record-per-row."""
+    return spectra.select(
+        mgf_record(
+            F.col("usi"),
+            F.col("peptidoform"),
+            F.col("precursorMz"),
+            F.col("precursorCharge"),
+            F.col("masses"),
+            F.col("intensities"),
+        ).alias("value")
+    )
+
+
+def write_mgf(spectra: DataFrame, path: str) -> None:
+    """Distributed MGF write (one part-file per partition; cat to merge —
+    the reference's Nextflow ``collectFile`` step, SURVEY §2.2 K6)."""
+    to_mgf_df(spectra).write.mode("overwrite").text(path)

@@ -1,0 +1,73 @@
+"""Distributed MGF spectrum reader → canonical ``spectra`` DataFrame.
+
+Reference capability: jmzReader's MgfFile reader opened at
+``/root/reference/src/.../proteomics/JmzReaderSpectrumService.java:40-44``
+and consumed one-spectrum-at-a-time by index (``:120-128``).  Here the
+whole file set is read in one distributed scan instead:
+
+- ``spark.read.option("lineSep", "END IONS")`` splits the text into one
+  row per ``BEGIN IONS``…``END IONS`` block *inside the JVM text source*
+  (records never cross executor boundaries, so this scales to any number
+  of files × any file size).
+- header keys and the peak table are extracted with ``regexp_extract`` /
+  ``regexp_extract_all`` — no Python in the hot path.
+- ``index`` is the 0-based position of the spectrum within its file
+  (jmzReader's access key for MGF, SURVEY §2.1 S8).
+
+Output schema (canonical ``spectra``): fileName, index, spectrumId,
+msLevel, precursorMz, precursorCharge, retentionTime, masses, intensities,
+numPeaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: one peak line: "<float><ws><float>" — group 1 = m/z, group 2 = intensity.
+_PEAK_RE = r"(?m)^[ \t]*([0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?)[ \t]+([0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?)[ \t]*$"
+
+
+def _header(block, key: str):
+    return F.regexp_extract(block, rf"(?m)^{key}=([^\r\n]*)", 1)
+
+
+def _header_num(block, key: str):
+    """Numeric header field; absent key → NULL (ANSI-safe cast)."""
+    return F.nullif(
+        F.regexp_extract(_header(block, key), r"([0-9.eE+-]+)", 1), F.lit("")
+    ).cast("double")
+
+
+def read_mgf(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Read one or many MGF files into the canonical spectra DataFrame."""
+    raw = (
+        spark.read.option("lineSep", "END IONS")
+        .text(paths)
+        .withColumn("fileName", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .withColumn("__ord", F.monotonically_increasing_id())
+        .filter(F.col("value").contains("BEGIN IONS"))
+    )
+    block = F.col("value")
+    w = Window.partitionBy("fileName").orderBy("__ord")
+    masses = F.transform(
+        F.regexp_extract_all(block, F.lit(_PEAK_RE), 1), lambda x: x.cast("double")
+    )
+    intensities = F.transform(
+        F.regexp_extract_all(block, F.lit(_PEAK_RE), 2), lambda x: x.cast("double")
+    )
+    charge_raw = _header(block, "CHARGE")
+    return raw.select(
+        "fileName",
+        (F.row_number().over(w) - 1).alias("index"),
+        F.nullif(F.trim(_header(block, "TITLE")), F.lit("")).alias("spectrumId"),
+        F.lit(2).alias("msLevel"),  # MGF carries MS2 peak lists only
+        _header_num(block, "PEPMASS").alias("precursorMz"),
+        F.nullif(F.regexp_extract(charge_raw, r"([0-9]+)", 1), F.lit(""))
+        .cast("int")
+        .alias("precursorCharge"),
+        _header_num(block, "RTINSECONDS").alias("retentionTime"),
+        masses.alias("masses"),
+        intensities.alias("intensities"),
+        F.size(masses).alias("numPeaks"),
+    )

@@ -1,0 +1,189 @@
+"""Sources (S4/S5/S11/S12, MGF) and sinks (K1/K3/K4/K5) tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pride_spark import schemas
+from pride_spark.functions import spectrum_id as sid
+from pride_spark.sinks import mgf as mgf_sink
+from pride_spark.sinks.manifests import write_result_file_manifest
+from pride_spark.sources import dispatch
+from pride_spark.sources.jsonlines import point_lookup, read_archive_spectra, write_jsonlines
+from pride_spark.sources.mgf import read_mgf
+from pride_spark.sources.tabular import (
+    DuplicateSpectrumIndexError,
+    read_maracluster,
+    read_sdrf,
+)
+
+MGF_TEXT = """BEGIN IONS
+TITLE=id=mzspec:PXD1:run1:index:1,sequence=PEPTIDE/2
+PEPMASS=445.12
+CHARGE=2+
+RTINSECONDS=12.5
+100.5\t200.0
+101.25\t55.5
+END IONS
+BEGIN IONS
+TITLE=id=mzspec:PXD1:run1:index:2
+PEPMASS=512.7
+CHARGE=3+
+90.1\t10.0
+END IONS
+"""
+
+
+def test_mgf_reader(spark, tmp_path):
+    p = tmp_path / "run1.mgf"
+    p.write_text(MGF_TEXT)
+    df = read_mgf(spark, str(p)).orderBy("index")
+    rows = df.collect()
+    assert [r["index"] for r in rows] == [0, 1]
+    assert rows[0]["precursorMz"] == pytest.approx(445.12)
+    assert rows[0]["precursorCharge"] == 2
+    assert rows[0]["retentionTime"] == pytest.approx(12.5)
+    assert rows[0]["masses"] == [100.5, 101.25]
+    assert rows[0]["intensities"] == [200.0, 55.5]
+    assert rows[0]["numPeaks"] == 2
+    assert rows[1]["spectrumId"].startswith("id=mzspec:PXD1:run1:index:2")
+    assert rows[1]["numPeaks"] == 1
+
+
+def test_mgf_write_read_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        [
+            ("mzspec:P1:f1:index:1", "PEPK/2", 445.5, 2, [100.0, 200.25], [1.5, 2.5]),
+            ("mzspec:P1:f1:index:2", None, 300.125, 3, [50.0], [9.0]),
+        ],
+        "usi string, peptidoform string, precursorMz double, precursorCharge int, "
+        "masses array<double>, intensities array<double>",
+    )
+    out = str(tmp_path / "out_mgf")
+    mgf_sink.write_mgf(src, out)
+    text = "".join(open(f).read() for f in sorted(glob.glob(os.path.join(out, "part-*"))))
+    assert "TITLE=id=mzspec:P1:f1:index:1,sequence=PEPK/2" in text
+    assert "CHARGE=2.0+" in text  # Java String.valueOf(double) formatting
+    assert "   100.000\t1.500" in text  # %10.3f mass, trimmed intensity
+    back = read_mgf(spark, out).orderBy("index").collect()
+    assert len(back) == 2
+    assert back[0]["masses"] == [100.0, 200.25]
+    assert back[0]["precursorMz"] == pytest.approx(445.5)
+
+
+def test_jsonlines_roundtrip_and_point_lookup(spark, tmp_path):
+    rows = [
+        {
+            "usi": "mzspec:P1:f1:index:1",
+            "peptideSequence": "PEPTIDEK",
+            "isDecoy": False,
+            "msLevel": 2,
+            "precursorMz": 445.5,
+            "masses": [1.0, 2.0],
+            "intensities": [3.0, 4.0],
+            "numPeaks": 2,
+        },
+        {
+            "usi": "mzspec:P1:f1:index:2",
+            "peptideSequence": "KPEPTIDE",
+            "isDecoy": True,
+            "msLevel": 2,
+            "precursorMz": 512.0,
+            "masses": [5.0],
+            "intensities": [6.0],
+            "numPeaks": 1,
+        },
+    ]
+    df = spark.createDataFrame(rows, schemas.BINARY_ARCHIVE_SPECTRUM)
+    path = str(tmp_path / "t1json")
+    write_jsonlines(df, path)
+    back = read_archive_spectra(spark, path)
+    # JSON read resets nullability flags; names+types must match exactly.
+    assert back.schema.simpleString() == schemas.BINARY_ARCHIVE_SPECTRUM.simpleString()
+    assert back.count() == 2
+    hit = point_lookup(back, ["mzspec:P1:f1:index:2"]).collect()
+    assert len(hit) == 1 and hit[0]["isDecoy"] is True
+
+
+def test_maracluster_reader_and_dup_check(spark, tmp_path):
+    good = tmp_path / "clusters.tsv"
+    good.write_text("f1.mgf\t0\t10\nf1.mgf\t1\t10\nf2.mgf\t0\t11\n")
+    df = read_maracluster(spark, str(good))
+    assert df.count() == 3
+    assert df.filter(F.col("clusterId") == 10).count() == 2
+
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("f1.mgf\t0\t10\nf1.mgf\t0\t11\n")
+    with pytest.raises(DuplicateSpectrumIndexError):
+        read_maracluster(spark, str(bad))
+
+
+def test_sdrf_melt(spark, tmp_path):
+    p = tmp_path / "sample.sdrf.tsv"
+    p.write_text(
+        "source name\tcharacteristics[organism]\tcharacteristics[disease]\tcomment[data file]\n"
+        "s1\thuman\tcancer\tf1.raw\n"
+        "s2\tmouse\t\tf2.raw\n"
+    )
+    out = read_sdrf(spark, str(p)).orderBy("dataFile", "name").collect()
+    triples = [(r["dataFile"], r["name"], r["value"]) for r in out]
+    assert ("f1.raw", "organism", "human") in triples
+    assert ("f1.raw", "disease", "cancer") in triples
+    assert ("f2.raw", "organism", "mouse") in triples
+    assert all(t[2] is not None for t in triples)
+
+
+def test_file_type_dispatch(spark):
+    df = spark.createDataFrame(
+        [("a.mzid",), ("b.MzML.gz",), ("c.mgf",), ("d.mzTab",), ("e.unknown",)], "name string"
+    )
+    got = {r["name"]: r["t"] for r in df.select("name", dispatch.file_type_by_name("name").alias("t")).collect()}
+    assert got == {"a.mzid": "MZID", "b.MzML.gz": "MZML", "c.mgf": "MGF", "d.mzTab": "MZTAB", "e.unknown": None}
+    comp = {r["name"]: r["c"] for r in df.select("name", dispatch.is_compressed("name").alias("c")).collect()}
+    assert comp["b.MzML.gz"] is True and comp["a.mzid"] is False
+    assert dispatch.sniff_pride_xml("<MzIdentML xmlns=...>") == "MZID"
+    assert dispatch.sniff_pride_xml("<ExperimentCollection>") == "PRIDE"
+
+
+def test_spectrum_id_normalization(spark):
+    df = spark.createDataFrame(
+        [
+            ("query=41", "MASCOT_QUERY"),
+            ("index=0", "MULTI_PEAK"),
+            ("controllerType=0 controllerNumber=1 scan=5021", "MZML"),
+            ("sample=1 period=1 cycle=200 experiment=2", "NATIVE"),
+            ("spectrum=9", "NATIVE"),
+        ],
+        "sourceId string, fmt string",
+    )
+    out = [
+        r["norm"]
+        for r in df.select(
+            sid.normalize_spectrum_id("sourceId", "fmt").alias("norm")
+        ).collect()
+    ]
+    assert out == [
+        "42",  # query= stripped, 0-based → 1-based
+        "1",
+        "5021",  # scan token extracted
+        "sample=1 period=1 cycle=200 experiment=2",  # WIFF untouched
+        "spectrum=9",  # no scan token → raw id
+    ]
+
+
+def test_result_manifest_tsv(spark, tmp_path):
+    import datetime
+
+    df = spark.createDataFrame(
+        [("f1.mzid", datetime.date(2020, 5, 17), "PXD1", "ftp://x/f1.mzid")],
+        "name string, date date, accession string, ftp string",
+    )
+    out = str(tmp_path / "manifest")
+    write_result_file_manifest(df, out)
+    text = "".join(open(f).read() for f in glob.glob(os.path.join(out, "part-*")))
+    assert "name\tdate\taccession\tftp" in text
+    assert "f1.mzid\t2020-05-17\tPXD1\tftp://x/f1.mzid" in text
