@@ -30,8 +30,11 @@ from pride_spark.functions.strings import (
     remove_charge_state,
 )
 from pride_spark.functions.usi import build_usi, spectra_usi
-from pride_spark.operators import dedup, similarity, text
+from pride_spark.functions.spectrum_id import normalize_spectrum_id
+from pride_spark.operators import cluster as cluster_ops
+from pride_spark.operators import dedup, inference, similarity, text
 from pride_spark.operators.fdr import add_fdr_qvalue, repair_zero_qvalues, top_n_per_spectrum
+from pride_spark.sinks.mgf import mgf_record
 from pride_spark.operators.joins import contains_first_match, positional_zip_join, semi_join_members
 from pride_spark.operators.rollup import distinguishable_categories, protein_rollup
 from pride_spark.session import tune
@@ -910,3 +913,215 @@ def q29_mass_cleavage(spark: SparkSession, sf_dir: str) -> DataFrame:
         missed_cleavages(seq).alias("mc"),
         theoretical_mass(seq).alias("mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-consensus best PSM (SURVEY §2.6 A11–A13, InferenceService.java:99-141).
+# lineitem mapped onto the PSM/cluster domain: order = cluster, line = PSM.
+# ---------------------------------------------------------------------------
+@register(
+    "q30_cluster_best_psm",
+    """
+    WITH psms AS (
+      SELECT l_orderkey AS clusterId,
+             l_orderkey || '-' || l_linenumber AS usi,
+             l_returnflag || 'LEP' AS peptideSequence,
+             l_linestatus || '/2' AS peptidoform,
+             l_extendedprice AS score
+      FROM lineitem
+    ), pure AS (
+      SELECT clusterId FROM psms GROUP BY clusterId
+      HAVING COUNT(DISTINCT REPLACE(peptideSequence, 'L', 'I')) = 1
+    ), counts AS (
+      SELECT clusterId, peptidoform, COUNT(*) AS n
+      FROM psms GROUP BY clusterId, peptidoform
+    ), tot AS (
+      SELECT clusterId, COUNT(*) AS t FROM psms GROUP BY clusterId
+    ), valid AS (
+      SELECT c.clusterId, c.peptidoform FROM counts c
+      JOIN tot USING (clusterId) WHERE 2 * c.n > tot.t
+    )
+    SELECT clusterId, usi, peptideSequence, peptidoform, score FROM (
+      SELECT p.*, ROW_NUMBER() OVER (PARTITION BY p.clusterId
+                                     ORDER BY p.score, p.usi) AS rn
+      FROM psms p
+      JOIN pure USING (clusterId)
+      JOIN valid USING (clusterId, peptidoform)
+    ) WHERE rn = 1
+    """,
+)
+def q30_cluster_best_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    psms = li.select(
+        F.col("l_orderkey").alias("clusterId"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("usi"),
+        F.concat(F.col("l_returnflag"), F.lit("LEP")).alias("peptideSequence"),
+        F.concat(F.col("l_linestatus"), F.lit("/2")).alias("peptidoform"),
+        F.col("l_extendedprice").alias("score"),
+    )
+    return cluster_ops.best_psm_per_cluster(psms).select(
+        "clusterId", "usi", "peptideSequence", "peptidoform", "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Occam's-razor protein inference (SURVEY §2.6; PIAModelerService.java:80-96).
+# Iterative greedy cover — not SQL-expressible, rows-only driver check.
+# ---------------------------------------------------------------------------
+@register("q31_occams_razor", None)
+def q31_occams_razor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    psms = li.select(
+        F.concat(F.lit("PEP"), F.col("l_partkey")).alias("peptideSequence"),
+        F.array(F.concat(F.lit("PROT"), F.col("l_suppkey"))).alias("proteinAccessions"),
+    )
+    return inference.occams_razor(psms).select(
+        "proteinAccession", "groupId", "isLeading", "category"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spectrum-id normalization at ingest (SURVEY §2.10 C9/C10, §2.1 S7;
+# SubmissionPipelineUtils.java:229-256).
+# ---------------------------------------------------------------------------
+@register(
+    "q32_spectrum_id_norm",
+    """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE l_linenumber % 4
+               WHEN 0 THEN 'query=' || l_orderkey
+               WHEN 1 THEN 'index=' || l_orderkey
+               WHEN 2 THEN 'controllerType=0 controllerNumber=1 scan=' || l_orderkey
+               ELSE 'sample=1 period=1 cycle=' || l_orderkey || ' experiment=2'
+             END AS sourceId,
+             CASE l_linenumber % 4
+               WHEN 0 THEN 'MASCOT_QUERY' WHEN 1 THEN 'MULTI_PEAK'
+               WHEN 2 THEN 'MZML' ELSE 'NATIVE'
+             END AS fmt
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, sourceId, fmt,
+           CASE fmt
+             WHEN 'MASCOT_QUERY' THEN CAST(l_orderkey + 1 AS VARCHAR)
+             WHEN 'MULTI_PEAK'   THEN CAST(l_orderkey + 1 AS VARCHAR)
+             WHEN 'MZML'         THEN CAST(l_orderkey AS VARCHAR)
+             ELSE sourceId
+           END AS normId
+    FROM src
+    """,
+)
+def q32_spectrum_id_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    mod = F.col("l_linenumber") % 4
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(mod == 0, F.concat(F.lit("query="), F.col("l_orderkey")))
+        .when(mod == 1, F.concat(F.lit("index="), F.col("l_orderkey")))
+        .when(
+            mod == 2,
+            F.concat(F.lit("controllerType=0 controllerNumber=1 scan="), F.col("l_orderkey")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("sample=1 period=1 cycle="), F.col("l_orderkey"), F.lit(" experiment=2")
+            )
+        )
+        .alias("sourceId"),
+        F.when(mod == 0, F.lit("MASCOT_QUERY"))
+        .when(mod == 1, F.lit("MULTI_PEAK"))
+        .when(mod == 2, F.lit("MZML"))
+        .otherwise(F.lit("NATIVE"))
+        .alias("fmt"),
+    )
+    return src.withColumn("normId", normalize_spectrum_id("sourceId", "fmt"))
+
+
+# ---------------------------------------------------------------------------
+# MGF record formatting (SURVEY §2.2 K5; MGFPRIDEWriter.java:12-62) — the
+# full BEGIN IONS block as one string column, byte-compared to printf SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "q33_mgf_record",
+    """
+    WITH s AS (
+      SELECT l_orderkey || '-' || l_linenumber AS usi,
+             'PEPK/2' AS peptidoform,
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / 100 AS DECIMAL(18,6)) AS DOUBLE) AS mz,
+             2 AS z,
+             [CAST(l_quantity AS DOUBLE), 7.25] AS masses,
+             [1.0, CAST(l_discount AS DOUBLE)] AS intensities
+      FROM lineitem
+    )
+    SELECT usi,
+           'BEGIN IONS' || chr(10) ||
+           'TITLE=id=' || usi || ',sequence=' || peptidoform || chr(10) ||
+           'PEPMASS=' || CAST(mz AS VARCHAR) || chr(10) ||
+           'CHARGE=' || CAST(CAST(z AS DOUBLE) AS VARCHAR) || '+' || chr(10) ||
+           ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LEN(masses) + 1),
+             i -> printf('%10.3f', masses[i]) || chr(9) ||
+                  LTRIM(printf('%10.3f', intensities[i]))), chr(10)) || chr(10) ||
+           'END IONS' AS mgf
+    FROM s
+    """,
+)
+def q33_mgf_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("usi"),
+        F.lit("PEPK/2").alias("peptidoform"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") / 100).cast("double").alias("mz"),
+        F.lit(2).alias("z"),
+        F.array(F.col("l_quantity").cast("double"), F.lit(7.25)).alias("masses"),
+        F.array(F.lit(1.0), F.col("l_discount").cast("double")).alias("intensities"),
+    )
+    return s.select(
+        "usi",
+        mgf_record(
+            F.col("usi"), F.col("peptidoform"), F.col("mz"), F.col("z"),
+            F.col("masses"), F.col("intensities"),
+        ).alias("mgf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate pairs (north-star dedup: embedding-cosine) —
+# bounded candidate window keeps the self-join linear.
+# ---------------------------------------------------------------------------
+@register(
+    "q34_embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_INNER_PRODUCT(a.v, b.v) /
+                 (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v))),
+                 6) AS cosine
+    FROM e a JOIN e b
+      ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 8
+    WHERE ROUND(LIST_INNER_PRODUCT(a.v, b.v) /
+                (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) * SQRT(LIST_INNER_PRODUCT(b.v, b.v))),
+                6) > 0.2
+    """,
+)
+def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(
+        b, (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 8)
+    )
+    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.withColumn("cosine", cos).filter(F.col("cosine") > 0.2).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup fingerprints (north-star). xxhash64-based — no cross-
+# engine oracle; rows-only driver check (unit-tested in tests/).
+# ---------------------------------------------------------------------------
+@register("q35_simhash", None)
+def q35_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))

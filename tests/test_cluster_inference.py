@@ -1,0 +1,86 @@
+"""Cluster-consensus (A11–A13) and Occam's-razor inference tests."""
+
+from __future__ import annotations
+
+from pride_spark.operators.cluster import (
+    best_psm_per_cluster,
+    isobaric_pure_clusters,
+    valid_peptidoforms,
+)
+from pride_spark.operators.inference import occams_razor
+
+
+def _psms(spark):
+    # cluster 1: pure (LEPTIDE/IEPTIDE isobaric-same), form A majority
+    # cluster 2: impure (two distinct isobaric sequences) → dropped
+    # cluster 3: pure but no majority peptidoform (2 vs 2) → dropped
+    rows = [
+        (1, "u1", "LEPTIDE", "A/2", 0.30),
+        (1, "u2", "IEPTIDE", "A/2", 0.10),
+        (1, "u3", "LEPTIDE", "A/2", 0.20),
+        (1, "u4", "LEPTIDE", "B/2", 0.05),
+        (2, "u5", "PEPK", "C/2", 0.10),
+        (2, "u6", "QQQK", "C/2", 0.20),
+        (3, "u7", "SSSK", "D/2", 0.10),
+        (3, "u8", "SSSK", "E/2", 0.20),
+        (3, "u9", "SSSK", "D/2", 0.30),
+        (3, "u10", "SSSK", "E/2", 0.40),
+    ]
+    return spark.createDataFrame(
+        rows, "clusterId int, usi string, peptideSequence string, peptidoform string, score double"
+    )
+
+
+def test_isobaric_purity(spark):
+    pure = {r["clusterId"] for r in isobaric_pure_clusters(_psms(spark)).collect()}
+    assert pure == {1, 3}
+
+
+def test_valid_peptidoforms_majority(spark):
+    valid = {
+        (r["clusterId"], r["peptidoform"]): r["ratio"]
+        for r in valid_peptidoforms(_psms(spark)).collect()
+    }
+    assert set(valid) == {(1, "A/2"), (2, "C/2")}
+    assert valid[(1, "A/2")] == 0.75
+
+
+def test_best_psm_per_cluster(spark):
+    best = best_psm_per_cluster(_psms(spark)).collect()
+    # only cluster 1 passes both gates; min score among A/2 members is u2
+    assert len(best) == 1
+    assert best[0]["clusterId"] == 1 and best[0]["usi"] == "u2"
+
+
+def test_occams_razor_categories_and_cover(spark):
+    # P1 & P2 identical peptide sets → indistinguishable group, leading
+    # P3 strict subset of P1 → subset, absorbed
+    # P4 distinct distinguishable protein, leading (covers pepX)
+    rows = [
+        ("pep1", ["P1", "P2"]),
+        ("pep2", ["P1", "P2", "P3"]),
+        ("pepX", ["P4"]),
+    ]
+    psms = spark.createDataFrame(rows, "peptideSequence string, proteinAccessions array<string>")
+    out = {r["proteinAccession"]: r for r in occams_razor(psms).collect()}
+    assert out["P1"]["category"] == "indistinguishable"
+    assert out["P2"]["groupId"] == out["P1"]["groupId"] == "P1"
+    assert out["P1"]["isLeading"] is True
+    assert out["P3"]["category"] == "subset" and out["P3"]["isLeading"] is False
+    assert out["P4"]["category"] == "distinguishable" and out["P4"]["isLeading"] is True
+    # minimal cover: P1-group + P4 explain all peptides
+    assert {a for a, r in out.items() if r["isLeading"]} == {"P1", "P2", "P4"}
+
+
+def test_occams_razor_greedy_minimality(spark):
+    # P5 covers {a,b,c}; P6 covers {a}; P7 covers {b} → greedy picks only P5
+    rows = [
+        ("a", ["P5", "P6"]),
+        ("b", ["P5", "P7"]),
+        ("c", ["P5"]),
+    ]
+    psms = spark.createDataFrame(rows, "peptideSequence string, proteinAccessions array<string>")
+    out = {r["proteinAccession"]: r for r in occams_razor(psms).collect()}
+    assert out["P5"]["isLeading"] is True
+    assert out["P6"]["category"] == "subset" and not out["P6"]["isLeading"]
+    assert out["P7"]["category"] == "subset" and not out["P7"]["isLeading"]
