@@ -1,0 +1,133 @@
+"""`generate-index-files` — the reference's main query as ONE Spark job.
+
+Reference lifecycle (SURVEY §3.1;
+``/root/reference/src/.../services/PrideAnalysisAssayService.java:242-304``):
+Stage 1 parse+FDR+filters → Stage 2 per-PSM spectrum join + USI + writes →
+Stage 3 protein rollup.  The reference threads an untyped assayObjectMap
+through hand-written loops; here each stage is a named DataFrame and the
+whole thing is one lazily-planned DAG — Catalyst fuses the filter stack
+into the scans, the spectrum join is the only wide exchange, and the three
+outputs (T1/T2/T3) share the filtered-PSM subplan.
+
+Scale: the filter stack runs BEFORE the PSM↔spectrum join (predicate
+pushdown does what the reference's Stage-1/Stage-2 ordering hand-codes);
+the join keys on (fileName, spectrumKey) — co-partitioned, AQE handles
+skewed files; protein rollup shuffles the narrow T2 projection, never the
+peak arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pride_spark.functions.usi import build_usi, spectra_usi
+from pride_spark.operators.fdr import add_fdr_qvalue, repair_zero_qvalues, top_n_per_spectrum
+from pride_spark.operators.filters import (
+    peptide_length_filter,
+    psm_qvalue_filter,
+    source_id_filter,
+)
+from pride_spark.operators.rollup import explode_protein_accessions, protein_rollup
+
+
+@dataclass
+class IndexConfig:
+    q_value_threshold: float = 0.01
+    peptide_length: int = 7
+    min_psms: int = 1000
+    top_n_per_spectrum: int = 1
+    score_better: str = "higher"
+
+
+class AssayValidityError(ValueError):
+    """F11 — assay failed the decoy/protein/minPSM gates (reference aborts
+    the assay and deletes partial output; we raise before any write)."""
+
+
+def stage1_filter_and_fdr(psms: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Filter stack (F5/F7/F9) + top-N + FDR/q-value windows + A2 repair."""
+    out = source_id_filter(psms)
+    out = peptide_length_filter(out, cfg.peptide_length)
+    out = top_n_per_spectrum(
+        out,
+        cfg.top_n_per_spectrum,
+        spectrum_cols=("fileName", "spectrumKey"),
+        score_col="score",
+        better=cfg.score_better,
+        tie_cols=("psmId",),
+    )
+    out = add_fdr_qvalue(out, "score", "isDecoy", better=cfg.score_better)
+    out = repair_zero_qvalues(out)
+    return psm_qvalue_filter(out, cfg.q_value_threshold)
+
+
+def validity_gate(filtered: DataFrame, cfg: IndexConfig) -> None:
+    """F11 driver check — one aggregate pass, three counters."""
+    row = filtered.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("isDecoy").cast("long")).alias("decoys"),
+    ).collect()[0]
+    n, decoys = row["n"], row["decoys"] or 0
+    n_prot = (
+        filtered.select(F.explode("proteinAccessions").alias("p"))
+        .agg(F.countDistinct("p"))
+        .collect()[0][0]
+    )
+    if decoys == 0 or n_prot == 0 or n < cfg.min_psms:
+        raise AssayValidityError(
+            f"assay gate failed: psms={n} (min {cfg.min_psms}), decoys={decoys}, proteins={n_prot}"
+        )
+
+
+def stage2_spectrum_join(filtered: DataFrame, spectra: DataFrame, project: str) -> DataFrame:
+    """J5 big join + USI build (C2–C4) → T1-shaped archive spectra."""
+    joined = filtered.join(spectra, ["fileName", "spectrumKey"], "inner")
+    usi = build_usi(
+        F.lit(project), F.col("fileName"), F.lit("index"), F.col("spectrumKey").cast("string")
+    )
+    return (
+        joined.withColumn("usi", usi)
+        .withColumn("spectraUsi", spectra_usi(F.col("usi")))
+        .withColumn("numPeaks", F.size("masses"))
+    )
+
+
+def stage3_protein_rollup(archive: DataFrame) -> DataFrame:
+    """X1 + A3–A9 → T3 protein evidence (narrow projection, no peak arrays)."""
+    slim = archive.select(
+        "usi",
+        "peptideSequence",
+        "peptidoform",
+        "precursorCharge",
+        "precursorMz",
+        "isDecoy",
+        "qvalue",
+        "modificationNames",
+        "proteinAccessions",
+    )
+    return protein_rollup(explode_protein_accessions(slim))
+
+
+def generate_index_files(
+    psms: DataFrame,
+    spectra: DataFrame,
+    project: str,
+    cfg: IndexConfig | None = None,
+    enforce_gates: bool = True,
+) -> dict[str, DataFrame]:
+    """Full §3.1 plan; returns the three output tables as DataFrames.
+
+    Callers pick sinks (``sources.jsonlines.write_jsonlines`` for parity
+    with the reference's JSON-lines outputs, parquet for the native path).
+    """
+    cfg = cfg or IndexConfig()
+    filtered = stage1_filter_and_fdr(psms, cfg)
+    if enforce_gates:
+        validity_gate(filtered, cfg)
+    archive = stage2_spectrum_join(filtered, spectra, project)
+    proteins = stage3_protein_rollup(archive)
+    summary = archive.drop("masses", "intensities")
+    return {"archive_spectra": archive, "summary_spectra": summary, "protein_evidence": proteins}

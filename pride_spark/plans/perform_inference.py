@@ -1,0 +1,69 @@
+"""`perform-inference` — cluster-consensus re-scoring as one Spark job.
+
+Reference lifecycle (SURVEY §3.2;
+``/root/reference/src/.../services/InferenceService.java:85-279``):
+read archive-spectra JSON + MaraCluster TSV → positional zip join →
+cluster purity + best-PSM-per-cluster → re-join full records by usi →
+protein rollup.  The reference needs a byte-offset index and three ehcache
+tiers; here it is three joins + two groupBys + one window — a single DAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pride_spark.operators.cluster import best_psm_per_cluster
+from pride_spark.operators.joins import positional_zip_join
+from pride_spark.operators.rollup import explode_protein_accessions, protein_rollup
+
+
+def assign_clusters(archive: DataFrame, clusters: DataFrame) -> DataFrame:
+    """J8 — positional zip: i-th archive row ↔ MaraCluster spectrumIndex i.
+
+    Ref: InferenceService.java:99-111 (iteration order over the JSON file);
+    positional_zip_join reproduces it with a row_number over the ingest
+    order — see operators/joins.py for the scale caveat (ingest-order
+    windows need a per-file partition at 100 TB, provided here via
+    ``spectraUsi`` as the file key inside the USI).
+    """
+    return positional_zip_join(
+        archive, clusters.select("spectrumIndex", "clusterId"), ["usi"], "spectrumIndex"
+    )
+
+
+def perform_inference(
+    archive: DataFrame,
+    clusters: DataFrame,
+    score_col: str = "score",
+) -> dict[str, DataFrame]:
+    """Full §3.2 plan.
+
+    ``archive``: T1-shaped rows incl. ``usi, peptideSequence, peptidoform,
+    isDecoy`` and a numeric ``score`` (the reference parses
+    ``bestSearchEngineScore.value``, InferenceService.java:102).
+    ``clusters``: MaraCluster table from ``sources.tabular.read_maracluster``.
+    """
+    with_cluster = assign_clusters(archive, clusters)
+    best = best_psm_per_cluster(
+        with_cluster.select(
+            "clusterId", "usi", "peptideSequence", "peptidoform", F.col(score_col).alias("score")
+        ),
+        score_col="score",
+        better="lower",
+    )
+    # J9 — re-attach the full archive record for the winning USIs.
+    winners = archive.join(F.broadcast(best.select("usi")), "usi", "left_semi")
+    slim = winners.select(
+        "usi",
+        "peptideSequence",
+        "peptidoform",
+        "precursorCharge",
+        "precursorMz",
+        "isDecoy",
+        F.col(score_col).alias("qvalue"),
+        "modificationNames",
+        "proteinAccessions",
+    )
+    proteins = protein_rollup(explode_protein_accessions(slim))
+    return {"cluster_best": best, "winner_spectra": winners, "protein_evidence": proteins}

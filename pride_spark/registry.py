@@ -1125,3 +1125,77 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) window aggregation — streaming surface, batch-checked
+# (pride_spark.streaming.events.sliding_counts; SURVEY §2.12 extension).
+# ---------------------------------------------------------------------------
+@register(
+    "q36_sliding_window",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    x AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + TO_SECONDS(CAST((FLOOR(EPOCH(ts) / 1800) - u.k) * 1800 AS BIGINT))
+               AS window_start
+      FROM e, UNNEST([0, 1]) AS u(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n
+    FROM x GROUP BY window_start, event_type
+    """,
+)
+def q36_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.streaming.events import sliding_counts
+
+    return sliding_counts(
+        _events(spark, sf_dir), window="1 hour", slide="30 minutes", streaming=False
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (gap-based) — streaming surface, batch-checked
+# (pride_spark.streaming.events.session_counts).  Oracle: gaps-and-islands.
+# ---------------------------------------------------------------------------
+@register(
+    "q37_session_window",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, COUNT(*) AS n
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q37_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.streaming.events import session_counts
+
+    return session_counts(_events(spark, sf_dir), gap="30 minutes", streaming=False)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction (north-star; Arrow-batched mapInPandas with
+# stubbed decode kernels). Python-side kernel — rows-only driver check;
+# determinism is unit-tested in tests/test_multimodal.py.
+# ---------------------------------------------------------------------------
+@register("q38_image_features", None)
+def q38_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    return mm.image_features(mm.synthesize_media_from_documents(docs))

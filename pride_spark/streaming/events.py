@@ -1,0 +1,138 @@
+"""Event-stream operators: windowed aggregation with late-data policy.
+
+Batch/stream-agnostic: each function takes a DataFrame that may come from
+``spark.read`` or ``spark.readStream`` and returns a transformed DataFrame;
+the caller picks the sink (``write`` vs ``writeStream``).  Watermarks are
+no-ops in batch mode, so the batch run of the same function is the oracle
+for the streaming run (tested in ``tests/test_streaming.py``).
+
+Scale notes: tumbling/sliding aggregation shuffles once on
+``(window, event_type)``; state store size is bounded by the watermark
+horizon; ``availableNow`` gives incremental backfill over historical
+parquet without a separate batch codepath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events parquet schema — ts is TIMESTAMP(NANOS), readable only as long.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """Nanos-long → proper timestamp column ``ts`` (integer div, no loss)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    """Incremental parquet source over an events directory."""
+    return with_event_time(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-(window, event_type) counts + value sums; late rows beyond the
+    watermark are dropped in streaming mode (batch: watermark is a no-op)."""
+    ev = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        ev.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Overlapping (hopping) windows — each event lands in size/slide windows."""
+    ev = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        ev.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-user session windows (gap-based, variable length)."""
+    ev = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state (watermark-scoped)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> list:
+    """Drain the stream with the availableNow trigger into a memory sink;
+    returns collected rows (test/backfill helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()

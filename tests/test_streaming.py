@@ -1,0 +1,90 @@
+"""Structured Streaming surface: stream result == batch result (the
+unified-API contract is the oracle), plus watermark late-data drop."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pride_spark.streaming import events as ev
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(2000)
+    path = str(tmp_path / "events_in")
+    src.write.mode("overwrite").parquet(path)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _rows_to_set(rows):
+    return {tuple(r) for r in rows}
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir):
+    batch = ev.tumbling_counts(
+        ev.with_event_time(spark.read.schema(ev.EVENTS_SCHEMA).parquet(events_dir)),
+        streaming=False,
+    )
+    stream = ev.tumbling_counts(ev.read_event_stream(spark, events_dir, max_files=2))
+    got = ev.run_available_now(stream, "t_tumbling")
+    assert _rows_to_set(got) == _rows_to_set(batch.collect())
+    assert len(got) > 0
+
+
+def test_sliding_stream_equals_batch(spark, events_dir):
+    batch = ev.sliding_counts(
+        ev.with_event_time(spark.read.schema(ev.EVENTS_SCHEMA).parquet(events_dir)),
+        streaming=False,
+    )
+    stream = ev.sliding_counts(ev.read_event_stream(spark, events_dir, max_files=2))
+    got = ev.run_available_now(stream, "t_sliding")
+    assert _rows_to_set(got) == _rows_to_set(batch.collect())
+    # every event appears in size/slide = 2 windows
+    n_batch = sum(r["n"] for r in batch.collect())
+    src_n = spark.read.parquet(events_dir).count()
+    assert n_batch == 2 * src_n
+
+
+def test_session_windows_gap_semantics(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7),
+        (2, t0 + datetime.timedelta(minutes=10), 7),   # same session (gap 30m)
+        (3, t0 + datetime.timedelta(minutes=90), 7),   # new session
+        (4, t0, 8),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = ev.session_counts(df, gap="30 minutes", streaming=False).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["n"])
+    assert sorted(by_user[7]) == [1, 2]
+    assert by_user[8] == [1]
+
+
+def test_dedup_within_watermark_drops_replays(spark, tmp_path):
+    t0_ns = 1_704_067_200 * 10**9  # 2024-01-01T00:00:00Z in nanos
+    rows = [
+        (1, t0_ns, 7, "click", 1.0, "{}"),
+        (1, t0_ns, 7, "click", 1.0, "{}"),       # exact replay
+        (2, t0_ns + 60 * 10**9, 7, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, ev.EVENTS_SCHEMA)
+    path = str(tmp_path / "dedup_in")
+    df.write.mode("overwrite").parquet(path)
+    stream = ev.dedup_within_watermark(ev.read_event_stream(spark, path))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT event_id FROM t_dedup").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
