@@ -200,30 +200,35 @@ def near_dedup_minhash(
 
 
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash over word shingles, built from xxhash64 bit votes.
+    """63-bit SimHash over word shingles, built from xxhash64 bit votes.
 
-    For each of 64 bit positions, sum ±1 votes across shingle hashes and
-    take the sign.  Pure higher-order-function expression (no UDF): the
-    per-bit vote is ``aggregate`` over the shingle array.  Cross-engine
-    oracle parity is impractical (xxhash64 is Spark-specific), so SimHash is
-    covered by unit tests + a rows-only driver check.
+    For each bit position, sum ±1 votes across shingle hashes and take the
+    sign.  Pure higher-order-function expression (no UDF), computed in ONE
+    pass over the shingle array: the accumulator is the whole 63-element
+    vote vector (``zip_with`` inside ``aggregate``), instead of one
+    ``aggregate`` per bit — 63 separate folds made this ~60× slower at
+    sf0.1.  The final fold packs votes MSB-first via ``value*2 + bit``,
+    which stays inside signed-long range for 63 bits (ANSI mode rejects
+    the overflowing 64th).  Cross-engine oracle parity is impractical
+    (xxhash64 is Spark-specific): unit tests + rows-only driver check.
     """
+    n_bits = 63
     sh = F.array_distinct(word_shingles(text, shingle_n))
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    zeros = F.array_repeat(F.lit(0).cast("long"), n_bits)
 
-    def voter(bit: int):
-        def step(acc: Column, h: Column) -> Column:
-            return acc + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-
-        return step
-
-    bits = []
-    for bit in range(64):
-        vote = F.aggregate(hashes, F.lit(0), voter(bit))
-        bits.append(
-            F.shiftleft(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), bit)
+    def vote_step(acc: Column, h: Column) -> Column:
+        bits = F.array(
+            *[
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("long")
+                for b in range(n_bits - 1, -1, -1)  # MSB first
+            ]
         )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+        return F.zip_with(acc, bits, lambda a, bit: a + bit * 2 - 1)
+
+    votes = F.aggregate(hashes, zeros, vote_step)
+    return F.aggregate(
+        votes,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 2 + F.when(v > 0, F.lit(1)).otherwise(F.lit(0)),
+    )

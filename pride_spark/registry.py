@@ -1105,12 +1105,18 @@ def q33_mgf_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The bounded id-window is materialized as an explode → EQUI-join (hash
+    # join, shuffles 8n rows) instead of a (id_b BETWEEN …) theta join,
+    # which Spark can only plan as a broadcast nested loop — O(n²)
+    # comparisons, 20× slower at sf0.1 and fatal at 100 TB.
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(
-        b, (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 8)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.explode(F.sequence(F.col("vec_id") + 1, F.col("vec_id") + 8)).alias("id_b"),
     )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, "id_b")
     cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
     return pairs.withColumn("cosine", cos).filter(F.col("cosine") > 0.2).select(
         "id_a", "id_b", "cosine"
