@@ -1,0 +1,81 @@
+"""PTM (modification) reshaping — SURVEY §2.5 X3/X4, §2.6 A10.
+
+Reference:
+- X3: per-PSM modification map → deduped positioned structs (merge the
+  positions of same-accession mods), ``PrideAnalysisAssayService.java:
+  1007-1046``.
+- X4: peptide-level PTM positions → protein coordinates
+  (``proteinPos = start + pepPos − 1`` per occurrence),
+  ``PrideAnalysisAssayService.java:1056-1113``.
+
+Both are pure array/HOF expressions (X3) or explode→project→re-group
+(X4) — no UDFs, fully codegen-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: element type of a raw mod entry
+RAW_MOD_TYPE = "array<struct<position:int,accession:string,name:string>>"
+
+
+def regroup_modifications(mods: Column | str) -> Column:
+    """X3 — merge same-accession mods: one struct per accession with the
+    sorted distinct position list.  Runs entirely inside the row (no
+    shuffle): distinct accessions, then a filtered projection per accession.
+    """
+    m = F.col(mods) if isinstance(mods, str) else mods
+    accs = F.array_distinct(F.transform(m, lambda x: x["accession"]))
+    accs = F.array_sort(accs)
+
+    def entry(acc: Column) -> Column:
+        mine = F.filter(m, lambda x: x["accession"] == acc)
+        return F.struct(
+            acc.alias("accession"),
+            F.element_at(F.transform(mine, lambda x: x["name"]), 1).alias("name"),
+            F.array_sort(
+                F.array_distinct(F.transform(mine, lambda x: x["position"]))
+            ).alias("positions"),
+        )
+
+    return F.transform(accs, entry)
+
+
+def peptide_mods_to_protein_coords(
+    psm_protein: DataFrame,
+    mods_col: str = "modifications",
+    occurrences_col: str = "proteinStartPositions",
+) -> DataFrame:
+    """X4 — one output row per (protein occurrence × modification).
+
+    Input rows carry ``proteinAccession``, ``peptideSequence``, a raw mod
+    array and ``proteinStartPositions: array<int>`` (1-based start of each
+    occurrence of the peptide in the protein).  Output adds ``proteinPos``.
+    The double explode is a projection (no shuffle); downstream rollups
+    group by protein as usual.
+    """
+    exploded = psm_protein.withColumn("__start", F.explode(F.col(occurrences_col))).withColumn(
+        "__mod", F.explode(F.col(mods_col))
+    )
+    return (
+        exploded.withColumn(
+            "proteinPos", F.col("__start") + F.col("__mod.position") - F.lit(1)
+        )
+        .withColumn("modAccession", F.col("__mod.accession"))
+        .withColumn("modName", F.col("__mod.name"))
+        .drop("__start", "__mod")
+    )
+
+
+def distinct_modification_names(psms: DataFrame, mods_col: str = "modifications") -> DataFrame:
+    """A10 — distinct mod names across a PSM set (flatMap + distinct).
+
+    Ref: PrideAnalysisAssayService.java:997-999 (parallelStream flatMap).
+    """
+    return (
+        psms.select(F.explode(F.col(mods_col)).alias("m"))
+        .select(F.col("m.name").alias("name"))
+        .distinct()
+    )

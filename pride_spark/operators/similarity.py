@@ -107,3 +107,75 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int | None = None,
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer → per-bucket search (scale path).
+
+    Centroids are a deterministic sample (the ``n_centroids`` smallest
+    ids — a stand-in for k-means; swap the centroid table freely).  Every
+    vector is assigned to its nearest centroid (one broadcast join); a
+    query probes its ``n_probe`` nearest centroid buckets and ranks only
+    those candidates.  ``n_probe = n_centroids`` probes everything —
+    exact results (= brute force), which is the oracle contract; smaller
+    ``n_probe`` trades recall for a 1/(n_centroids/n_probe) candidate
+    fraction.  All joins are equi-joins on ``centroid_id``: shuffle is
+    O(n), the quadratic term only applies within probed buckets.
+    """
+    n_probe = n_probe or n_centroids
+    cents = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.monotonically_increasing_id().alias("__tmp"),
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+        .drop("__tmp")
+    )
+    cents = F.broadcast(cents)
+
+    # assignment: argmax cosine over the broadcast centroid table
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        df.join(cents)
+        .withColumn("__sim", cosine(F.col(vec_col), F.col("centroid_vec")))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).alias("nbr_vec"),
+            "centroid_id",
+        )
+    )
+    q = probe if probe is not None else df
+    probed = (
+        q.join(cents)
+        .withColumn("__sim", cosine(F.col(vec_col), F.col("centroid_vec")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
+        )
+    )
+    pairs = probed.join(assigned, "centroid_id").filter(F.col("query_id") != F.col("nbr_id"))
+    scored = pairs.select(
+        "query_id", "nbr_id", F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cosine")
+    ).dropDuplicates(["query_id", "nbr_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

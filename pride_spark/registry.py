@@ -1205,3 +1205,223 @@ def q38_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return mm.image_features(mm.synthesize_media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# Modification regroup (SURVEY §2.5 X3; PrideAnalysisAssayService.java:
+# 1007-1046) — merge same-accession PTMs, dedupe+sort positions, in-row HOFs.
+# ---------------------------------------------------------------------------
+@register(
+    "q39_mod_regroup",
+    """
+    WITH raw AS (
+      SELECT l_orderkey || '-' || l_linenumber || '-' || l_partkey || '-' || l_suppkey AS psmId,
+             m.pos AS position,
+             'UNIMOD:' || (l_partkey % 2) AS accession,
+             'MOD' || (l_partkey % 2) AS name
+      FROM lineitem,
+           UNNEST([1 + l_linenumber % 3,
+                   1 + CAST(l_quantity AS INT) % 5]) AS m(pos)
+    )
+    SELECT psmId, accession,
+           MIN(name) AS name,
+           LIST(DISTINCT position ORDER BY position) AS positions
+    FROM raw GROUP BY psmId, accession
+    """,
+)
+def q39_mod_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.modifications import regroup_modifications
+
+    li = _t(spark, sf_dir, "lineitem")
+    acc = F.concat(F.lit("UNIMOD:"), F.col("l_partkey") % 2)
+    name = F.concat(F.lit("MOD"), F.col("l_partkey") % 2)
+    mods = F.array(
+        F.struct(
+            (1 + F.col("l_linenumber") % 3).cast("int").alias("position"),
+            acc.alias("accession"),
+            name.alias("name"),
+        ),
+        F.struct(
+            (1 + F.col("l_quantity").cast("int") % 5).cast("int").alias("position"),
+            acc.alias("accession"),
+            name.alias("name"),
+        ),
+    )
+    grouped = li.select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").alias("psmId"),
+        regroup_modifications(mods).alias("mods"),
+    )
+    return grouped.select(
+        "psmId", F.explode("mods").alias("m")
+    ).select("psmId", "m.accession", "m.name", "m.positions")
+
+
+# ---------------------------------------------------------------------------
+# Delta-mass validation (SURVEY §2.3 F14, §2.10 C11;
+# PrideAnalysisAssayService.java:646-660): hard-drop >10, flag >0.9.
+# ---------------------------------------------------------------------------
+@register(
+    "q40_delta_mass",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             REPLACE(UPPER(p_name), ' ', '') AS seq,
+             p_retailprice / 2 AS observed
+      FROM part
+    ), theo AS (
+      SELECT p_partkey, seq, observed,
+             (CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(seq) + 1),
+               i -> CASE SUBSTR(seq, i, 1)
+               WHEN 'G' THEN 57021460 WHEN 'A' THEN 71037110 WHEN 'S' THEN 87032030
+               WHEN 'P' THEN 97052760 WHEN 'V' THEN 99068410 WHEN 'T' THEN 101047680
+               WHEN 'C' THEN 103009190 WHEN 'L' THEN 113084060 WHEN 'I' THEN 113084060
+               WHEN 'N' THEN 114042930 WHEN 'D' THEN 115026940 WHEN 'Q' THEN 128058580
+               WHEN 'K' THEN 128094960 WHEN 'E' THEN 129042590 WHEN 'M' THEN 131040490
+               WHEN 'H' THEN 137058910 WHEN 'F' THEN 147068410 WHEN 'R' THEN 156101110
+               WHEN 'Y' THEN 163063330 WHEN 'W' THEN 186079310 ELSE 0 END)) AS BIGINT)
+              + 18010565) / 1000000.0 AS mass
+      FROM t
+    )
+    SELECT p_partkey, seq,
+           FLOOR(ABS(observed - (mass + 2 * 1.00727646688) / 2) * 1e6) / 1e6 AS deltaMz,
+           ABS(observed - (mass + 2 * 1.00727646688) / 2) > 0.9 AS deltaMzSuspect
+    FROM theo
+    WHERE ABS(observed - (mass + 2 * 1.00727646688) / 2) <= 10
+    """,
+)
+def q40_delta_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.filters import delta_mass_validation
+
+    p = _t(spark, sf_dir, "part")
+    seq = F.regexp_replace(F.upper(F.col("p_name")), " ", "")
+    psms = p.select(
+        "p_partkey",
+        seq.alias("seq"),
+        (F.col("p_retailprice") / 2).alias("massToCharge"),
+        F.lit(2).alias("charge"),
+    )
+    out = delta_mass_validation(psms, sequence="seq")
+    return out.select(
+        "p_partkey",
+        "seq",
+        (F.floor(F.col("deltaMz") * 1e6) / 1e6).alias("deltaMz"),
+        "deltaMzSuspect",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Score denoising + param projection (SURVEY §2.3 F16/F17;
+# PrideAnalysisAssayService.java:594-605,613-625) — array filter() exprs.
+# ---------------------------------------------------------------------------
+@register(
+    "q41_score_denoise",
+    """
+    WITH raw AS (
+      SELECT l_orderkey || '-' || l_linenumber AS psmId,
+             [STRUCT_PACK(accession := 'MS:1002355', value := CAST(l_discount AS VARCHAR)),
+              STRUCT_PACK(accession := 'MS:1001153', value := CAST(l_quantity AS VARCHAR)),
+              STRUCT_PACK(accession := 'MS:1001155', value := CAST(l_tax AS VARCHAR))]
+             AS scores
+      FROM lineitem
+    ), flt AS (
+      SELECT psmId,
+             LIST_FILTER(scores, s -> s.value IS NOT NULL
+                          AND CAST(s.value AS DOUBLE) <> 0.0
+                          AND s.accession NOT IN ('MS:1002355', 'MS:1002354')) AS kept
+      FROM raw
+    )
+    SELECT psmId, u.s.accession AS accession, u.s.value AS value
+    FROM flt, UNNEST(kept) AS u(s)
+    """,
+)
+def q41_score_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.filters import score_denoise
+
+    li = _t(spark, sf_dir, "lineitem")
+    scores = F.array(
+        F.struct(F.lit("MS:1002355").alias("accession"), F.col("l_discount").cast("string").alias("value")),
+        F.struct(F.lit("MS:1001153").alias("accession"), F.col("l_quantity").cast("string").alias("value")),
+        F.struct(F.lit("MS:1001155").alias("accession"), F.col("l_tax").cast("string").alias("value")),
+    )
+    kept = li.select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("psmId"),
+        score_denoise(scores).alias("kept"),
+    )
+    return kept.select("psmId", F.explode("kept").alias("s")).select(
+        "psmId", "s.accession", "s.value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ProForma peptidoform encoding (SURVEY §2.10 C6;
+# SubmissionPipelineUtils.java:307-340) — JVM HOF interleaving, no UDF.
+# ---------------------------------------------------------------------------
+@register(
+    "q42_proforma",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             REPLACE(UPPER(p_name), ' ', '') AS seq,
+             1 + p_partkey % 4 AS pos
+      FROM part
+    )
+    SELECT p_partkey,
+           CASE WHEN pos = 0 THEN '[UNIMOD:35]-' || seq
+                ELSE SUBSTR(seq, 1, pos) || '[UNIMOD:35]' || SUBSTR(seq, pos + 1)
+           END || '/2' AS peptidoform
+    FROM t WHERE pos <= LEN(seq)
+    """,
+)
+def q42_proforma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.functions.proforma import encode_peptidoform
+
+    p = _t(spark, sf_dir, "part")
+    seq = F.regexp_replace(F.upper(F.col("p_name")), " ", "")
+    t = p.select(
+        "p_partkey",
+        seq.alias("seq"),
+        (1 + F.col("p_partkey") % 4).cast("int").alias("pos"),
+    ).filter(F.col("pos") <= F.length("seq"))
+    mods = F.array(
+        F.struct(
+            F.col("pos").alias("position"),
+            F.lit("UNIMOD:35").alias("accession"),
+            F.lit("Oxidation").alias("name"),
+            F.lit(15.994915).alias("mass"),
+        )
+    )
+    return t.select(
+        "p_partkey", encode_peptidoform("seq", mods, F.lit(2)).alias("peptidoform")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (north-star similarity scale path) — probing ALL buckets
+# is exact, so brute-force SQL is the oracle; smaller n_probe trades recall.
+# ---------------------------------------------------------------------------
+@register(
+    "q43_ivf_ann",
+    """
+    WITH p AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 50),
+    b AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+    scored AS (
+      SELECT query_id, nbr_id,
+             ROUND(LIST_INNER_PRODUCT(qv, nv) /
+                   (SQRT(LIST_INNER_PRODUCT(qv, qv)) * SQRT(LIST_INNER_PRODUCT(nv, nv))),
+                   6) AS cosine
+      FROM p JOIN b ON query_id <> nbr_id
+    )
+    SELECT query_id, nbr_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, nbr_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 50)
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", k=3, n_centroids=8, n_probe=8, probe=probe
+    )

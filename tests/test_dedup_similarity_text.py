@@ -119,3 +119,23 @@ def test_rolling_fingerprint_matches_python(spark):
         expected = (expected * 31 + ord(ch)) % 1_000_000_007
     df = spark.createDataFrame([(s,)], "t string")
     assert df.select(text.rolling_fingerprint(F.col("t")).alias("f")).first()["f"] == expected
+
+
+def test_ivf_topk_exact_when_probing_all(spark):
+    from pride_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = emb.filter("vec_id < 20")
+    brute = similarity.brute_force_topk(emb, "vec_id", "embedding", k=3, probe=probe)
+    ivf = similarity.ivf_topk(
+        emb, "vec_id", "embedding", k=3, n_centroids=8, n_probe=8, probe=probe
+    )
+    bs = {(r["query_id"], r["nbr_id"], r["rank"]) for r in brute.collect()}
+    vs = {(r["query_id"], r["nbr_id"], r["rank"]) for r in ivf.collect()}
+    assert bs == vs  # probing every bucket is exact
+
+    # reduced probe: at most as many candidates, never better than exact top-1
+    ivf1 = similarity.ivf_topk(
+        emb, "vec_id", "embedding", k=3, n_centroids=8, n_probe=2, probe=probe
+    )
+    assert ivf1.count() <= len(vs)
