@@ -27,6 +27,11 @@ def main() -> int:
     spark = get_spark("pride-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up codegen/IO/shuffle paths once so the first measured query
+    # doesn't absorb JVM+Arrow initialization (~3-4 s on this container).
+    warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():
         t0 = time.time()

@@ -141,3 +141,42 @@ def broadcast_props_join(
     return facts.join(F.broadcast(props), key, "left").withColumn(
         out_col, F.coalesce(F.col(props_col), fallback)
     )
+
+
+class SpectraRelationError(ValueError):
+    """J3 cardinality assertion failed (unmatched SpectraData refs)."""
+
+
+def relate_spectra_files(
+    spectra_data: DataFrame,
+    user_files: DataFrame,
+    ref_name_col: str = "location",
+    file_name_col: str = "fileName",
+) -> DataFrame:
+    """J3 — SpectraData refs ↔ user-supplied spectra paths.
+
+    Equality on the decompressed, case-folded basename; every SpectraData
+    ref MUST find exactly one file or the assay aborts
+    (ref: PrideAnalysisAssayService.java:867-896, cardinality assertion at
+    :892-894).  One distributed aggregate performs the check.
+    """
+    from pride_spark.functions.strings import file_name_no_extension
+
+    refs = spectra_data.withColumn(
+        "__key", F.lower(file_name_no_extension(F.col(ref_name_col)))
+    )
+    files = user_files.withColumn(
+        "__key", F.lower(file_name_no_extension(F.col(file_name_col)))
+    )
+    joined = refs.join(files, "__key", "left")
+    bad = (
+        joined.groupBy("__key")
+        .agg(F.sum(F.when(F.col(file_name_col).isNull(), 1).otherwise(0)).alias("missing"))
+        .filter(F.col("missing") > 0)
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        missing = ", ".join(r["__key"] for r in bad)
+        raise SpectraRelationError(f"SpectraData refs with no matching spectra file: {missing}")
+    return joined.drop("__key")

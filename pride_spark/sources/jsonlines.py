@@ -62,3 +62,30 @@ def write_jsonlines(df: DataFrame, path: str, partition_by: str | None = None) -
     if partition_by:
         w = w.partitionBy(partition_by)
     w.json(path)
+
+
+def write_jsonlines_validated(
+    df: DataFrame,
+    path: str,
+    schema: StructType,
+    partition_by: str | None = None,
+    required_arrays: tuple[str, ...] = ("masses", "intensities"),
+) -> None:
+    """K2 — round-trip-validated write: serialize, re-read with the same
+    schema, assert arrays are non-empty and row counts match.
+
+    Ref: utility/BackupUtil.java:27-40 (the reference re-parses EVERY row
+    before writing it; Spark's committer already guarantees atomicity, so
+    one post-write distributed assertion replaces 8M per-row reparses).
+    """
+    n_in = df.count()
+    write_jsonlines(df, path, partition_by)
+    back = df.sparkSession.read.schema(schema).json(path)
+    bad = back.filter(
+        " OR ".join(f"(size({c}) <= 0 OR {c} IS NULL)" for c in required_arrays)
+    ).count()
+    n_out = back.count()
+    if n_out != n_in or bad:
+        raise ValueError(
+            f"round-trip validation failed: wrote {n_in}, read {n_out}, invalid {bad}"
+        )
