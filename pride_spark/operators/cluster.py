@@ -67,19 +67,26 @@ def best_psm_per_cluster(
 
     Input: one row per PSM with ``clusterId, usi, peptideSequence,
     peptidoform, score``.  Output: one row per surviving cluster.
-    All three gates and the final pick shuffle on ``clusterId`` only —
-    a single exchange reused across the aggregations (AQE coalesces).
+
+    Physical shape: ALL gates are window functions over the same
+    ``clusterId`` partitioning, so the whole operator is ONE shuffle of the
+    PSM projection (the join-per-gate formulation re-shuffled the input
+    four times).  The standalone gate functions above remain for callers
+    that need the intermediate tables.
     """
-    pure = isobaric_pure_clusters(psms, cluster_col)
-    valid = valid_peptidoforms(psms, cluster_col)
-    candidates = (
-        psms.join(pure, cluster_col, "left_semi")
-        .join(valid.select(cluster_col, "peptidoform"), [cluster_col, "peptidoform"], "left_semi")
+    w_c = Window.partitionBy(cluster_col)
+    w_cf = Window.partitionBy(cluster_col, "peptidoform")
+    iso = make_isobaric("peptideSequence")
+    gated = (
+        psms.withColumn("__n_iso", F.size(F.collect_set(iso).over(w_c)))
+        .withColumn("__n_form", F.count("*").over(w_cf))
+        .withColumn("__n_tot", F.count("*").over(w_c))
+        .filter((F.col("__n_iso") == 1) & (F.col("__n_form") * 2 > F.col("__n_tot")))
     )
     order = F.col(score_col).asc() if better == "lower" else F.col(score_col).desc()
     w = Window.partitionBy(cluster_col).orderBy(order, F.col("usi"))
     return (
-        candidates.withColumn("__rn", F.row_number().over(w))
+        gated.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__n_iso", "__n_form", "__n_tot")
     )

@@ -1425,3 +1425,26 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, "vec_id", "embedding", k=3, n_centroids=8, n_probe=8, probe=probe
     )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (north-star text analysis) — Rabin–Karp polynomial
+# rolling hash; identical fold in both engines (0-init fold ≡ first-element
+# reduce because (0*31+c) % p = c).
+# ---------------------------------------------------------------------------
+@register(
+    "q44_fingerprint",
+    """
+    SELECT doc_id,
+           CASE WHEN LEN(text) = 0 THEN 0 ELSE
+             LIST_REDUCE(
+               LIST_TRANSFORM(RANGE(1, LEN(text) + 1),
+                              i -> CAST(ASCII(SUBSTR(text, i, 1)) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007)
+           END AS fingerprint
+    FROM documents
+    """,
+)
+def q44_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.rolling_fingerprint(F.col("text")).alias("fingerprint"))
