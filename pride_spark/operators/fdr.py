@@ -77,32 +77,42 @@ def _global_two_pass(
     out_qvalue: str,
     num_range_partitions: int | None,
 ) -> DataFrame:
-    """Distributed global-order FDR: range partition + broadcast offsets.
+    """Distributed global-order FDR: value-derived buckets + broadcast offsets.
 
-    Pass 1: range-partition on a best-first key; per-partition decoy/target
-    totals (tiny: one row per partition) → driver prefix sums.
-    Pass 2: per-partition RANGE-frame cumsums + broadcast offsets → FDR.
-    Pass 3: per-partition suffix-min of FDR + broadcast suffix-min of each
-    later partition's min FDR → q-value.  All shuffles are narrow; nothing
-    ever lands on a single task.
+    Pass 0: approx quantiles of the badness key (column-pruned scan) →
+    bucket boundaries; ``bucket = #bounds strictly below key``, so EQUAL
+    keys always land in the same bucket (tie-stable) and bucketing is a
+    pure value function — immune to AQE partition coalescing/splitting
+    (unlike ``spark_partition_id`` over ``repartitionByRange``).
+    Pass 1: per-bucket decoy/target totals (tiny) → driver prefix sums.
+    Pass 2: ONE hash shuffle on the bucket: RANGE-frame cumsums + broadcast
+    offsets → FDR; cached with its partitioning, so
+    Pass 3's per-bucket suffix-min window reuses the same exchange, and the
+    cross-bucket suffix-min (one row per bucket) broadcasts back.
+    Nothing ever lands on a single task.
     """
     spark = df.sparkSession
     n = num_range_partitions or spark.sparkContext.defaultParallelism
     # Ascending "badness" key: smaller = better match.
     key = -F.col(score_col) if better == "higher" else F.col(score_col)
-    part = (
-        df.withColumn(_KEY, key.cast("double"))
-        .repartitionByRange(n, _KEY)
-        .withColumn(_PID, F.spark_partition_id())
-        .persist()
-    )
+    keyed = df.withColumn(_KEY, key.cast("double"))
+    qs = [i / n for i in range(1, n)]
+    # loose relativeError: boundaries only balance load, never affect values
+    bounds = sorted(set(keyed.stat.approxQuantile(_KEY, qs, 0.05))) if qs else []
+    if bounds:
+        blit = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(blit, lambda b: b < F.col(_KEY)))
+    else:  # degenerate single-bucket request (test path only)
+        bucket = F.lit(0)
+    part = keyed.withColumn(_PID, bucket).persist()
+
     stats = {
         r[_PID]: (r["d"], r["t"])
         for r in part.groupBy(_PID)
         .agg(F.sum(decoy).alias("d"), F.sum(target).alias("t"))
         .collect()
     }
-    # Prefix offsets: totals of all better (lower-pid) partitions.
+    # Prefix offsets: totals of all better (lower-bucket) rows.
     offsets, cd, ct = [], 0, 0
     for pid in sorted(stats):
         offsets.append((pid, cd, ct))
@@ -120,13 +130,13 @@ def _global_two_pass(
         )
         .persist()
     )
-    # Suffix minimum across partitions: min FDR of every worse partition.
+    # Suffix minimum across buckets: min FDR of every worse bucket.
     pid_min = {
         r[_PID]: r["m"] for r in with_fdr.groupBy(_PID).agg(F.min(out_fdr).alias("m")).collect()
     }
     suffix, running = [], float("inf")
     for pid in sorted(pid_min, reverse=True):
-        suffix.append((pid, running))  # min over strictly-later partitions
+        suffix.append((pid, running))  # min over strictly-later buckets
         running = min(running, pid_min[pid])
     later_df = spark.createDataFrame(
         [(p, None if m == float("inf") else m) for p, m in suffix],

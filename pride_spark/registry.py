@@ -1113,11 +1113,18 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
+        similarity.l2_norm(F.col("embedding")).alias("__na"),
         F.explode(F.sequence(F.col("vec_id") + 1, F.col("vec_id") + 8)).alias("id_b"),
     )
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        similarity.l2_norm(F.col("embedding")).alias("__nb"),
+    )
     pairs = a.join(b, "id_b")
-    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+    cos = F.round(
+        similarity.pair_cosine(F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")), 6
+    )
     return pairs.withColumn("cosine", cos).filter(F.col("cosine") > 0.2).select(
         "id_a", "id_b", "cosine"
     )
