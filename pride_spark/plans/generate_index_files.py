@@ -64,13 +64,18 @@ def stage1_filter_and_fdr(psms: DataFrame, cfg: IndexConfig) -> DataFrame:
     return psm_qvalue_filter(out, cfg.q_value_threshold)
 
 
-def validity_gate(filtered: DataFrame, cfg: IndexConfig) -> None:
-    """F11 driver check — one aggregate pass, three counters."""
-    row = filtered.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("isDecoy").cast("long")).alias("decoys"),
-    ).collect()[0]
-    n, decoys = row["n"], row["decoys"] or 0
+def validity_gate(psms: DataFrame, filtered: DataFrame, cfg: IndexConfig) -> None:
+    """F11 driver check.
+
+    Ref semantics: decoy presence is checked on the UNFILTERED input
+    (PrideAnalysisAssayService.java:440-447 — FDR is meaningless without
+    decoys, and a clean q-filtered set naturally contains none), while the
+    minPSMs and protein counts gate the FILTERED output (:477-480).
+    """
+    decoys = (
+        psms.agg(F.sum(F.col("isDecoy").cast("long")).alias("d")).collect()[0]["d"] or 0
+    )
+    n = filtered.count()
     n_prot = (
         filtered.select(F.explode("proteinAccessions").alias("p"))
         .agg(F.countDistinct("p"))
@@ -126,7 +131,7 @@ def generate_index_files(
     cfg = cfg or IndexConfig()
     filtered = stage1_filter_and_fdr(psms, cfg)
     if enforce_gates:
-        validity_gate(filtered, cfg)
+        validity_gate(psms, filtered, cfg)
     archive = stage2_spectrum_join(filtered, spectra, project)
     proteins = stage3_protein_rollup(archive)
     summary = archive.drop("masses", "intensities")

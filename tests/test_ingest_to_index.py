@@ -1,0 +1,109 @@
+"""Capstone integration: mzIdentML + MGF files → generate-index-files.
+
+The reference's §3.1 lifecycle from RAW FILES (not pre-built frames):
+parse ident file (S3) → normalize spectrum ids (C9) → read spectra (S6) →
+filter/FDR → J5 join → USI → rollup.
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+from pyspark.sql import functions as F
+
+from pride_spark.functions.spectrum_id import normalize_spectrum_id
+from pride_spark.plans.generate_index_files import IndexConfig, generate_index_files
+from pride_spark.sources.mgf import read_mgf
+from pride_spark.sources.mzid import read_mzid_psms
+
+
+def _mzid(n=40):
+    peps, evs, results = [], [], []
+    for i in range(n):
+        decoy = i % 4 == 3
+        acc = f"{'DECOY_' if decoy else ''}PROT{i % 5}"
+        peps.append(
+            f'<Peptide id="Pep_{i}"><PeptideSequence>PEPTIDEK{chr(65 + i % 3)}</PeptideSequence></Peptide>'
+        )
+        evs.append(
+            f'<PeptideEvidence id="PE_{i}" peptide_ref="Pep_{i}" dBSequence_ref="DB_{i}" isDecoy="{str(decoy).lower()}"/>'
+        )
+        score = 0.9 - 0.02 * i if not decoy else 0.95
+        results.append(
+            f'''<SpectrumIdentificationResult id="SIR_{i}" spectrumID="index={i}" spectraData_ref="SD_1">
+            <SpectrumIdentificationItem id="SII_{i}" rank="1" chargeState="2"
+               experimentalMassToCharge="{400.0 + i}" peptide_ref="Pep_{i}" passThreshold="true">
+              <PeptideEvidenceRef peptideEvidence_ref="PE_{i}"/>
+              <cvParam accession="MS:1002257" name="e-value" value="{max(score, 0.0001)}"/>
+            </SpectrumIdentificationItem></SpectrumIdentificationResult>'''
+        )
+    dbs = "".join(
+        f'<DBSequence id="DB_{i}" accession="{"DECOY_" if i % 4 == 3 else ""}PROT{i % 5}"/>'
+        for i in range(n)
+    )
+    return textwrap.dedent(f"""\
+        <?xml version="1.0"?>
+        <MzIdentML xmlns="http://psidev.info/psi/pi/mzIdentML/1.1">
+          <SequenceCollection>{dbs}{''.join(peps)}{''.join(evs)}</SequenceCollection>
+          <DataCollection>
+            <Inputs><SpectraData id="SD_1" location="file:///data/run1.mgf">
+              <SpectrumIDFormat><cvParam accession="MS:1000774" name="multiple peak list nativeID format"/></SpectrumIDFormat>
+            </SpectraData></Inputs>
+            <AnalysisData><SpectrumIdentificationList id="SIL_1">{''.join(results)}</SpectrumIdentificationList></AnalysisData>
+          </DataCollection>
+        </MzIdentML>
+    """)
+
+
+def _mgf(n=40):
+    blocks = []
+    for i in range(n):
+        blocks.append(
+            f"BEGIN IONS\nTITLE=spec{i}\nPEPMASS={400.0 + i}\nCHARGE=2+\n"
+            f"{100.0 + i}\t10.0\n{200.0 + i}\t20.0\nEND IONS\n"
+        )
+    return "".join(blocks)
+
+
+def test_files_to_index(spark, tmp_path):
+    (tmp_path / "a.mzid").write_text(_mzid())
+    (tmp_path / "run1.mgf").write_text(_mgf())
+
+    psms = read_mzid_psms(spark, [str(tmp_path / "a.mzid")])
+    # C9: MULTI_PEAK format → index= ids become 1-based integers; the MGF
+    # reader's index is 0-based, so align to 0-based join keys.
+    psms = psms.withColumn(
+        "spectrumKey",
+        normalize_spectrum_id("sourceId", F.lit("MULTI_PEAK")).cast("int") - 1,
+    ).withColumn("fileName", F.lit("run1.mgf"))
+    psms = (
+        psms.withColumnRenamed("modifications", "modificationsRaw")
+        .withColumn("modificationNames", F.transform("modificationsRaw", lambda m: m["name"]))
+        .withColumn("peptidoform", F.concat("peptideSequence", F.lit("/2")))
+        .withColumn("precursorMz", F.col("massToCharge"))
+        .withColumn("sourceId2", F.col("sourceId"))
+    )
+
+    spectra = read_mgf(spark, str(tmp_path / "run1.mgf")).withColumnRenamed(
+        "index", "spectrumKey"
+    ).select("fileName", "spectrumKey", "masses", "intensities")
+
+    out = generate_index_files(
+        psms,
+        spectra,
+        "PXD777",
+        IndexConfig(min_psms=5, q_value_threshold=0.1, score_better="lower"),
+    )
+    archive = out["archive_spectra"].collect()
+    assert len(archive) > 0
+    for r in archive:
+        assert r["usi"].startswith("mzspec:PXD777:run1.mgf:index:")
+        assert len(r["masses"]) == 2
+        assert not r["isDecoy"]  # decoy block has FDR 0.33 > 0.1 threshold
+    prot = out["protein_evidence"].collect()
+    assert {r["proteinAccession"] for r in prot} <= {f"PROT{i}" for i in range(5)}
+    # A3: members are deduped by peptideSequence per protein (TreeSet
+    # semantics, PrideAnalysisAssayService.java:948-955) — so numberPSMs
+    # counts distinct (protein, sequence) pairs, not raw archive rows.
+    n_pairs = len({(p, r["peptideSequence"]) for r in archive for p in r["proteinAccessions"]})
+    assert sum(r["numberPSMs"] for r in prot) == n_pairs
