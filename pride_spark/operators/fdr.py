@@ -55,12 +55,18 @@ def add_fdr_qvalue(
 
     if partition_cols or not scalable:
         order = F.col(score_col).desc() if better == "higher" else F.col(score_col).asc()
+        # q-value = min FDR over all rows ranked at-or-worse.  Expressed as a
+        # cumulative min under the REVERSED ordering: Spark's
+        # (currentRow, unboundedFollowing) RANGE frame re-aggregates per
+        # frame — O(n²) per partition — while (unboundedPreceding,
+        # currentRow) is incremental O(n).  Same result, same tie handling.
+        rev = F.col(score_col).asc() if better == "higher" else F.col(score_col).desc()
         base = Window.partitionBy(*partition_cols) if partition_cols else Window
         w_cum = base.orderBy(order).rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        w_suffix = base.orderBy(order).rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        w_rev = base.orderBy(rev).rangeBetween(Window.unboundedPreceding, Window.currentRow)
         fdr = (F.sum(decoy).over(w_cum) / F.greatest(F.sum(target).over(w_cum), F.lit(1))).alias(out_fdr)
         df = df.withColumn(out_fdr, fdr)
-        return df.withColumn(out_qvalue, F.min(out_fdr).over(w_suffix))
+        return df.withColumn(out_qvalue, F.min(out_fdr).over(w_rev))
 
     return _global_two_pass(
         df, score_col, decoy, target, better, out_fdr, out_qvalue, num_range_partitions
@@ -142,7 +148,13 @@ def _global_two_pass(
         [(p, None if m == float("inf") else m) for p, m in suffix],
         f"{_PID} int, __later_min double",
     )
-    w_suffix = Window.partitionBy(_PID).orderBy(_KEY).rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    # suffix-min as an incremental cumulative min under DESC key order (the
+    # (currentRow, unboundedFollowing) frame is O(n²) per partition).
+    w_suffix = (
+        Window.partitionBy(_PID)
+        .orderBy(F.col(_KEY).desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     out = (
         with_fdr.join(F.broadcast(later_df), _PID)
         .withColumn(
@@ -190,3 +202,35 @@ def top_n_per_spectrum(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def combined_fdr_score(
+    df: DataFrame,
+    score_col: str,
+    is_decoy_col: str,
+    engine_set_col: str,
+    *,
+    better: str = "higher",
+    out_col: str = "combinedFdrScore",
+) -> DataFrame:
+    """PIA's Combined FDR Score — q-values computed per engine-combination.
+
+    Ref: ``calculateCombinedFDRScore`` invoked at
+    ``/root/reference/src/.../proteomics/PIAModelerService.java:76``;
+    published semantics (Jones et al., Proteomics 2009): PSMs are grouped
+    by WHICH search engines identified them, and the target–decoy q-value
+    is computed within each combination group, making scores comparable
+    across engines.  Implementation: the per-group branch of
+    :func:`add_fdr_qvalue` (already-partitioned windows — no global sort,
+    embarrassingly parallel across groups).
+    """
+    out = add_fdr_qvalue(
+        df,
+        score_col,
+        is_decoy_col,
+        better=better,
+        partition_cols=[engine_set_col],
+        out_fdr="__grp_fdr",
+        out_qvalue=out_col,
+    )
+    return out.drop("__grp_fdr")

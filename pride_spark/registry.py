@@ -1455,3 +1455,49 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q44_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Combined FDR score (SURVEY §2.6 ⚙; PIAModelerService.java:76) — per
+# engine-combination q-values; exercises the partitioned FDR window path.
+# ---------------------------------------------------------------------------
+@register(
+    "q45_combined_fdr",
+    """
+    WITH scored AS (
+      SELECT o_orderkey,
+             o_orderpriority AS engineSet,
+             o_totalprice AS score,
+             (o_orderstatus = 'F') AS isDecoy
+      FROM orders
+    ), cume AS (
+      SELECT o_orderkey, engineSet, score, isDecoy,
+        SUM(CASE WHEN isDecoy THEN 1 ELSE 0 END) OVER w AS cd,
+        SUM(CASE WHEN isDecoy THEN 0 ELSE 1 END) OVER w AS ct
+      FROM scored
+      WINDOW w AS (PARTITION BY engineSet ORDER BY score DESC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), f AS (
+      SELECT o_orderkey, engineSet, score, isDecoy,
+             cd / GREATEST(ct, 1) AS fdr
+      FROM cume
+    )
+    SELECT o_orderkey, engineSet, isDecoy,
+           MIN(fdr) OVER (PARTITION BY engineSet ORDER BY score DESC
+                          RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS combinedFdrScore
+    FROM f
+    """,
+)
+def q45_combined_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.fdr import combined_fdr_score
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("engineSet"),
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderstatus") == "F").alias("isDecoy"),
+    )
+    return combined_fdr_score(o, "score", "isDecoy", "engineSet").select(
+        "o_orderkey", "engineSet", "isDecoy", "combinedFdrScore"
+    )
