@@ -1501,3 +1501,38 @@ def q45_combined_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combined_fdr_score(o, "score", "isDecoy", "engineSet").select(
         "o_orderkey", "engineSet", "isDecoy", "combinedFdrScore"
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention-time fallback (SURVEY §2.10 C13; PrideAnalysisAssayService.java:
+# 631-644) — psm.rt else first MS:1000016 CvParam, exercised on events.
+# ---------------------------------------------------------------------------
+@register(
+    "q46_rt_fallback",
+    """
+    SELECT event_id,
+           COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END,
+                    CASE WHEN user_id % 3 = 0 THEN CAST(user_id AS DOUBLE) END)
+             AS retentionTime
+    FROM events
+    """,
+)
+def q46_rt_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.functions.misc import retention_time_fallback
+
+    e = _t(spark, sf_dir, "events")
+    rt = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    cv = F.array(
+        F.struct(
+            F.when(F.col("user_id") % 3 == 0, F.lit("MS:1000016"))
+            .otherwise(F.lit("MS:1000894"))
+            .alias("accession"),
+            F.col("user_id").cast("string").alias("value"),
+        )
+    )
+    return e.select(
+        "event_id",
+        retention_time_fallback(rt, cv, nan_default=False).alias("retentionTime"),
+    )

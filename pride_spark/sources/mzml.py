@@ -1,0 +1,239 @@
+"""Distributed mzML / mzXML / PKL spectrum readers → canonical ``spectra``.
+
+Reference capability (SURVEY §2.1 S6): jmzReader opens a per-format
+reader — MzML/MzXml/Pkl — at
+``/root/reference/src/.../proteomics/JmzReaderSpectrumService.java:34-56``
+and random-accesses one spectrum at a time.  Here each *file* is one unit
+of distributed work: a file-path DataFrame feeds an Arrow-batched
+``mapInPandas`` kernel that stream-parses the XML with
+``xml.etree.iterparse`` (elements are ``clear()``-ed as they complete, so
+memory is one-spectrum-bounded regardless of file size) and decodes the
+base64/zlib peak arrays with numpy.  One task per file ⇒ a submission
+with hundreds of raw files parses with full cluster parallelism, and the
+schema is identical to :func:`pride_spark.sources.mgf.read_mgf`, so every
+downstream operator (J5/S7/S8, F12/F13, K5) is format-agnostic.
+
+PKL is plain text (blank-line-separated blocks, first line
+``precursorMz intensity charge``) and stays wholly JVM-side via the
+``lineSep`` text source — same technique as the MGF reader.
+
+Output schema (canonical ``spectra``): fileName, index, spectrumId,
+msLevel, precursorMz, precursorCharge, retentionTime, masses,
+intensities, numPeaks.
+"""
+
+from __future__ import annotations
+
+import base64
+import xml.etree.ElementTree as ET
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPECTRA_SCHEMA = StructType(
+    [
+        StructField("fileName", StringType()),
+        StructField("index", IntegerType()),
+        StructField("spectrumId", StringType()),
+        StructField("msLevel", IntegerType()),
+        StructField("precursorMz", DoubleType()),
+        StructField("precursorCharge", IntegerType()),
+        StructField("retentionTime", DoubleType()),
+        StructField("masses", ArrayType(DoubleType())),
+        StructField("intensities", ArrayType(DoubleType())),
+        StructField("numPeaks", IntegerType()),
+    ]
+)
+
+_COLS = [f.name for f in SPECTRA_SCHEMA.fields]
+
+
+def _local(tag: str) -> str:
+    """Strip any XML namespace — mzML files appear with and without one."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def _decode_array(text: str | None, *, bits: int, zlib_compressed: bool,
+                  big_endian: bool = False) -> np.ndarray:
+    if not text:
+        return np.empty(0, dtype=np.float64)
+    raw = base64.b64decode("".join(text.split()))
+    if zlib_compressed:
+        raw = zlib.decompress(raw)
+    dtype = {32: np.float32, 64: np.float64}[bits]
+    arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder(">" if big_endian else "<"))
+    return arr.astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# mzML
+# ---------------------------------------------------------------------------
+
+def _mzml_spectra(path: str, base: str) -> Iterator[tuple]:
+    idx = 0
+    for _event, elem in ET.iterparse(path.removeprefix("file:"), events=("end",)):
+        if _local(elem.tag) != "spectrum":
+            continue
+        cv = {}          # accession -> (value, unitName) at spectrum/scan level
+        precursor_mz = precursor_z = None
+        arrays: dict[str, np.ndarray] = {}
+        for child in elem.iter():
+            name = _local(child.tag)
+            if name == "cvParam":
+                cv.setdefault(child.get("accession"),
+                              (child.get("value"), child.get("unitName")))
+            elif name == "selectedIon":
+                for p in child:
+                    acc = p.get("accession")
+                    if acc == "MS:1000744":
+                        precursor_mz = float(p.get("value"))
+                    elif acc == "MS:1000041":
+                        precursor_z = int(float(p.get("value")))
+            elif name == "binaryDataArray":
+                accs = {p.get("accession") for p in child if _local(p.tag) == "cvParam"}
+                bits = 32 if "MS:1000521" in accs else 64
+                compressed = "MS:1000574" in accs
+                kind = ("masses" if "MS:1000514" in accs
+                        else "intensities" if "MS:1000515" in accs else None)
+                if kind:
+                    binary = next((b for b in child if _local(b.tag) == "binary"), None)
+                    arrays[kind] = _decode_array(
+                        binary.text if binary is not None else None,
+                        bits=bits, zlib_compressed=compressed)
+        ms_level = int(cv["MS:1000511"][0]) if "MS:1000511" in cv else None
+        rt = None
+        if "MS:1000016" in cv:
+            val, unit = cv["MS:1000016"]
+            rt = float(val) * (60.0 if unit == "minute" else 1.0)
+        masses = arrays.get("masses", np.empty(0))
+        intens = arrays.get("intensities", np.empty(0))
+        yield (base, idx, elem.get("id"), ms_level, precursor_mz, precursor_z,
+               rt, masses.tolist(), intens.tolist(), int(masses.size))
+        idx += 1
+        elem.clear()
+
+
+# ---------------------------------------------------------------------------
+# mzXML — scan elements; peaks are base64 NETWORK-ORDER interleaved
+# (m/z, intensity) pairs, precision 32|64, optional zlib.
+# ---------------------------------------------------------------------------
+
+def _mzxml_rt(text: str | None) -> float | None:
+    if not text:                      # xsd:duration "PT1234.5S" / "PT2.5M"
+        return None
+    t = text.removeprefix("PT")
+    if t.endswith("S"):
+        return float(t[:-1])
+    if t.endswith("M"):
+        return float(t[:-1]) * 60.0
+    return float(t)
+
+
+def _mzxml_spectra(path: str, base: str) -> Iterator[tuple]:
+    idx = 0
+    for _event, elem in ET.iterparse(path.removeprefix("file:"), events=("end",)):
+        if _local(elem.tag) != "scan":
+            continue
+        precursor_mz = precursor_z = None
+        masses = intens = np.empty(0)
+        for child in elem.iter():
+            name = _local(child.tag)
+            if name == "precursorMz":
+                precursor_mz = float(child.text) if child.text else None
+                z = child.get("precursorCharge")
+                precursor_z = int(z) if z else None
+            elif name == "peaks":
+                pairs = _decode_array(
+                    child.text,
+                    bits=int(child.get("precision", "32")),
+                    zlib_compressed=child.get("compressionType") == "zlib",
+                    big_endian=True,
+                )
+                masses, intens = pairs[0::2], pairs[1::2]
+        yield (base, idx, elem.get("num"),
+               int(elem.get("msLevel")) if elem.get("msLevel") else None,
+               precursor_mz, precursor_z, _mzxml_rt(elem.get("retentionTime")),
+               masses.tolist(), intens.tolist(), int(masses.size))
+        idx += 1
+        elem.clear()
+
+
+def _reader(parse) -> "callable":
+    def read(spark: SparkSession, paths: list[str]) -> DataFrame:
+        if isinstance(paths, str):
+            paths = [paths]
+        pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+            min(len(paths), 64)
+        )
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                rows = []
+                for p in b["path"]:
+                    rows.extend(parse(p, p.rsplit("/", 1)[-1]))
+                yield pd.DataFrame(rows, columns=_COLS)
+
+        return pdf.mapInPandas(kernel, SPECTRA_SCHEMA)
+
+    return read
+
+
+read_mzml = _reader(_mzml_spectra)
+read_mzml.__doc__ = "S6 — parse mzML files in parallel → canonical spectra frame."
+read_mzxml = _reader(_mzxml_spectra)
+read_mzxml.__doc__ = "S6 — parse mzXML files in parallel → canonical spectra frame."
+
+
+# ---------------------------------------------------------------------------
+# PKL — pure-JVM text scan (no Python), like the MGF reader.
+# ---------------------------------------------------------------------------
+
+_PKL_LINE = r"(?m)^[ \t]*([0-9.eE+-]+)[ \t]+([0-9.eE+-]+)(?:[ \t]+([0-9]+))?[ \t]*$"
+
+
+def read_pkl(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """S6 — PKL blocks (blank-line separated; header = mz intensity charge)."""
+    raw = (
+        spark.read.option("lineSep", "\n\n")
+        .text(paths)
+        .withColumn("fileName", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        .withColumn("__ord", F.monotonically_increasing_id())
+        .filter(F.trim("value") != "")
+    )
+    w = Window.partitionBy("fileName").orderBy("__ord")
+    block = F.trim(F.col("value"))
+    header = F.element_at(F.split(block, "\n"), 1)
+    peak_lines = F.array_join(F.slice(F.split(block, "\n"), 2, 1_000_000), "\n")
+    masses = F.transform(
+        F.regexp_extract_all(peak_lines, F.lit(_PKL_LINE), 1), lambda x: x.cast("double")
+    )
+    intensities = F.transform(
+        F.regexp_extract_all(peak_lines, F.lit(_PKL_LINE), 2), lambda x: x.cast("double")
+    )
+    idx = (F.row_number().over(w) - 1)
+    return raw.select(
+        "fileName",
+        idx.alias("index"),
+        idx.cast("string").alias("spectrumId"),  # PKL has no ids; index keys S8
+        F.lit(2).alias("msLevel"),
+        F.regexp_extract(header, _PKL_LINE.replace("(?m)", ""), 1)
+        .cast("double").alias("precursorMz"),
+        F.nullif(F.regexp_extract(header, _PKL_LINE.replace("(?m)", ""), 3), F.lit(""))
+        .cast("int").alias("precursorCharge"),
+        F.lit(None).cast("double").alias("retentionTime"),
+        masses.alias("masses"),
+        intensities.alias("intensities"),
+        F.size(masses).alias("numPeaks"),
+    )

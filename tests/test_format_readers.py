@@ -95,3 +95,120 @@ def test_mzid_psms_and_spectra_data(spark, tmp_path):
     assert len(sd) == 1
     assert sd[0]["id"] == "SD_1"
     assert sd[0]["idFormatAccession"] == "MS:1000768"
+
+
+# ---------------------------------------------------------------------------
+# S6 raw-spectra formats: mzML / mzXML / PKL
+# ---------------------------------------------------------------------------
+
+def _b64(arr, dtype, *, compress=False, big_endian=False):
+    import base64 as b64
+    import zlib
+
+    import numpy as np
+
+    raw = np.asarray(arr, dtype=dtype)
+    if big_endian:
+        raw = raw.astype(raw.dtype.newbyteorder(">"))
+    buf = raw.tobytes()
+    if compress:
+        buf = zlib.compress(buf)
+    return b64.b64encode(buf).decode()
+
+
+def test_mzml_reader(spark, tmp_path):
+    import numpy as np
+
+    from pride_spark.sources.mzml import read_mzml
+
+    mz = [100.25, 200.5, 300.75]
+    inten = [10.0, 20.0, 30.0]
+    xml = f"""<?xml version="1.0" encoding="UTF-8"?>
+<mzML xmlns="http://psi.hupo.org/ms/mzml">
+ <run><spectrumList count="2">
+  <spectrum index="0" id="scan=1" defaultArrayLength="0">
+   <cvParam accession="MS:1000511" name="ms level" value="1"/>
+   <scanList><scan>
+     <cvParam accession="MS:1000016" name="scan start time" value="0.5" unitName="minute"/>
+   </scan></scanList>
+   <binaryDataArrayList count="2">
+    <binaryDataArray><cvParam accession="MS:1000523"/><cvParam accession="MS:1000576"/>
+     <cvParam accession="MS:1000514" name="m/z array"/><binary></binary></binaryDataArray>
+    <binaryDataArray><cvParam accession="MS:1000523"/><cvParam accession="MS:1000576"/>
+     <cvParam accession="MS:1000515" name="intensity array"/><binary></binary></binaryDataArray>
+   </binaryDataArrayList>
+  </spectrum>
+  <spectrum index="1" id="scan=2" defaultArrayLength="3">
+   <cvParam accession="MS:1000511" name="ms level" value="2"/>
+   <scanList><scan>
+     <cvParam accession="MS:1000016" name="scan start time" value="75.0" unitName="second"/>
+   </scan></scanList>
+   <precursorList><precursor><selectedIonList><selectedIon>
+     <cvParam accession="MS:1000744" name="selected ion m/z" value="445.12"/>
+     <cvParam accession="MS:1000041" name="charge state" value="2"/>
+   </selectedIon></selectedIonList></precursor></precursorList>
+   <binaryDataArrayList count="2">
+    <binaryDataArray><cvParam accession="MS:1000523"/><cvParam accession="MS:1000576"/>
+     <cvParam accession="MS:1000514"/><binary>{_b64(mz, np.float64)}</binary></binaryDataArray>
+    <binaryDataArray><cvParam accession="MS:1000521"/><cvParam accession="MS:1000574"/>
+     <cvParam accession="MS:1000515"/><binary>{_b64(inten, np.float32, compress=True)}</binary></binaryDataArray>
+   </binaryDataArrayList>
+  </spectrum>
+ </spectrumList></run>
+</mzML>"""
+    p = tmp_path / "run1.mzML"
+    p.write_text(xml)
+    rows = {r["spectrumId"]: r for r in read_mzml(spark, [str(p)]).collect()}
+    assert len(rows) == 2
+    ms1, ms2 = rows["scan=1"], rows["scan=2"]
+    assert ms1["msLevel"] == 1 and ms1["numPeaks"] == 0
+    assert ms1["retentionTime"] == 30.0  # 0.5 min → seconds
+    assert ms1["index"] == 0 and ms2["index"] == 1
+    assert ms2["msLevel"] == 2 and ms2["precursorMz"] == 445.12
+    assert ms2["precursorCharge"] == 2 and ms2["retentionTime"] == 75.0
+    assert ms2["masses"] == mz
+    assert [round(v, 3) for v in ms2["intensities"]] == inten
+
+
+def test_mzxml_reader(spark, tmp_path):
+    import numpy as np
+
+    from pride_spark.sources.mzml import read_mzxml
+
+    pairs = [100.25, 10.0, 200.5, 20.0]  # interleaved (mz, intensity)
+    xml = f"""<?xml version="1.0" encoding="UTF-8"?>
+<mzXML xmlns="http://sashimi.sourceforge.net/schema_revision/mzXML_3.2">
+ <msRun>
+  <scan num="7" msLevel="2" retentionTime="PT90.5S" peaksCount="2">
+   <precursorMz precursorCharge="3">512.9</precursorMz>
+   <peaks precision="64" byteOrder="network">{_b64(pairs, np.float64, big_endian=True)}</peaks>
+  </scan>
+ </msRun>
+</mzXML>"""
+    p = tmp_path / "run1.mzXML"
+    p.write_text(xml)
+    rows = read_mzxml(spark, [str(p)]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["spectrumId"] == "7" and r["msLevel"] == 2
+    assert r["precursorMz"] == 512.9 and r["precursorCharge"] == 3
+    assert r["retentionTime"] == 90.5
+    assert r["masses"] == [100.25, 200.5] and r["intensities"] == [10.0, 20.0]
+
+
+def test_pkl_reader(spark, tmp_path):
+    from pride_spark.sources.mzml import read_pkl
+
+    p = tmp_path / "run1.pkl"
+    p.write_text(
+        "445.12 1000.0 2\n100.25 10.0\n200.5 20.0\n"
+        "\n"
+        "512.9 500.0 3\n300.75 30.0\n"
+    )
+    rows = {r["index"]: r for r in read_pkl(spark, str(p)).collect()}
+    assert len(rows) == 2
+    assert rows[0]["precursorMz"] == 445.12 and rows[0]["precursorCharge"] == 2
+    assert rows[0]["masses"] == [100.25, 200.5]
+    assert rows[0]["intensities"] == [10.0, 20.0]
+    assert rows[1]["precursorMz"] == 512.9 and rows[1]["numPeaks"] == 1
+    assert rows[0]["msLevel"] == 2 and rows[0]["spectrumId"] == "0"

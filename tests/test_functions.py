@@ -112,3 +112,61 @@ def test_encode_peptidoform(spark):
     )
     got2 = df2.select(encode_peptidoform("seq", "mods").alias("p")).first()["p"]
     assert got2 == "ACDK-[UNIMOD:2]"
+
+
+# ---------------------------------------------------------------------------
+# misc: C13 / C14 / C15 / X2 / X5
+# ---------------------------------------------------------------------------
+
+def test_retention_time_fallback(spark):
+    import math
+
+    from pride_spark.functions.misc import retention_time_fallback
+
+    df = spark.createDataFrame(
+        [
+            (1, 55.2, [{"accession": "MS:1000016", "value": "99.0"}]),
+            (2, None, [{"accession": "MS:1000016", "value": "61.5"}]),
+            (3, None, [{"accession": "MS:1000894", "value": "7"}]),
+            (4, None, None),
+        ],
+        "id int, rt double, cv array<struct<accession:string,value:string>>",
+    )
+    out = {
+        r["id"]: r["o"]
+        for r in df.select("id", retention_time_fallback("rt", "cv").alias("o")).collect()
+    }
+    assert out[1] == 55.2 and out[2] == 61.5
+    assert math.isnan(out[3]) and math.isnan(out[4])
+
+
+def test_sha1_and_token(spark):
+    from pride_spark.functions.misc import random_token, sha1_checksum
+
+    df = spark.range(2).select(
+        sha1_checksum(F.lit("hello")).alias("h"), random_token().alias("t")
+    )
+    rows = df.collect()
+    assert rows[0]["h"] == "aaf4c61ddcc5e8a2dabede0f3b482cd9aea9434d"
+    assert len(rows[0]["t"]) == 40 and rows[0]["t"] != rows[1]["t"]
+
+
+def test_peaks_to_arrays(spark):
+    from pride_spark.functions.misc import peaks_to_arrays
+
+    df = spark.createDataFrame(
+        [({300.5: 30.0, 100.1: 10.0, 200.2: 20.0},)], "peaks map<double,double>"
+    )
+    m, i = peaks_to_arrays("peaks")
+    r = df.select(m.alias("m"), i.alias("i")).first()
+    assert r["m"] == [100.1, 200.2, 300.5]
+    assert r["i"] == [10.0, 20.0, 30.0]
+
+
+def test_split_list(spark):
+    from pride_spark.functions.misc import split_list
+
+    df = spark.createDataFrame([("a.mzid, b.mzid,,  c.mzid ",)], "s string")
+    assert df.select(split_list("s").alias("o")).first()["o"] == [
+        "a.mzid", "b.mzid", "c.mzid",
+    ]
