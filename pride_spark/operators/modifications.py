@@ -25,6 +25,15 @@ def regroup_modifications(mods: Column | str) -> Column:
     """X3 — merge same-accession mods: one struct per accession with the
     sorted distinct position list.  Runs entirely inside the row (no
     shuffle): distinct accessions, then a filtered projection per accession.
+
+    Perf note (measured on the q39 plan at sf0.1): HOFs run interpreted,
+    so this tree's cost is what it looks like.  A single-sorted-fold
+    rewrite (``aggregate`` with slice+concat accumulator) was tried and is
+    ~2× SLOWER — per-step array reallocation beats the k× filter scans for
+    realistic mod-list sizes.  Callers that explode the result should use
+    ``explode_outer`` when the array is known non-empty: plain ``explode``
+    makes Catalyst infer a ``size()>0`` pre-filter that re-evaluates this
+    whole tree a second time (2× end-to-end).
     """
     m = F.col(mods) if isinstance(mods, str) else mods
     accs = F.array_distinct(F.transform(m, lambda x: x["accession"]))

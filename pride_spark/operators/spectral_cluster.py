@@ -1,0 +1,181 @@
+"""Native approximate spectral clustering — the in-engine MaraCluster
+substitute (SURVEY §2.14b).
+
+The reference shells out to the MaraCluster container between MGF export
+and inference (``/root/reference/submissions.nf:245-269``) and re-ingests
+its TSV (S11).  This operator reproduces the *capability* — group MS2
+spectra whose fragment patterns are near-identical — with an in-engine
+Spark pipeline that never leaves the DataFrame layer:
+
+1. **Peak binning** (JVM HOFs): keep the ``top_k`` most intense peaks,
+   quantize m/z into ``bin_width``-sized integer bins → a small sorted
+   bin set per spectrum.
+2. **Precursor blocking**: candidate pairs must fall in the same
+   precursor-m/z window (MaraCluster compares only precursor-close
+   spectra).  Each spectrum lands in its floor bin AND its half-shifted
+   bin, so pairs straddling a bin edge are still co-blocked.
+3. **LSH banding** (xxhash64 minhash over the bin set): spectra sharing
+   (precursor bin, band, band-hash) meet in one equi-join bucket —
+   no O(n²) comparison anywhere.
+4. **Jaccard gate**: candidate pairs are kept when bin-set Jaccard ≥
+   ``threshold`` (cheap JVM array intersect on the already-tiny sets).
+5. **Connected components** (``operators.graph``): transitively merge
+   surviving pairs; clusterId = min spectrum key in the component.
+
+Scale: stages 1–4 are narrow or single-shuffle; candidate volume is
+controlled by (bands × rows_per_band) exactly like the text-dedup LSH
+(``operators/dedup.py``), and the CC loop runs on (node, label) pairs
+only.  Output matches the S11 cluster table shape, so
+``plans/perform_inference.py`` consumes either source unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pride_spark.operators.graph import connected_components
+
+
+def bin_peaks(
+    masses: Column | str,
+    intensities: Column | str,
+    *,
+    top_k: int = 50,
+    bin_width: float = 1.0005,
+) -> Column:
+    """Top-k-by-intensity peaks → sorted distinct integer m/z bins.
+
+    ``bin_width`` defaults to the averagine spacing (1.0005 Da) used by
+    spectral-archive tools so isotopic peaks land in adjacent bins.
+    Peaks are ROUNDED to the nearest bin center (not floored): replicate
+    spectra jitter around the true m/z, and a floor splits peaks sitting
+    near a bin edge into different bins, collapsing the pair's Jaccard.
+    """
+    m = F.col(masses) if isinstance(masses, str) else masses
+    i = F.col(intensities) if isinstance(intensities, str) else intensities
+    pairs = F.reverse(
+        F.array_sort(F.zip_with(i, m, lambda x, y: F.struct(x.alias("i"), y.alias("mz"))))
+    )
+    top = F.slice(pairs, 1, top_k)
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                top,
+                lambda p: F.floor(p["mz"] / F.lit(bin_width) + F.lit(0.5)).cast("long"),
+            )
+        )
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def cluster_spectra(
+    spectra: DataFrame,
+    key_col: str = "usi",
+    *,
+    masses_col: str = "masses",
+    intensities_col: str = "intensities",
+    precursor_col: str = "precursorMz",
+    precursor_window: float = 2.0,
+    top_k: int = 50,
+    bin_width: float = 1.0005,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """→ ``(key, clusterId)`` — one row per input spectrum; singletons keep
+    their own key as clusterId (MaraCluster's TSV likewise lists every
+    spectrum, S11/``PSMClusteringService.java:64-89``).
+    """
+    rows_per_band = num_hashes // bands
+    binned = spectra.select(
+        F.col(key_col).alias("key"),
+        F.col(precursor_col).alias("pmz"),
+        bin_peaks(masses_col, intensities_col, top_k=top_k, bin_width=bin_width).alias(
+            "bins"
+        ),
+    ).filter(F.size("bins") > 0)
+
+    # minhash signature of the bin set (one pass, vector accumulator).
+    # NB: the per-seed lambda must be built by a factory — a two-argument
+    # lambda (e.g. `lambda x, seed=s`) makes PySpark pass the ARRAY INDEX
+    # as the second argument, silently shadowing the default.
+    def _minhash(seed: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("bins"), lambda b: F.xxhash64(b, F.lit(seed)))
+        )
+
+    sigs = binned.select(
+        "key",
+        "pmz",
+        "bins",
+        F.array(*[_minhash(s) for s in range(num_hashes)]).alias("sig"),
+    )
+
+    # two overlapping precursor blocks per spectrum
+    pblock = F.explode(
+        F.array_distinct(
+            F.array(
+                F.floor(F.col("pmz") / F.lit(precursor_window)),
+                F.floor(F.col("pmz") / F.lit(precursor_window) + F.lit(0.5)),
+            )
+        )
+    ).alias("pblock")
+    band = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bandHash"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bh")
+
+    buckets = sigs.select("key", "bins", pblock, "sig").select(
+        "key", "bins", "pblock", band
+    )
+    left = buckets.select(
+        F.col("key").alias("key_a"),
+        F.col("bins").alias("bins_a"),
+        "pblock",
+        F.col("bh.band").alias("band"),
+        F.col("bh.bandHash").alias("bandHash"),
+    )
+    right = buckets.select(
+        F.col("key").alias("key_b"),
+        F.col("bins").alias("bins_b"),
+        "pblock",
+        F.col("bh.band").alias("band"),
+        F.col("bh.bandHash").alias("bandHash"),
+    )
+    pairs = (
+        left.join(right, ["pblock", "band", "bandHash"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+        .filter(_jaccard(F.col("bins_a"), F.col("bins_b")) >= threshold)
+        .select("key_a", "key_b")
+    )
+
+    comp = connected_components(pairs, "key_a", "key_b")
+    return (
+        binned.select("key")
+        .join(comp, binned["key"] == comp["node"], "left")
+        .select(
+            binned["key"],
+            F.coalesce(F.col("component"), binned["key"]).alias("clusterId"),
+        )
+    )

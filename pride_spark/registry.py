@@ -1258,8 +1258,11 @@ def q39_mod_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").alias("psmId"),
         regroup_modifications(mods).alias("mods"),
     )
+    # explode_outer: the regrouped array is never empty here, and the non-outer
+    # explode makes Catalyst infer a size()>0 pre-filter that re-evaluates the
+    # whole (interpreted) HOF tree a second time — measured 2× on this plan.
     return grouped.select(
-        "psmId", F.explode("mods").alias("m")
+        "psmId", F.explode_outer("mods").alias("m")
     ).select("psmId", "m.accession", "m.name", "m.positions")
 
 
@@ -1536,3 +1539,61 @@ def q46_rt_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         retention_time_fallback(rt, cv, nan_default=False).alias("retentionTime"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (SURVEY §2.14b clustering core) — chains of
+# consecutive same-customer orders; label = min orderkey reachable.  The
+# oracle needs no recursion: a chain's transitive closure is the customer
+# group, but the ENGINE only sees consecutive-pair edges, so it must
+# propagate labels across the full chain diameter to agree.
+# ---------------------------------------------------------------------------
+@register(
+    "q47_connected_components",
+    """
+    SELECT o_orderkey AS node,
+           MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+    FROM orders
+    QUALIFY COUNT(*) OVER (PARTITION BY o_custkey) > 1
+    """,
+)
+def q47_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.graph import connected_components
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(F.col("a.o_orderkey").alias("src"), F.col("b.o_orderkey").alias("dst"))
+    return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# Native spectral clustering (SURVEY §2.14b) — the in-engine MaraCluster
+# substitute.  Spectra are synthesized from the embeddings table (dims →
+# quantized fragment pattern), so near-identical embedding rows cluster.
+# Iterative (CC loop) ⇒ rows-only check; semantics unit-tested with
+# ground-truth clusters in tests/test_graph_spectral.py.
+# ---------------------------------------------------------------------------
+@register("q48_spectral_cluster", None)
+def q48_spectral_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.spectral_cluster import cluster_spectra
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = F.slice(F.col("embedding"), 1, 24)
+    spectra = emb.select(
+        F.col("vec_id").cast("string").alias("usi"),
+        (400.0 + F.pmod(F.col("vec_id"), F.lit(50)) * 4.0).alias("precursorMz"),
+        F.transform(
+            dims, lambda x, i: (100.0 + i * 13.7 + x * 5.0).cast("double")
+        ).alias("masses"),
+        F.transform(dims, lambda x: F.abs(x) * 100.0 + 1.0).alias("intensities"),
+    )
+    out = cluster_spectra(spectra, "usi", top_k=24, threshold=0.6)
+    return out.select(F.col("key").alias("usi"), "clusterId")

@@ -1,0 +1,79 @@
+"""Connected components + native spectral clustering (SURVEY §2.14b)."""
+
+from __future__ import annotations
+
+import random
+
+from pride_spark.operators.graph import connected_components
+from pride_spark.operators.spectral_cluster import cluster_spectra
+
+
+def test_connected_components_basic(spark):
+    # components: {1,2,3,4} (chain), {10,11}, {20} isolated self-edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "src long, dst long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # diameter 30 chain — exercises the multi-round loop + checkpointing
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(out.values()) == {0} and len(out) == 31
+
+
+def _spectrum(rng, base_peaks, jitter=0.05, drop=0):
+    peaks = sorted(rng.sample(base_peaks, len(base_peaks) - drop))
+    return (
+        [round(p + rng.uniform(-jitter, jitter), 4) for p in peaks],
+        [rng.uniform(50, 1000) for _ in peaks],
+    )
+
+
+def test_cluster_spectra_groups_near_identical(spark):
+    rng = random.Random(7)
+    # two fragment patterns, well-separated precursors
+    pattern_a = [100.1 + 7 * k for k in range(30)]
+    pattern_b = [103.6 + 9 * k for k in range(30)]
+    rows = []
+    for i in range(4):  # 4 replicates of A at precursor ~450.1
+        m, inten = _spectrum(rng, pattern_a, drop=2)
+        rows.append((f"usi:A:{i}", 450.1 + rng.uniform(-0.2, 0.2), m, inten))
+    for i in range(3):  # 3 replicates of B at precursor ~651.8
+        m, inten = _spectrum(rng, pattern_b, drop=2)
+        rows.append((f"usi:B:{i}", 651.8 + rng.uniform(-0.2, 0.2), m, inten))
+    # singleton: pattern A peaks but far-away precursor — must NOT merge
+    m, inten = _spectrum(rng, pattern_a)
+    rows.append(("usi:C:0", 900.0, m, inten))
+
+    spectra = spark.createDataFrame(
+        rows,
+        "usi string, precursorMz double, masses array<double>, intensities array<double>",
+    )
+    out = {r["key"]: r["clusterId"] for r in cluster_spectra(spectra, "usi").collect()}
+    assert len(out) == 8
+    a_ids = {out[f"usi:A:{i}"] for i in range(4)}
+    b_ids = {out[f"usi:B:{i}"] for i in range(3)}
+    assert len(a_ids) == 1 and len(b_ids) == 1 and a_ids != b_ids
+    assert out["usi:C:0"] == "usi:C:0"  # precursor blocking keeps it apart
+    assert out["usi:C:0"] not in a_ids
+
+
+def test_cluster_spectra_all_singletons(spark):
+    rng = random.Random(3)
+    rows = []
+    for i in range(5):  # disjoint random patterns → no pairs survive
+        peaks = sorted(rng.uniform(100 + 300 * i, 400 + 300 * i) for _ in range(25))
+        rows.append(
+            (f"s{i}", 400.0 + i * 50, peaks, [rng.uniform(1, 100) for _ in peaks])
+        )
+    spectra = spark.createDataFrame(
+        rows,
+        "usi string, precursorMz double, masses array<double>, intensities array<double>",
+    )
+    out = {r["key"]: r["clusterId"] for r in cluster_spectra(spectra, "usi").collect()}
+    assert all(k == v for k, v in out.items())
