@@ -1,0 +1,215 @@
+"""CLI — the reference's six commands as thin Spark entry points.
+
+Ref: ``ArchiveMoleculesIndexer.java:28-30`` (options list) and the
+per-command blocks at ``:64`` (get-result-files), ``:82``
+(get-related-files), ``:107`` (generate-index-files), ``:211``
+(perform-inference), ``:263`` (generate-mgf-files), ``:277``
+(spectra-json-check).  Each subcommand only parses arguments and
+composes package functions — no logic lives here.
+
+Usage::
+
+    python -m pride_spark <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(app: str):
+    from pride_spark.session import get_spark
+
+    return get_spark(app)
+
+
+# ---------------------------------------------------------------------------
+
+
+def cmd_get_result_files(args) -> int:
+    from pride_spark.sinks.manifests import write_result_file_manifest
+    from pride_spark.sources import ws
+
+    spark = _spark("get-result-files")
+    if args.files_json:  # offline input (tests / air-gapped runs)
+        files = json.load(open(args.files_json))
+    else:
+        files = ws.fetch_project_files(args.project)
+    df = ws.result_file_manifest(ws.project_files_df(spark, files), args.project)
+    write_result_file_manifest(df, args.output)
+    print(f"wrote {df.count()} result-file rows to {args.output}")
+    return 0
+
+
+def cmd_get_related_files(args) -> int:
+    from pride_spark.sinks.manifests import write_related_spectra_manifest
+    from pride_spark.sources import ws
+    from pride_spark.sources.mzid import read_mzid_spectra_data
+
+    spark = _spark("get-related-files")
+    if args.files_json:
+        files = json.load(open(args.files_json))
+    else:
+        files = ws.fetch_project_files(args.project)
+    if args.publication_date:
+        date = args.publication_date
+    else:
+        date = ws.fetch_project(args.project).get("publicationDate", "")
+    sd = read_mzid_spectra_data(spark, args.result_files)
+    rel = ws.related_spectra_manifest(sd, ws.project_files_df(spark, files), date)
+    write_related_spectra_manifest(rel, args.output)
+    print(f"wrote related-files manifest to {args.output}")
+    return 0
+
+
+def cmd_generate_index_files(args) -> int:
+    from pride_spark.plans.generate_index_files import IndexConfig, generate_index_files
+    from pride_spark.plans.ingest import prepare_psms, read_psms_any, read_spectra_any
+    from pride_spark.sources.jsonlines import write_jsonlines
+
+    spark = _spark("generate-index-files")
+    psms = read_psms_any(spark, args.result_files)
+    spectra = read_spectra_any(spark, args.spectra_files)
+    prepared = prepare_psms(psms, args.spectra_files[0])
+    # MULTI_PEAK formats join on the per-file index; XML formats on the id
+    key_col = "index" if dict(prepared.dtypes)["spectrumKey"] == "int" else "spectrumId"
+    spectra_keyed = spectra.withColumnRenamed(key_col, "spectrumKey").select(
+        "fileName", "spectrumKey", "masses", "intensities"
+    )
+    cfg = IndexConfig(
+        q_value_threshold=args.qvalue_threshold,
+        peptide_length=args.peptide_length,
+        min_psms=args.min_psms,
+        score_better=args.score_better,
+    )
+    out = generate_index_files(
+        prepared, spectra_keyed, args.project, cfg, enforce_gates=not args.no_gates
+    )
+    write_jsonlines(out["archive_spectra"], f"{args.output_dir}/archive_spectra")
+    write_jsonlines(out["summary_spectra"], f"{args.output_dir}/summary_spectra")
+    write_jsonlines(out["protein_evidence"], f"{args.output_dir}/protein_evidence")
+    print(f"wrote archive/summary/protein tables under {args.output_dir}")
+    return 0
+
+
+def cmd_perform_inference(args) -> int:
+    from pride_spark.plans.perform_inference import perform_inference
+    from pride_spark.sources.jsonlines import read_archive_spectra, write_jsonlines
+    from pride_spark.sources.tabular import read_maracluster
+
+    spark = _spark("perform-inference")
+    archive = read_archive_spectra(spark, args.archive_json)
+    if args.clusters_tsv:
+        clusters = read_maracluster(spark, args.clusters_tsv)
+        clusters_by = "index"
+    else:  # §2.14b — native in-engine clustering instead of MaraCluster
+        from pride_spark.operators.spectral_cluster import cluster_spectra
+
+        clusters = cluster_spectra(archive, "usi").select(
+            F.col("key").alias("usi"), F.col("clusterId")
+        )
+        clusters_by = "usi"
+    # the reference re-parses bestSearchEngineScore.value as the PSM score
+    # (InferenceService.java:102)
+    out = perform_inference(
+        archive.withColumn(
+            "score", F.col("bestSearchEngineScore")["value"].cast("double")
+        ).withColumn(
+            "modificationNames",
+            F.transform("modifications", lambda m: m["modification"]["name"]),
+        ),
+        clusters,
+        clusters_by=clusters_by,
+    )
+    write_jsonlines(out["cluster_best"], f"{args.output_dir}/cluster_best")
+    write_jsonlines(out["winner_spectra"], f"{args.output_dir}/winner_spectra")
+    write_jsonlines(out["protein_evidence"], f"{args.output_dir}/protein_evidence")
+    print(f"wrote inference tables under {args.output_dir}")
+    return 0
+
+
+def cmd_generate_mgf_files(args) -> int:
+    from pride_spark.sinks.mgf import write_mgf
+    from pride_spark.sources.jsonlines import read_archive_spectra
+
+    spark = _spark("generate-mgf-files")
+    archive = read_archive_spectra(spark, args.archive_json)
+    write_mgf(archive, args.output)
+    print(f"wrote MGF export to {args.output}")
+    return 0
+
+
+def cmd_spectra_json_check(args) -> int:
+    from pride_spark.operators.filters import spectrum_validity_filter
+    from pride_spark.sources.jsonlines import read_archive_spectra
+
+    spark = _spark("spectra-json-check")
+    archive = read_archive_spectra(spark, args.archive_json)
+    total = archive.count()
+    valid = spectrum_validity_filter(archive).count()
+    print(f"{valid}/{total} spectra valid")
+    return 0 if valid == total else 1
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pride_spark", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("get-result-files", help="project result-file manifest (S1/S2+K4)")
+    g.add_argument("--project", required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--files-json", help="local JSON file list instead of the PRIDE WS")
+    g.set_defaults(fn=cmd_get_result_files)
+
+    g = sub.add_parser("get-related-files", help="result↔spectra relation manifest (J1/J2+K4)")
+    g.add_argument("--project", required=True)
+    g.add_argument("--result-files", nargs="+", required=True, help="local mzIdentML files")
+    g.add_argument("--output", required=True)
+    g.add_argument("--files-json", help="local JSON file list instead of the PRIDE WS")
+    g.add_argument("--publication-date", help="yyyy-MM-dd; skips the project WS call")
+    g.set_defaults(fn=cmd_get_related_files)
+
+    g = sub.add_parser("generate-index-files", help="the main indexing query (§3.1)")
+    g.add_argument("--project", required=True)
+    g.add_argument("--result-files", nargs="+", required=True)
+    g.add_argument("--spectra-files", nargs="+", required=True)
+    g.add_argument("--output-dir", required=True)
+    g.add_argument("--qvalue-threshold", type=float, default=0.01)
+    g.add_argument("--peptide-length", type=int, default=7)
+    g.add_argument("--min-psms", type=int, default=1000)
+    g.add_argument("--score-better", choices=("higher", "lower"), default="higher")
+    g.add_argument("--no-gates", action="store_true", help="skip the F11 validity gate")
+    g.set_defaults(fn=cmd_generate_index_files)
+
+    g = sub.add_parser("perform-inference", help="cluster-consensus rescoring (§3.2)")
+    g.add_argument("--archive-json", required=True)
+    g.add_argument("--clusters-tsv", help="MaraCluster TSV; omit for native clustering")
+    g.add_argument("--output-dir", required=True)
+    g.set_defaults(fn=cmd_perform_inference)
+
+    g = sub.add_parser("generate-mgf-files", help="MGF export of archive spectra (K5)")
+    g.add_argument("--archive-json", required=True)
+    g.add_argument("--output", required=True)
+    g.set_defaults(fn=cmd_generate_mgf_files)
+
+    g = sub.add_parser("spectra-json-check", help="F12 validity check of archive spectra")
+    g.add_argument("--archive-json", required=True)
+    g.set_defaults(fn=cmd_spectra_json_check)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,7 +33,16 @@ def encode_peptidoform(
     Output: ``[Nterm]-?SEQ[tags...]…(-[Cterm])?(/charge)?``.
     """
     seq, mods = _c(sequence), _c(modifications)
-    mods = F.coalesce(mods, F.array().cast("array<struct<position:int,accession:string,name:string,mass:double>>"))
+    # normalize to the minimal (position, accession) struct BEFORE the
+    # null-fallback so any input struct shape (with/without name/mass
+    # fields) type-checks against the canonical empty array
+    mods = F.transform(
+        mods,
+        lambda x: F.struct(
+            x["position"].alias("position"), x["accession"].alias("accession")
+        ),
+    )
+    mods = F.coalesce(mods, F.array().cast("array<struct<position:int,accession:string>>"))
 
     def tags_at(pos: Column) -> Column:
         matching = F.filter(mods, lambda m: m["position"] == pos)

@@ -93,10 +93,29 @@ def stage2_spectrum_join(filtered: DataFrame, spectra: DataFrame, project: str) 
     usi = build_usi(
         F.lit(project), F.col("fileName"), F.lit("index"), F.col("spectrumKey").cast("string")
     )
+    # the reference's record carries the winning search-engine score as a
+    # CvParam (BinaryArchiveSpectrum.bestSearchEngineScore; re-parsed at
+    # InferenceService.java:102) — build it from the ingest-recorded CV
+    best_param = F.struct(
+        F.lit("MS").alias("cvLabel"),
+        (
+            F.col("scoreAccession")
+            if "scoreAccession" in filtered.columns
+            else F.lit(None).cast("string")
+        ).alias("accession"),
+        (
+            F.col("scoreName")
+            if "scoreName" in filtered.columns
+            else F.lit("search engine score")
+        ).alias("name"),
+        F.col("score").cast("string").alias("value"),
+    )
     return (
         joined.withColumn("usi", usi)
         .withColumn("spectraUsi", spectra_usi(F.col("usi")))
         .withColumn("numPeaks", F.size("masses"))
+        .withColumn("bestSearchEngineScore", best_param)
+        .withColumn("scores", F.array(best_param))
     )
 
 

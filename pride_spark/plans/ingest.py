@@ -1,0 +1,129 @@
+"""File-level ingestion glue: raw result/spectra files → plan-ready frames.
+
+Promotes the wiring the reference does inside
+``PrideAnalysisAssayService.java:242-304`` (open ident files, resolve the
+spectra file each PSM points at, normalize spectrum ids, derive the
+peptidoform) into two reusable driver-side dispatch functions.  All the
+actual parsing stays in the distributed readers (``sources/``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pride_spark.functions.proforma import encode_peptidoform
+from pride_spark.functions.spectrum_id import normalize_spectrum_id
+from pride_spark.sources.mgf import read_mgf
+from pride_spark.sources.mzid import read_mzid_psms
+from pride_spark.sources.mzml import read_mzml, read_mzxml, read_pkl
+from pride_spark.sources.mztab import read_mztab_psms
+
+
+def _ext(path: str) -> str:
+    base = path.lower()
+    for c in (".gz", ".zip"):
+        if base.endswith(c):
+            base = base[: -len(c)]
+    return os.path.splitext(base)[1].lstrip(".")
+
+
+#: spectra extension → (reader, id-format tag fed to C9, join key column)
+_SPECTRA_READERS = {
+    "mgf": (read_mgf, "MULTI_PEAK", "index"),
+    "mzml": (read_mzml, "MZML", "spectrumId"),
+    "mzxml": (read_mzxml, "NATIVE", "spectrumId"),
+    "pkl": (read_pkl, "MULTI_PEAK", "index"),
+}
+
+
+def read_spectra_any(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S5+S6 — dispatch each file to its format reader, union the canonical
+    frames.  Grouped per format so each reader scans its whole file set in
+    one distributed pass."""
+    by_fmt: dict[str, list[str]] = {}
+    for p in paths:
+        e = _ext(p)
+        if e not in _SPECTRA_READERS:
+            raise ValueError(f"unsupported spectra format: {p}")
+        by_fmt.setdefault(e, []).append(p)
+    out = None
+    for e, group in by_fmt.items():
+        df = _SPECTRA_READERS[e][0](spark, group)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError("no spectra files given")
+    return out
+
+
+def read_psms_any(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S3 — mzIdentML / mzTab dispatch to one canonical psms frame."""
+    mzids = [p for p in paths if _ext(p) == "mzid"]
+    mztabs = [p for p in paths if _ext(p) == "mztab"]
+    unknown = set(paths) - set(mzids) - set(mztabs)
+    if unknown:
+        raise ValueError(f"unsupported result format(s): {sorted(unknown)}")
+    frames = []
+    if mzids:
+        frames.append(read_mzid_psms(spark, mzids))
+    for p in mztabs:  # mzTab carries per-file ms_run context → one scan each
+        frames.append(_mztab_as_canonical(spark, p))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def _mztab_as_canonical(spark: SparkSession, path: str) -> DataFrame:
+    psms = read_mztab_psms(spark, path)
+    return psms.select(
+        F.element_at(F.split(F.lit(path), "/"), -1).alias("fileName"),
+        F.col("psmId"),
+        F.col("sourceId"),
+        F.concat(F.lit("ms_run["), F.col("msRun"), F.lit("]")).alias("spectraDataRef"),
+        F.col("peptideSequence"),
+        F.col("modifications"),
+        F.col("precursorCharge"),
+        F.col("massToCharge"),
+        F.col("score"),
+        F.col("isDecoy"),
+        F.array(F.col("proteinAccession")).alias("proteinAccessions"),
+        F.lit(1).alias("rank"),
+    )
+
+
+def prepare_psms(
+    psms: DataFrame,
+    spectra_file: str,
+    *,
+    id_format: str | None = None,
+    zero_based_index: bool = True,
+) -> DataFrame:
+    """Canonical psms frame → the plan-ready shape ``stage1``/``stage2``
+    consume: normalized ``spectrumKey``, ``fileName`` = spectra file,
+    ProForma ``peptidoform``, ``modificationNames``, ``precursorMz``.
+    """
+    fmt = id_format or _SPECTRA_READERS[_ext(spectra_file)][1]
+    key = normalize_spectrum_id("sourceId", F.lit(fmt))
+    if fmt == "MULTI_PEAK":
+        key = key.cast("int")
+        if zero_based_index:
+            key = key - 1  # C9 repairs ids to 1-based; MGF index joins 0-based
+    base = os.path.basename(spectra_file)
+    mods = F.coalesce(
+        F.col("modifications"),
+        F.array().cast("array<struct<position:int,accession:string,name:string>>"),
+    )
+    return (
+        psms.withColumn("spectrumKey", key)
+        .withColumn("fileName", F.lit(base))
+        .withColumn("modificationNames", F.transform(mods, lambda m: m["name"]))
+        .withColumn(
+            "peptidoform",
+            encode_peptidoform("peptideSequence", mods, "precursorCharge"),
+        )
+        .withColumn("precursorMz", F.col("massToCharge"))
+        .withColumnRenamed("modifications", "modificationsRaw")
+    )

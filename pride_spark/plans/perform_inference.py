@@ -36,15 +36,22 @@ def perform_inference(
     archive: DataFrame,
     clusters: DataFrame,
     score_col: str = "score",
+    clusters_by: str = "index",
 ) -> dict[str, DataFrame]:
     """Full §3.2 plan.
 
     ``archive``: T1-shaped rows incl. ``usi, peptideSequence, peptidoform,
     isDecoy`` and a numeric ``score`` (the reference parses
     ``bestSearchEngineScore.value``, InferenceService.java:102).
-    ``clusters``: MaraCluster table from ``sources.tabular.read_maracluster``.
+    ``clusters``: MaraCluster table from ``sources.tabular.read_maracluster``
+    (``clusters_by="index"``, the reference's positional contract) or the
+    native ``operators.spectral_cluster`` output keyed by usi
+    (``clusters_by="usi"``, SURVEY §2.14b).
     """
-    with_cluster = assign_clusters(archive, clusters)
+    if clusters_by == "usi":
+        with_cluster = archive.join(clusters.select("usi", "clusterId"), "usi")
+    else:
+        with_cluster = assign_clusters(archive, clusters)
     best = best_psm_per_cluster(
         with_cluster.select(
             "clusterId", "usi", "peptideSequence", "peptidoform", F.col(score_col).alias("score")

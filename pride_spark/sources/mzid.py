@@ -52,6 +52,8 @@ MZID_PSM_SCHEMA = StructType(
         StructField("precursorCharge", IntegerType()),
         StructField("massToCharge", DoubleType()),
         StructField("score", DoubleType()),
+        StructField("scoreAccession", StringType()),
+        StructField("scoreName", StringType()),
         StructField("isDecoy", BooleanType()),
         StructField("proteinAccessions", ArrayType(StringType())),
         StructField("rank", IntegerType()),
@@ -126,11 +128,15 @@ def _parse_one(path: str) -> tuple[list, list]:
                 if acc:
                     accs.append(acc)
                 decoy = decoy or dec
-            score = None
-            cvs = {c.get("accession"): c.get("value") for c in item.iter(f"{_NS}cvParam")}
+            score = score_acc = score_name = None
+            cvs = {
+                c.get("accession"): (c.get("value"), c.get("name"))
+                for c in item.iter(f"{_NS}cvParam")
+            }
             for acc in _SCORE_ACCESSIONS:
                 if acc in cvs:
-                    score = float(cvs[acc])
+                    score = float(cvs[acc][0])
+                    score_acc, score_name = acc, cvs[acc][1]
                     break
             psms.append(
                 (
@@ -145,6 +151,8 @@ def _parse_one(path: str) -> tuple[list, list]:
                     if item.get("experimentalMassToCharge")
                     else None,
                     score,
+                    score_acc,
+                    score_name,
                     decoy,
                     accs,
                     int(item.get("rank")) if item.get("rank") else None,

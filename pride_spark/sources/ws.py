@@ -18,7 +18,7 @@ import time
 import urllib.request
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pride_spark import schemas
@@ -95,4 +95,57 @@ def result_file_manifest(files: DataFrame, project_accession: str) -> DataFrame:
         F.date_format(F.col("publicationDate"), "yyyy-MM-dd").alias("date"),
         F.lit(project_accession).alias("accession"),
         ftp.alias("ftp"),
+    )
+
+
+def related_spectra_manifest(
+    spectra_data: DataFrame,
+    project_files: DataFrame,
+    publication_date,  # Column or literal string
+) -> DataFrame:
+    """J2 + K4 — the ``get-related-files`` manifest.
+
+    Ref: ``PrideAnalysisAssayService.java:156-176`` (writer; columns
+    resultFile/date/referenceFile/fileType/ftpName/ftp) over the J2
+    containment relation built at ``:906-924``: each result file's
+    SpectraData location basename vs the project file listing, first
+    match, FTP location ``PRIDE:0000469``.
+
+    ``spectra_data`` comes from ``sources.mzid.read_mzid_spectra_data``
+    (fileName = result file, location = referenced spectra path).
+    """
+    from pride_spark.operators.joins import contains_first_match
+    from pride_spark.sources.dispatch import file_type_by_name
+
+    probe = spectra_data.select(
+        F.col("fileName").alias("resultFile"),
+        F.element_at(F.split(F.col("location"), "/"), -1).alias("referenceFile"),
+    )
+    dim = project_files.select(
+        F.col("fileName").alias("ftpName"),
+        F.element_at(
+            F.filter(
+                F.col("publicFileLocations"),
+                lambda l: l["accession"] == "PRIDE:0000469",
+            ),
+            1,
+        )["value"].alias("ftp"),
+    )
+    rel = contains_first_match(
+        probe,
+        dim,
+        probe_text="referenceFile",
+        dim_text="ftpName",
+        probe_keys=["resultFile", "referenceFile"],
+        order_cols=["ftpName"],
+        how="left",
+    )
+    date = publication_date if isinstance(publication_date, Column) else F.lit(publication_date)
+    return rel.select(
+        "resultFile",
+        date.alias("date"),
+        "referenceFile",
+        file_type_by_name("referenceFile").alias("fileType"),
+        "ftpName",
+        "ftp",
     )

@@ -1,0 +1,139 @@
+"""CLI end-to-end: the reference's six commands, offline.
+
+Ref command list: ``ArchiveMoleculesIndexer.java:28-30``; each subcommand
+is a thin composition over the package (see ``pride_spark/cli.py``).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pride_spark.cli import main
+from tests.test_ingest_to_index import _mgf, _mzid
+
+FILES_PAYLOAD = [
+    {
+        "accession": "PXF1",
+        "fileName": "result.mzid",
+        "fileCategoryAccession": "PRIDE:1002847",
+        "fileCategoryValue": "RESULT",
+        "publicFileLocations": [
+            {"accession": "PRIDE:0000469", "name": "FTP", "value": "ftp://x/result.mzid"}
+        ],
+        "publicationDate": "2020-05-17",
+    },
+    {
+        "accession": "PXF2",
+        "fileName": "run1.mgf",
+        "fileCategoryAccession": "PRIDE:1002846",
+        "fileCategoryValue": "RAW",
+        "publicFileLocations": [
+            {"accession": "PRIDE:0000469", "name": "FTP", "value": "ftp://x/run1.mgf"}
+        ],
+        "publicationDate": "2020-05-17",
+    },
+]
+
+
+@pytest.fixture()
+def project_dir(tmp_path):
+    (tmp_path / "a.mzid").write_text(_mzid())
+    (tmp_path / "run1.mgf").write_text(_mgf())
+    (tmp_path / "files.json").write_text(json.dumps(FILES_PAYLOAD))
+    return tmp_path
+
+
+def _read_tsv(outdir):
+    parts = [p for p in outdir.iterdir() if p.name.startswith("part-")]
+    lines = []
+    for p in parts:
+        lines.extend(p.read_text().splitlines())
+    return lines
+
+
+def test_get_result_files(spark, project_dir):
+    out = project_dir / "manifest"
+    rc = main(
+        [
+            "get-result-files",
+            "--project", "PXD777",
+            "--output", str(out),
+            "--files-json", str(project_dir / "files.json"),
+        ]
+    )
+    assert rc == 0
+    lines = _read_tsv(out)
+    assert lines[0].split("\t") == ["name", "date", "accession", "ftp"]
+    assert any("result.mzid" in l and "ftp://x/result.mzid" in l for l in lines[1:])
+
+
+def test_get_related_files(spark, project_dir):
+    out = project_dir / "related"
+    rc = main(
+        [
+            "get-related-files",
+            "--project", "PXD777",
+            "--result-files", str(project_dir / "a.mzid"),
+            "--output", str(out),
+            "--files-json", str(project_dir / "files.json"),
+            "--publication-date", "2020-05-17",
+        ]
+    )
+    assert rc == 0
+    lines = _read_tsv(out)
+    assert lines[0].split("\t") == [
+        "resultFile", "date", "referenceFile", "fileType", "ftpName", "ftp",
+    ]
+    # the fixture mzid's SpectraData points at run1.mgf (J2 match)
+    row = next(l for l in lines[1:] if "run1.mgf" in l)
+    assert "MGF" in row and "ftp://x/run1.mgf" in row
+
+
+def test_index_inference_mgf_check_pipeline(spark, project_dir, tmp_path):
+    outdir = tmp_path / "out"
+    rc = main(
+        [
+            "generate-index-files",
+            "--project", "PXD777",
+            "--result-files", str(project_dir / "a.mzid"),
+            "--spectra-files", str(project_dir / "run1.mgf"),
+            "--output-dir", str(outdir),
+            "--qvalue-threshold", "0.1",
+            "--min-psms", "5",
+            "--score-better", "lower",
+        ]
+    )
+    assert rc == 0
+    archive_glob = str(outdir / "archive_spectra")
+
+    # spectra-json-check on the produced archive (F12 gate, all valid)
+    assert main(["spectra-json-check", "--archive-json", archive_glob]) == 0
+
+    # MGF re-export round-trip (K5)
+    mgf_out = tmp_path / "export_mgf"
+    assert main(
+        ["generate-mgf-files", "--archive-json", archive_glob, "--output", str(mgf_out)]
+    ) == 0
+    text = "".join(
+        p.read_text() for p in mgf_out.iterdir() if p.name.startswith("part-")
+    )
+    assert "BEGIN IONS" in text and "mzspec:PXD777:run1.mgf" in text
+
+    # perform-inference with the NATIVE clustering path (no MaraCluster TSV)
+    inf_out = tmp_path / "inference"
+    assert main(
+        [
+            "perform-inference",
+            "--archive-json", archive_glob,
+            "--output-dir", str(inf_out),
+        ]
+    ) == 0
+    best = [
+        json.loads(l)
+        for p in (inf_out / "cluster_best").iterdir()
+        if p.name.startswith("part-")
+        for l in p.read_text().splitlines()
+    ]
+    assert best and all("usi" in r for r in best)
