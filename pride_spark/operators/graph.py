@@ -27,20 +27,26 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+def _by_a() -> Window:
+    # whole-partition frame: min(b) over all rows sharing ``a`` — ONE
+    # shuffle, versus the groupBy+re-join formulation which exchanges the
+    # edge list twice per star step
+    return Window.partitionBy("a")
 
 
 def _large_star(sym: DataFrame) -> DataFrame:
     """sym = both orientations.  Emit (v, min(N(u) ∪ {u})) for v > u."""
-    m = sym.groupBy("a").agg(
-        F.least(F.min("b"), F.first("a")).alias("m")
-    )
+    m = F.least(F.min("b").over(_by_a()), F.col("a"))
+    # no distinct here: the output feeds straight into small-star's
+    # per-``a`` window, where duplicate (u,v) rows can't change the min —
+    # the round's edge list is deduped once, at small-star's output
     return (
-        sym.join(m, "a")
+        sym.withColumn("m", m)
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -49,10 +55,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
     )
-    m = oriented.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
-    joined = oriented.join(m, "a")
-    links = joined.select(F.col("b").alias("u"), F.col("m").alias("v")).union(
-        joined.select(F.col("a").alias("u"), F.col("m").alias("v"))
+    with_m = oriented.withColumn("m", F.min("b").over(_by_a()))
+    links = with_m.select(F.col("b").alias("u"), F.col("m").alias("v")).union(
+        with_m.select(F.col("a").alias("u"), F.col("m").alias("v"))
     )
     return links.filter(F.col("u") != F.col("v")).distinct()
 

@@ -1561,16 +1561,13 @@ def q47_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pride_spark.operators.graph import connected_components
 
     o = _t(spark, sf_dir, "orders")
+    # consecutive orders per customer chain-link via lag over ONE window
+    # pass — a rank self-join would shuffle the table twice for the same
+    # edge list
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    ranked = o.select(
-        "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
-    )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.o_custkey") == F.col("b.o_custkey"))
-        & (F.col("b.rn") == F.col("a.rn") + 1),
-    ).select(F.col("a.o_orderkey").alias("src"), F.col("b.o_orderkey").alias("dst"))
+    edges = o.select(
+        F.lag("o_orderkey").over(w).alias("src"), F.col("o_orderkey").alias("dst")
+    ).filter(F.col("src").isNotNull())
     return connected_components(edges)
 
 
