@@ -41,12 +41,15 @@ def regroup_modifications(mods: Column | str) -> Column:
 
     def entry(acc: Column) -> Column:
         mine = F.filter(m, lambda x: x["accession"] == acc)
+        # null positions are dropped (normalized with the flat variant, whose
+        # collect_list cannot keep them)
+        positions = F.filter(
+            F.transform(mine, lambda x: x["position"]), lambda p: p.isNotNull()
+        )
         return F.struct(
             acc.alias("accession"),
             F.element_at(F.transform(mine, lambda x: x["name"]), 1).alias("name"),
-            F.array_sort(
-                F.array_distinct(F.transform(mine, lambda x: x["position"]))
-            ).alias("positions"),
+            F.array_sort(F.array_distinct(positions)).alias("positions"),
         )
 
     return F.transform(accs, entry)
@@ -66,13 +69,15 @@ def regroup_modifications_flat(
     (no shuffle); use this when the output is the flattened relation (the
     shuffle replaces the explode's implicit one downstream).
     """
-    m = F.explode(mods_col).alias("m")
-    flat = df.select(*key_cols, m).select(
-        *key_cols, "m.position", "m.accession", "m.name"
+    flat = df.select(*key_cols, F.posexplode(mods_col).alias("__ord", "m")).select(
+        *key_cols, "__ord", "m.position", "m.accession", "m.name"
     )
+    # min_by on the array ordinal keeps the first-occurrence name, matching
+    # regroup_modifications (element_at(..., 1)); collect_list drops null
+    # positions, which the in-row variant also normalizes to
     return flat.groupBy(*key_cols, "accession").agg(
-        F.min("name").alias("name"),
-        F.array_sort(F.collect_set("position")).alias("positions"),
+        F.min_by("name", "__ord").alias("name"),
+        F.array_sort(F.array_distinct(F.collect_list("position"))).alias("positions"),
     )
 
 

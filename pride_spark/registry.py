@@ -530,7 +530,8 @@ def q17_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_json_extract",
     """
-    SELECT event_type, COUNT(*) AS n, SUM(CAST(props->>'k' AS BIGINT)) AS k_sum
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum
     FROM events GROUP BY event_type
     """,
 )
@@ -772,7 +773,7 @@ def q25_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT clusterId, COUNT(*) AS n, MIN(event_id) AS min_event,
-           SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS n_high
+           CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM indexed JOIN cluster_map ON indexed.pos = cluster_map.spectrumIndex
     GROUP BY clusterId
     """,
@@ -847,7 +848,7 @@ def q27_inference_category(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT seq) AS numberPeptides,
            MIN(score) AS bestSearchEngineScoreValue,
            BOOL_OR(dec) AS isDecoy,
-           LIST_SORT(LIST_DISTINCT(LIST(mod_name))) AS modificationsNames,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(mod_name))), ',') AS modificationsNames,
            ROUND(-LOG10(MIN(score)), 5) AS proteinScore
     FROM ded GROUP BY prot
     """,
@@ -871,7 +872,9 @@ def q28_protein_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "numberPeptides",
         "bestSearchEngineScoreValue",
         "isDecoy",
-        "modificationsNames",
+        # string, not array<string>: the driver canonicalizes via pandas
+        # sort_values, which cannot factorize ndarray cells
+        F.array_join("modificationsNames", ",").alias("modificationsNames"),
         F.round(-F.log10("bestSearchEngineScoreValue"), 5).alias("proteinScore"),
     )
 
@@ -1232,7 +1235,7 @@ def q38_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT psmId, accession,
            MIN(name) AS name,
-           LIST(DISTINCT position ORDER BY position) AS positions
+           ARRAY_TO_STRING(LIST(DISTINCT position ORDER BY position), ',') AS positions
     FROM raw GROUP BY psmId, accession
     """,
 )
@@ -1263,7 +1266,11 @@ def q39_mod_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted HOFs and exploding it (6.0s → ~1s at sf0.1); the in-row
     # ``regroup_modifications`` stays the T1-record path
     # (tests/test_modifications_ws.py checks both agree)
-    return regroup_modifications_flat(raw, ["psmId"])
+    out = regroup_modifications_flat(raw, ["psmId"])
+    # stringified for the driver's pandas canonicalizer (no ndarray cells)
+    return out.withColumn(
+        "positions", F.array_join(F.col("positions").cast("array<string>"), ",")
+    )
 
 
 # ---------------------------------------------------------------------------

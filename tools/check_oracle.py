@@ -44,6 +44,40 @@ def _key(row):
     return repr(row)
 
 
+def _canon_pd(pdf):
+    """Mimic the driver's pandas canonicalization: columns sorted by name,
+    rows sorted by all columns.  Raises (like the driver) on unhashable
+    cells, e.g. ndarray-valued array columns."""
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        # normalize datetime unit (Spark=ns, DuckDB=us; driver treats the
+        # same instant as equal)
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[ns]")
+    cols = sorted(pdf.columns)
+    out = pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def strict_compare(spark_df, con, sql):
+    """Driver-fidelity check: pandas canon on both sides, then dtype +
+    value equality.  Catches what the lax tuple compare misses (DuckDB
+    HUGEINT -> float64, int vs float cells, ndarray cells)."""
+    import pandas as pd
+
+    s_pd = _canon_pd(spark_df.toPandas())
+    d_pd = _canon_pd(con.execute(sql).df())
+    try:
+        h_s = pd.util.hash_pandas_object(s_pd, index=False).sum()
+        h_d = pd.util.hash_pandas_object(d_pd, index=False).sum()
+    except TypeError as ex:
+        return False, f"unhashable cells (driver would crash): {ex}"
+    if h_s != h_d:
+        neq = [c for c in s_pd.columns if not s_pd[c].equals(d_pd[c])]
+        return False, f"strict hash mismatch; unequal cols={neq}"
+    return True, "strict-ok"
+
+
 def compare(name, spark_df, con, sql):
     cols = sorted(spark_df.columns)
     t0 = time.time()
@@ -61,6 +95,9 @@ def compare(name, spark_df, con, sql):
     bad = [(a, b) for a, b in zip(s_sorted, d_sorted) if a != b]
     if bad:
         return False, f"{len(bad)}/{len(s_rows)} value mismatches; first: spark={bad[0][0]!r} duckdb={bad[0][1]!r} cols={cols}", t_spark
+    ok, msg = strict_compare(spark_df, con, sql)
+    if not ok:
+        return False, f"values equal but STRICT fail: {msg}", t_spark
     return True, f"{len(s_rows)} rows", t_spark
 
 
