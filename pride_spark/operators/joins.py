@@ -92,24 +92,82 @@ def psm_spectrum_join(
     return psms.join(spectra, list(on), how)
 
 
+#: dtypes whose cast-to-double preserves ordering (bucketable lead keys)
+_ORDERED_NUMERIC = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "timestamp_ntz",
+}
+
+
 def positional_zip_join(
     left: DataFrame,
     right: DataFrame,
     left_order: Sequence[str],
     right_index_col: str,
     index_name: str = "__pos",
+    num_range_partitions: int | None = None,
 ) -> DataFrame:
     """J8 — join the i-th row (in a declared order) of ``left`` to
     ``right.right_index_col == i`` (0-based).
 
     Ref: InferenceService.java:99-111 zips JSON-line order against the
-    MaraCluster ``spectrumIndex``.  File order is made explicit via
-    ``left_order``; at scale this is a two-pass distributed row-number
-    (range partition + offsets) — but since cluster tables are per-file and
-    bounded, a windowed row_number per natural key is adequate here.
+    MaraCluster ``spectrumIndex``.
+
+    The global row-number is the two-pass distributed form (same shape as
+    ``fdr._global_two_pass``): value-derived range buckets from approx
+    quantiles of the leading order key (ties share a bucket, so bucketing
+    is a pure value function — stable under AQE), per-bucket counts
+    collected to the driver, broadcast prefix offsets, then a per-bucket
+    ``row_number`` window.  Nothing funnels through a single task.  The
+    left side is scanned twice plus a column-pruned quantile pass; the
+    bucket expression is deterministic, so no persist is required for
+    correctness.
+
+    Falls back to the single-partition global window only when the leading
+    order column is not numeric/temporal (order-preserving bucket keys need
+    a cast-to-double) — acceptable for the bounded per-file PRIDE use, and
+    the caller can pre-map such keys to a numeric surrogate.
     """
-    w = Window.orderBy(*[F.col(c) for c in left_order])
-    indexed = left.withColumn(index_name, F.row_number().over(w) - 1)
+    spark = left.sparkSession
+    n = num_range_partitions or spark.sparkContext.defaultParallelism
+    lead = left_order[0]
+    lead_type = dict(left.dtypes).get(lead, "")
+    bucketable = lead_type in _ORDERED_NUMERIC or lead_type.startswith("decimal")
+    order_cols = [F.col(c) for c in left_order]
+    if n > 1 and bucketable:
+        keyed = left.withColumn("__zkey", F.col(lead).cast("double"))
+        qs = [i / n for i in range(1, n)]
+        # loose relativeError: boundaries only balance load, never values
+        bounds = sorted(set(keyed.stat.approxQuantile("__zkey", qs, 0.05))) if qs else []
+        if bounds:
+            # plain comparison sum, not a HOF lambda: lambda captures of
+            # outer attributes break self-join attribute deduplication
+            nonnull = sum(
+                ((F.col("__zkey") > F.lit(b)).cast("int") for b in bounds), F.lit(0)
+            )
+            # null lead keys sort first under Spark's asc ordering → bucket -1
+            bucket = F.when(F.col("__zkey").isNull(), F.lit(-1)).otherwise(nonnull)
+        else:
+            bucket = F.lit(0)
+        part = keyed.withColumn("__zb", bucket)
+        counts = {
+            r["__zb"]: r["c"]
+            for r in part.groupBy("__zb").agg(F.count("*").alias("c")).collect()
+        }
+        offsets, cum = [], 0
+        for b in sorted(counts):
+            offsets.append((b, cum))
+            cum += counts[b]
+        off = spark.createDataFrame(offsets, "__zb int, __zoff long")
+        w = Window.partitionBy("__zb").orderBy(*order_cols)
+        indexed = (
+            part.join(F.broadcast(off), "__zb")
+            .withColumn(index_name, F.row_number().over(w) - 1 + F.col("__zoff"))
+            .drop("__zkey", "__zb", "__zoff")
+        )
+    else:
+        w = Window.orderBy(*order_cols)
+        indexed = left.withColumn(index_name, F.row_number().over(w) - 1)
     return indexed.join(right, indexed[index_name] == right[right_index_col], "inner")
 
 

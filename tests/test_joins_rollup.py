@@ -56,6 +56,33 @@ def test_positional_zip_join(spark):
     assert got == {("a", "first"), ("c", "third")}
 
 
+def test_positional_zip_join_distributed(spark):
+    # k = id*37 mod 1000 is a permutation of 0..999, so the row with k=j is
+    # the j-th row in k-order: the zip must align k with idx exactly.
+    left = spark.range(1000).select(
+        ((F.col("id") * 37) % 1000).alias("k"), F.col("id").alias("v")
+    ).repartition(8)
+    right = spark.range(1000).select(
+        F.col("id").cast("int").alias("idx"), F.concat(F.lit("t"), "id").alias("tag")
+    )
+    joined = positional_zip_join(
+        left, right, left_order=("k",), right_index_col="idx", num_range_partitions=8
+    )
+    rows = joined.collect()
+    assert len(rows) == 1000
+    assert all(r["k"] == r["idx"] for r in rows)
+
+    # scale contract: the numeric-key path must not funnel the left side
+    # through a single-partition global sort
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()
+
+
 def test_semi_join(spark):
     facts = spark.createDataFrame([(1,), (2,), (3,)], "k long")
     members = spark.createDataFrame([(2, "x"), (2, "y"), (3, "z")], "m long, other string")
