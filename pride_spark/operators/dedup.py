@@ -212,9 +212,26 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
     the overflowing 64th).  Cross-engine oracle parity is impractical
     (xxhash64 is Spark-specific): unit tests + rows-only driver check.
     """
-    n_bits = 63
     sh = F.array_distinct(word_shingles(text, shingle_n))
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    return _simhash_votes(hashes, 63)
+
+
+def simhash_md5(text: Column, shingle_n: int = 2) -> Column:
+    """60-bit SimHash variant whose per-shingle hash is the first 15 hex
+    chars of md5 — bit-reproducible in any engine with md5 (the DuckDB
+    oracle for q35 recomputes it exactly), unlike the xxhash64 production
+    path above.  Same vote fold; 60 bits keep the hash inside signed-long
+    range on both engines.
+    """
+    sh = F.array_distinct(word_shingles(text, shingle_n))
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    return _simhash_votes(hashes, 60)
+
+
+def _simhash_votes(hashes: Column, n_bits: int) -> Column:
     zeros = F.array_repeat(F.lit(0).cast("long"), n_bits)
 
     def vote_step(acc: Column, h: Column) -> Column:

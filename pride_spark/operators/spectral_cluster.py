@@ -86,10 +86,18 @@ def cluster_spectra(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    method: str = "lsh",
 ) -> DataFrame:
     """→ ``(key, clusterId)`` — one row per input spectrum; singletons keep
     their own key as clusterId (MaraCluster's TSV likewise lists every
     spectrum, S11/``PSMClusteringService.java:64-89``).
+
+    ``method="lsh"`` (default) generates candidates via minhash banding —
+    the 100 TB path.  ``method="block"`` compares ALL pairs inside each
+    precursor block: deterministic (no hash dependence, so cross-engine
+    oracle-able) and exact, at O(block²) cost — the registry/correctness
+    path and the recall baseline for the LSH path
+    (tests/test_graph_spectral.py).
     """
     rows_per_band = num_hashes // bands
     binned = spectra.select(
@@ -145,26 +153,36 @@ def cluster_spectra(
         )
     ).alias("bh")
 
-    buckets = sigs.select("key", "bins", pblock, "sig").select(
-        "key", "bins", "pblock", band
-    )
-    left = buckets.select(
-        F.col("key").alias("key_a"),
-        F.col("bins").alias("bins_a"),
-        "pblock",
-        F.col("bh.band").alias("band"),
-        F.col("bh.bandHash").alias("bandHash"),
-    )
-    right = buckets.select(
-        F.col("key").alias("key_b"),
-        F.col("bins").alias("bins_b"),
-        "pblock",
-        F.col("bh.band").alias("band"),
-        F.col("bh.bandHash").alias("bandHash"),
-    )
+    if method == "block":
+        blocked = binned.select("key", "bins", pblock)
+        left = blocked.select(
+            F.col("key").alias("key_a"), F.col("bins").alias("bins_a"), "pblock"
+        )
+        right = blocked.select(
+            F.col("key").alias("key_b"), F.col("bins").alias("bins_b"), "pblock"
+        )
+        cand = left.join(right, ["pblock"])
+    else:
+        buckets = sigs.select("key", "bins", pblock, "sig").select(
+            "key", "bins", "pblock", band
+        )
+        left = buckets.select(
+            F.col("key").alias("key_a"),
+            F.col("bins").alias("bins_a"),
+            "pblock",
+            F.col("bh.band").alias("band"),
+            F.col("bh.bandHash").alias("bandHash"),
+        )
+        right = buckets.select(
+            F.col("key").alias("key_b"),
+            F.col("bins").alias("bins_b"),
+            "pblock",
+            F.col("bh.band").alias("band"),
+            F.col("bh.bandHash").alias("bandHash"),
+        )
+        cand = left.join(right, ["pblock", "band", "bandHash"])
     pairs = (
-        left.join(right, ["pblock", "band", "bandHash"])
-        .filter(F.col("key_a") < F.col("key_b"))
+        cand.filter(F.col("key_a") < F.col("key_b"))
         .dropDuplicates(["key_a", "key_b"])
         .filter(_jaccard(F.col("bins_a"), F.col("bins_b")) >= threshold)
         .select("key_a", "key_b")

@@ -969,14 +969,58 @@ def q30_cluster_best_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Occam's-razor protein inference (SURVEY §2.6; PIAModelerService.java:80-96).
-# Iterative greedy cover — not SQL-expressible, rows-only driver check.
+# The fixture maps peptides onto a 60-element universe so the oracle can
+# mirror the iterative greedy cover with BIGINT bitmasks in a recursive
+# CTE: group-by-identical-set, EXISTS strict-superset absorption, then one
+# argmax pick per recursion step (gain DESC, groupId ASC tie-break —
+# exactly the operator's heap order).  Proteins keyed by orderkey give
+# sparse 1-7 peptide sets, so all three categories and a non-trivial cover
+# appear (~12.5k groups / ~4.9k subsets / 9 leading at sf0.01).
 # ---------------------------------------------------------------------------
-@register("q31_occams_razor", None)
+@register(
+    "q31_occams_razor",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT 'PROT' || l_orderkey AS prot, CAST(l_partkey % 60 AS INT) AS pep
+      FROM lineitem
+    ),
+    masks AS (
+      SELECT prot, BIT_OR(1::BIGINT << pep) AS mask FROM pairs GROUP BY prot
+    ),
+    grp AS (
+      SELECT mask, LIST(prot ORDER BY prot) AS members, MIN(prot) AS gid
+      FROM masks GROUP BY mask
+    ),
+    subs AS (
+      SELECT g1.gid FROM grp g1
+      WHERE EXISTS (SELECT 1 FROM grp g2
+                    WHERE (g1.mask & g2.mask) = g1.mask AND g1.mask <> g2.mask)
+    ),
+    nonsub AS (SELECT gid, mask FROM grp WHERE gid NOT IN (SELECT gid FROM subs)),
+    cover(step, pick, covered) AS (
+      SELECT 0, CAST(NULL AS VARCHAR), 0::BIGINT
+      UNION ALL
+      SELECT cover.step + 1, c.gid, cover.covered | c.mask
+      FROM cover, LATERAL (
+        SELECT gid, mask FROM nonsub
+        WHERE BIT_COUNT(mask & ~cover.covered) > 0
+        ORDER BY BIT_COUNT(mask & ~cover.covered) DESC, gid
+        LIMIT 1
+      ) c
+    )
+    SELECT m.prot AS proteinAccession, g.gid AS groupId,
+           g.gid IN (SELECT pick FROM cover WHERE pick IS NOT NULL) AS isLeading,
+           CASE WHEN g.gid IN (SELECT gid FROM subs) THEN 'subset'
+                WHEN LEN(g.members) > 1 THEN 'indistinguishable'
+                ELSE 'distinguishable' END AS category
+    FROM masks m JOIN grp g ON m.mask = g.mask
+    """,
+)
 def q31_occams_razor(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     psms = li.select(
-        F.concat(F.lit("PEP"), F.col("l_partkey")).alias("peptideSequence"),
-        F.array(F.concat(F.lit("PROT"), F.col("l_suppkey"))).alias("proteinAccessions"),
+        F.concat(F.lit("PEP"), F.col("l_partkey") % 60).alias("peptideSequence"),
+        F.array(F.concat(F.lit("PROT"), F.col("l_orderkey"))).alias("proteinAccessions"),
     )
     return inference.occams_razor(psms).select(
         "proteinAccession", "groupId", "isLeading", "category"
@@ -1134,13 +1178,41 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup fingerprints (north-star). xxhash64-based — no cross-
-# engine oracle; rows-only driver check (unit-tested in tests/).
+# SimHash near-dup fingerprints (north-star).  The registry exercises the
+# md5-based 60-bit variant, which DuckDB reproduces bit-for-bit; the
+# faster xxhash64 production variant (dedup.simhash64) shares the same
+# vote fold and stays unit-tested (tests/test_dedup.py).
 # ---------------------------------------------------------------------------
-@register("q35_simhash", None)
+@register(
+    "q35_simhash",
+    r"""
+    WITH words AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(w)-1, 1)),
+                 i -> ARRAY_TO_STRING(w[i:i+1], ' '))) AS shingles
+      FROM words
+    ),
+    tok AS (
+      SELECT doc_id, ('0x' || SUBSTR(MD5(s.sh2), 1, 15))::BIGINT AS h
+      FROM sh, UNNEST(sh.shingles) AS s(sh2)
+    ),
+    votes AS (
+      SELECT doc_id, b.b AS b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM tok, (SELECT UNNEST(GENERATE_SERIES(0, 59)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
 def q35_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
+    return docs.select("doc_id", dedup.simhash_md5(F.col("text")).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -1581,11 +1653,51 @@ def q47_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Native spectral clustering (SURVEY §2.14b) — the in-engine MaraCluster
 # substitute.  Spectra are synthesized from the embeddings table (dims →
-# quantized fragment pattern), so near-identical embedding rows cluster.
-# Iterative (CC loop) ⇒ rows-only check; semantics unit-tested with
-# ground-truth clusters in tests/test_graph_spectral.py.
+# quantized fragment pattern), so same-label embedding rows cluster.  The
+# registry runs the deterministic exhaustive-within-block candidate mode
+# (``method="block"``), which the oracle mirrors end-to-end: binning and
+# the Jaccard pair gate as list expressions, then connected components as
+# a recursive min-label reachability CTE.  The probabilistic LSH banding
+# mode is the scale path and keeps its recall test in
+# tests/test_graph_spectral.py.
 # ---------------------------------------------------------------------------
-@register("q48_spectral_cluster", None)
+@register(
+    "q48_spectral_cluster",
+    """
+    WITH RECURSIVE base AS (
+      SELECT CAST(vec_id AS VARCHAR) AS key,
+             400e0 + (vec_id % 50) * 4e0 AS pmz,
+             LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(embedding[1:24],
+               (x, i) -> CAST(FLOOR((100e0 + (i-1)*13.7e0 + CAST(x AS DOUBLE)*2e0)
+                                    / 1.0005e0 + 0.5e0) AS BIGINT)))) AS bins
+      FROM embeddings
+    ),
+    blocked AS (
+      SELECT key, bins,
+             UNNEST(LIST_DISTINCT([CAST(FLOOR(pmz/2e0) AS BIGINT),
+                                   CAST(FLOOR(pmz/2e0 + 0.5e0) AS BIGINT)])) AS pblock
+      FROM base
+    ),
+    cand AS (
+      SELECT DISTINCT a.key AS ka, b.key AS kb, a.bins AS ba, b.bins AS bb
+      FROM blocked a JOIN blocked b USING (pblock)
+      WHERE a.key < b.key
+    ),
+    pairs AS (
+      SELECT ka, kb FROM cand
+      WHERE LEN(LIST_INTERSECT(ba, bb))
+            / (LEN(ba) + LEN(bb) - LEN(LIST_INTERSECT(ba, bb))) >= 0.5e0
+    ),
+    edges AS (SELECT ka AS src, kb AS dst FROM pairs
+              UNION ALL SELECT kb, ka FROM pairs),
+    reach(node, lbl) AS (
+      SELECT key, key FROM base
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS usi, MIN(lbl) AS clusterId FROM reach GROUP BY node
+    """,
+)
 def q48_spectral_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pride_spark.operators.spectral_cluster import cluster_spectra
 
@@ -1595,9 +1707,9 @@ def q48_spectral_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("string").alias("usi"),
         (400.0 + F.pmod(F.col("vec_id"), F.lit(50)) * 4.0).alias("precursorMz"),
         F.transform(
-            dims, lambda x, i: (100.0 + i * 13.7 + x * 5.0).cast("double")
+            dims, lambda x, i: (100.0 + i * 13.7 + x * 2.0).cast("double")
         ).alias("masses"),
         F.transform(dims, lambda x: F.abs(x) * 100.0 + 1.0).alias("intensities"),
     )
-    out = cluster_spectra(spectra, "usi", top_k=24, threshold=0.6)
+    out = cluster_spectra(spectra, "usi", top_k=24, threshold=0.5, method="block")
     return out.select(F.col("key").alias("usi"), "clusterId")

@@ -139,3 +139,18 @@ def test_ivf_topk_exact_when_probing_all(spark):
         emb, "vec_id", "embedding", k=3, n_centroids=8, n_probe=2, probe=probe
     )
     assert ivf1.count() <= len(vs)
+
+def test_simhash_md5_close_docs_close_hashes(spark):
+    # same property as the xxhash64 variant; this is the oracle-able path
+    doc = " ".join(f"w{i}" for i in range(100))
+    mutated = " ".join(f"w{i}" for i in range(99)) + " zz"
+    other = " ".join(f"x{i}" for i in range(100))
+    df = spark.createDataFrame([(1, doc), (2, mutated), (3, other)], "id long, t string")
+    h = {r["id"]: r["h"] for r in df.select("id", dedup.simhash_md5(F.col("t")).alias("h")).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert all(0 <= v < 2**60 for v in h.values())
+    assert hamming(h[1], h[2]) < 8
+    assert hamming(h[1], h[3]) > 16

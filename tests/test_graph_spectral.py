@@ -77,3 +77,27 @@ def test_cluster_spectra_all_singletons(spark):
     )
     out = {r["key"]: r["clusterId"] for r in cluster_spectra(spectra, "usi").collect()}
     assert all(k == v for k, v in out.items())
+
+def test_cluster_spectra_block_mode_matches_lsh_on_clean_groups(spark):
+    # block mode is the exact baseline: on well-separated replicate groups
+    # the LSH path must find the same clustering (recall 1.0 here), and
+    # block mode itself must recover the ground truth.
+    rng = random.Random(11)
+    pattern_a = [100.1 + 7 * k for k in range(30)]
+    pattern_b = [103.6 + 9 * k for k in range(30)]
+    rows = []
+    for i in range(4):
+        m, inten = _spectrum(rng, pattern_a, drop=2)
+        rows.append((f"usi:A:{i}", 450.1 + rng.uniform(-0.2, 0.2), m, inten))
+    for i in range(3):
+        m, inten = _spectrum(rng, pattern_b, drop=2)
+        rows.append((f"usi:B:{i}", 651.8 + rng.uniform(-0.2, 0.2), m, inten))
+    spectra = spark.createDataFrame(
+        rows,
+        "usi string, precursorMz double, masses array<double>, intensities array<double>",
+    )
+    block = {r["key"]: r["clusterId"] for r in cluster_spectra(spectra, "usi", method="block").collect()}
+    lsh = {r["key"]: r["clusterId"] for r in cluster_spectra(spectra, "usi", method="lsh").collect()}
+    assert block == lsh
+    assert len({block[f"usi:A:{i}"] for i in range(4)}) == 1
+    assert len({block[f"usi:B:{i}"] for i in range(3)}) == 1
