@@ -18,7 +18,8 @@ from pride_spark.functions.proforma import encode_peptidoform
 from pride_spark.functions.spectrum_id import normalize_spectrum_id
 from pride_spark.sources.mgf import read_mgf
 from pride_spark.sources.mzid import read_mzid_psms
-from pride_spark.sources.mzml import read_mzml, read_mzxml, read_pkl
+from pride_spark.sources.dispatch import sniff_pride_xml
+from pride_spark.sources.mzml import read_mzml, read_mzxml, read_pkl, read_pridexml
 from pride_spark.sources.mztab import read_mztab_psms
 
 
@@ -36,18 +37,25 @@ _SPECTRA_READERS = {
     "mzml": (read_mzml, "MZML", "spectrumId"),
     "mzxml": (read_mzxml, "NATIVE", "spectrumId"),
     "pkl": (read_pkl, "MULTI_PEAK", "index"),
+    "xml": (read_pridexml, "NATIVE", "spectrumId"),
 }
 
 
 def read_spectra_any(spark: SparkSession, paths: list[str]) -> DataFrame:
     """S5+S6 — dispatch each file to its format reader, union the canonical
     frames.  Grouped per format so each reader scans its whole file set in
-    one distributed pass."""
+    one distributed pass.  ``.xml`` runs the S4 content sniff first (one
+    tiny driver-side read per file, SubmissionPipelineUtils.java:403-421):
+    an mzIdentML file is a RESULT file and is rejected here."""
     by_fmt: dict[str, list[str]] = {}
     for p in paths:
         e = _ext(p)
         if e not in _SPECTRA_READERS:
             raise ValueError(f"unsupported spectra format: {p}")
+        if e == "xml":
+            with open(p.removeprefix("file:"), encoding="utf-8", errors="replace") as fh:
+                if sniff_pride_xml(fh.read(2048)) != "PRIDE":
+                    raise ValueError(f"{p} is mzIdentML (a result file), not PRIDE XML spectra")
         by_fmt.setdefault(e, []).append(p)
     out = None
     for e, group in by_fmt.items():

@@ -170,6 +170,63 @@ def _mzxml_spectra(path: str, base: str) -> Iterator[tuple]:
         elem.clear()
 
 
+# ---------------------------------------------------------------------------
+# PRIDE XML — legacy PRIDE submissions carry spectra as embedded mzData
+# (<spectrum id=..><spectrumDesc>..<mzArrayBinary>/<intenArrayBinary>).
+# Reference constructs PRIDEXmlWrapper as a first-class spectra source
+# (JmzReaderSpectrumService.java:43-45); same iterparse strategy as mzML.
+# mzData cvParams use the PSI: prefix: PSI:1000038/39 = RT in minutes/
+# seconds, PSI:1000040 = precursor m/z, PSI:1000041 = charge.  Peak arrays
+# are uncompressed base64 floats with precision/endian attributes on the
+# <data> element.
+# ---------------------------------------------------------------------------
+
+def _pridexml_spectra(path: str, base: str) -> Iterator[tuple]:
+    idx = 0
+    for _event, elem in ET.iterparse(path.removeprefix("file:"), events=("end",)):
+        if _local(elem.tag) != "spectrum":
+            continue
+        ms_level = precursor_mz = precursor_z = rt = None
+        masses = intens = np.empty(0)
+        for child in elem.iter():
+            name = _local(child.tag)
+            if name == "spectrumInstrument":
+                lvl = child.get("msLevel")
+                ms_level = int(lvl) if lvl else None
+                for p in child:
+                    if _local(p.tag) != "cvParam" or not p.get("value"):
+                        continue
+                    acc = p.get("accession")
+                    if acc == "PSI:1000038":
+                        rt = float(p.get("value")) * 60.0
+                    elif acc == "PSI:1000039":
+                        rt = float(p.get("value"))
+            elif name == "ionSelection":
+                for p in child:
+                    acc = p.get("accession")
+                    if acc in ("PSI:1000040", "MS:1000744"):
+                        precursor_mz = float(p.get("value"))
+                    elif acc in ("PSI:1000041", "MS:1000041"):
+                        precursor_z = int(float(p.get("value")))
+            elif name in ("mzArrayBinary", "intenArrayBinary"):
+                data = next((d for d in child if _local(d.tag) == "data"), None)
+                if data is not None:
+                    arr = _decode_array(
+                        data.text,
+                        bits=int(data.get("precision", "32")),
+                        zlib_compressed=False,
+                        big_endian=data.get("endian") == "big",
+                    )
+                    if name == "mzArrayBinary":
+                        masses = arr
+                    else:
+                        intens = arr
+        yield (base, idx, elem.get("id"), ms_level, precursor_mz, precursor_z,
+               rt, masses.tolist(), intens.tolist(), int(masses.size))
+        idx += 1
+        elem.clear()
+
+
 def _reader(parse) -> "callable":
     def read(spark: SparkSession, paths: list[str]) -> DataFrame:
         if isinstance(paths, str):
@@ -194,6 +251,12 @@ read_mzml = _reader(_mzml_spectra)
 read_mzml.__doc__ = "S6 — parse mzML files in parallel → canonical spectra frame."
 read_mzxml = _reader(_mzxml_spectra)
 read_mzxml.__doc__ = "S6 — parse mzXML files in parallel → canonical spectra frame."
+read_pridexml = _reader(_pridexml_spectra)
+read_pridexml.__doc__ = (
+    "S6 — parse legacy PRIDE XML (embedded mzData spectra) in parallel → "
+    "canonical spectra frame (ref PRIDEXmlWrapper, "
+    "JmzReaderSpectrumService.java:43-45)."
+)
 
 
 # ---------------------------------------------------------------------------

@@ -212,3 +212,80 @@ def test_pkl_reader(spark, tmp_path):
     assert rows[0]["intensities"] == [10.0, 20.0]
     assert rows[1]["precursorMz"] == 512.9 and rows[1]["numPeaks"] == 1
     assert rows[0]["msLevel"] == 2 and rows[0]["spectrumId"] == "0"
+
+def test_pridexml_reader(spark, tmp_path):
+    import numpy as np
+
+    from pride_spark.sources.mzml import read_pridexml
+
+    mz = [100.25, 200.5, 300.75]
+    inten = [10.0, 20.0, 30.0]
+    xml = f"""<?xml version="1.0" encoding="UTF-8"?>
+<ExperimentCollection version="2.1">
+ <Experiment>
+  <Title>legacy submission</Title>
+  <mzData version="1.05" accessionNumber="12345">
+   <spectrumList count="2">
+    <spectrum id="1">
+     <spectrumDesc><spectrumSettings>
+      <spectrumInstrument msLevel="1" mzRangeStart="100" mzRangeStop="1000"/>
+     </spectrumSettings></spectrumDesc>
+     <mzArrayBinary><data precision="64" endian="little" length="0"></data></mzArrayBinary>
+     <intenArrayBinary><data precision="64" endian="little" length="0"></data></intenArrayBinary>
+    </spectrum>
+    <spectrum id="2">
+     <spectrumDesc>
+      <spectrumSettings>
+       <spectrumInstrument msLevel="2">
+        <cvParam cvLabel="PSI" accession="PSI:1000038" name="TimeInMinutes" value="1.5"/>
+       </spectrumInstrument>
+      </spectrumSettings>
+      <precursorList count="1"><precursor msLevel="1" spectrumRef="1">
+       <ionSelection>
+        <cvParam cvLabel="PSI" accession="PSI:1000040" name="MassToChargeRatio" value="445.12"/>
+        <cvParam cvLabel="PSI" accession="PSI:1000041" name="ChargeState" value="2"/>
+       </ionSelection>
+      </precursor></precursorList>
+     </spectrumDesc>
+     <mzArrayBinary><data precision="64" endian="little" length="3">{_b64(mz, np.float64)}</data></mzArrayBinary>
+     <intenArrayBinary><data precision="32" endian="big" length="3">{_b64(inten, np.float32, big_endian=True)}</data></intenArrayBinary>
+    </spectrum>
+   </spectrumList>
+  </mzData>
+ </Experiment>
+</ExperimentCollection>"""
+    p = tmp_path / "PRD000001.xml"
+    p.write_text(xml)
+    rows = {r["spectrumId"]: r for r in read_pridexml(spark, [str(p)]).collect()}
+    assert len(rows) == 2
+    ms1, ms2 = rows["1"], rows["2"]
+    assert ms1["msLevel"] == 1 and ms1["numPeaks"] == 0
+    assert ms1["index"] == 0 and ms2["index"] == 1
+    assert ms1["precursorMz"] is None and ms1["retentionTime"] is None
+    assert ms2["msLevel"] == 2 and ms2["precursorMz"] == 445.12
+    assert ms2["precursorCharge"] == 2
+    assert ms2["retentionTime"] == 90.0  # 1.5 min → seconds
+    assert ms2["masses"] == mz
+    assert [round(v, 3) for v in ms2["intensities"]] == inten
+    assert ms2["fileName"] == "PRD000001.xml"
+
+
+def test_read_spectra_any_dispatches_and_sniffs_xml(spark, tmp_path):
+    from pride_spark.plans.ingest import read_spectra_any
+
+    pride = tmp_path / "legacy.xml"
+    pride.write_text(
+        '<?xml version="1.0"?><ExperimentCollection><Experiment><mzData>'
+        '<spectrumList count="1"><spectrum id="9"><spectrumDesc><spectrumSettings>'
+        '<spectrumInstrument msLevel="2"/></spectrumSettings></spectrumDesc>'
+        "</spectrum></spectrumList></mzData></Experiment></ExperimentCollection>"
+    )
+    rows = read_spectra_any(spark, [str(pride)]).collect()
+    assert [r["spectrumId"] for r in rows] == ["9"]
+
+    mzid = tmp_path / "result.xml"
+    mzid.write_text('<?xml version="1.0"?><MzIdentML xmlns="http://psidev.info/psi/pi/mzIdentML/1.1"/>')
+    import pytest
+
+    with pytest.raises(ValueError, match="mzIdentML"):
+        read_spectra_any(spark, [str(mzid)])

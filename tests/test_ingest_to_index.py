@@ -107,3 +107,72 @@ def test_files_to_index(spark, tmp_path):
     # counts distinct (protein, sequence) pairs, not raw archive rows.
     n_pairs = len({(p, r["peptideSequence"]) for r in archive for p in r["proteinAccessions"]})
     assert sum(r["numberPSMs"] for r in prot) == n_pairs
+
+def _pridexml(n=40):
+    import base64
+    import struct
+
+    spectra = []
+    for i in range(n):
+        peaks = [(100.0 + i, 10.0), (200.0 + i, 20.0)]
+        mz_b64 = base64.b64encode(struct.pack("<2d", *[p[0] for p in peaks])).decode()
+        it_b64 = base64.b64encode(struct.pack("<2d", *[p[1] for p in peaks])).decode()
+        spectra.append(
+            f'''<spectrum id="{i + 1}">
+             <spectrumDesc><spectrumSettings>
+              <spectrumInstrument msLevel="2"/>
+             </spectrumSettings>
+             <precursorList count="1"><precursor msLevel="1" spectrumRef="0"><ionSelection>
+              <cvParam cvLabel="PSI" accession="PSI:1000040" value="{400.0 + i}"/>
+              <cvParam cvLabel="PSI" accession="PSI:1000041" value="2"/>
+             </ionSelection></precursor></precursorList></spectrumDesc>
+             <mzArrayBinary><data precision="64" endian="little" length="2">{mz_b64}</data></mzArrayBinary>
+             <intenArrayBinary><data precision="64" endian="little" length="2">{it_b64}</data></intenArrayBinary>
+            </spectrum>'''
+        )
+    return (
+        '<?xml version="1.0"?><ExperimentCollection version="2.1"><Experiment>'
+        f'<mzData version="1.05"><spectrumList count="{n}">{"".join(spectra)}'
+        "</spectrumList></mzData></Experiment></ExperimentCollection>"
+    )
+
+
+def test_files_to_index_pridexml(spark, tmp_path):
+    # same §3.1 lifecycle as test_files_to_index but the spectra source is a
+    # legacy PRIDE XML submission: NATIVE ids join on spectrumId directly.
+    mzid = _mzid().replace('spectrumID="index=', 'spectrumID="')
+    # _mzid emits spectrumID="index={i}"; NATIVE path uses the raw id i+1
+    import re
+
+    mzid = re.sub(r'spectrumID="(\d+)"', lambda m: f'spectrumID="{int(m.group(1)) + 1}"', mzid)
+    (tmp_path / "a.mzid").write_text(mzid)
+    (tmp_path / "legacy.xml").write_text(_pridexml())
+
+    from pride_spark.plans.ingest import read_spectra_any
+
+    psms = read_mzid_psms(spark, [str(tmp_path / "a.mzid")])
+    psms = psms.withColumn(
+        "spectrumKey", normalize_spectrum_id("sourceId", F.lit("NATIVE"))
+    ).withColumn("fileName", F.lit("legacy.xml"))
+    psms = (
+        psms.withColumnRenamed("modifications", "modificationsRaw")
+        .withColumn("modificationNames", F.transform("modificationsRaw", lambda m: m["name"]))
+        .withColumn("peptidoform", F.concat("peptideSequence", F.lit("/2")))
+        .withColumn("precursorMz", F.col("massToCharge"))
+    )
+    spectra = (
+        read_spectra_any(spark, [str(tmp_path / "legacy.xml")])
+        .withColumnRenamed("spectrumId", "spectrumKey")
+        .select("fileName", "spectrumKey", "masses", "intensities")
+    )
+    out = generate_index_files(
+        psms,
+        spectra,
+        "PRD000001",
+        IndexConfig(min_psms=5, q_value_threshold=0.1, score_better="lower"),
+    )
+    archive = out["archive_spectra"].collect()
+    assert len(archive) > 0
+    for r in archive:
+        assert r["usi"].startswith("mzspec:PRD000001:legacy.xml:")
+        assert len(r["masses"]) == 2
