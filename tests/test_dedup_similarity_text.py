@@ -134,11 +134,48 @@ def test_ivf_topk_exact_when_probing_all(spark):
     vs = {(r["query_id"], r["nbr_id"], r["rank"]) for r in ivf.collect()}
     assert bs == vs  # probing every bucket is exact
 
-    # reduced probe: at most as many candidates, never better than exact top-1
+    # reduced probe: the ANN contract — recall@3 vs brute force stays high
+    # (sf0.01 fixture, half-probe, soft assignment to 2 buckets)
+    emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probe01 = emb01.filter("vec_id < 20")
+    exact_pairs = {
+        (r["query_id"], r["nbr_id"])
+        for r in similarity.brute_force_topk(
+            emb01, "vec_id", "embedding", k=3, probe=probe01
+        ).collect()
+    }
     ivf1 = similarity.ivf_topk(
-        emb, "vec_id", "embedding", k=3, n_centroids=8, n_probe=2, probe=probe
+        emb01, "vec_id", "embedding", k=3, n_centroids=8, n_probe=4,
+        probe=probe01, assign_replicas=2,
     )
-    assert ivf1.count() <= len(vs)
+    got = {(r["query_id"], r["nbr_id"]) for r in ivf1.collect()}
+    recall = len(exact_pairs & got) / len(exact_pairs)
+    assert recall >= 0.9, f"ivf recall@3 {recall:.2f}"
+
+
+def test_lsh_topk_recall_at_3_on_embeddings(spark):
+    # OR-construction: 12 tables x 3 planes; single-table recall on this
+    # fixture is ~0.24, multi-table ~0.95
+    import random
+
+    from pride_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    random.seed(17)
+    tables = [
+        [[random.gauss(0, 1) for _ in range(dim)] for _ in range(3)] for _ in range(12)
+    ]
+    exact = {
+        (r["query_id"], r["nbr_id"])
+        for r in similarity.brute_force_topk(emb, "vec_id", "embedding", k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["nbr_id"])
+        for r in similarity.lsh_topk(emb, "vec_id", "embedding", tables, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"lsh recall@3 {recall:.2f}"
 
 def test_simhash_md5_close_docs_close_hashes(spark):
     # same property as the xxhash64 variant; this is the oracle-able path
