@@ -163,6 +163,12 @@ def _global_two_pass(
         )
         .drop(_KEY, _PID, "__off_d", "__off_t", "__later_min")
     )
+    # materialize the result once so BOTH intermediate caches can be
+    # released now — a bare persist here would pin executor storage for the
+    # session's lifetime; the checkpoint blocks are instead freed by the
+    # ContextCleaner when `out` is garbage collected
+    out = out.localCheckpoint(eager=True)
+    with_fdr.unpersist()
     part.unpersist()
     return out
 
@@ -212,17 +218,28 @@ def combined_fdr_score(
     *,
     better: str = "higher",
     out_col: str = "combinedFdrScore",
+    interpolate: bool = True,
 ) -> DataFrame:
-    """PIA's Combined FDR Score — q-values computed per engine-combination.
+    """PIA's Combined FDR Score — interpolated q-values per
+    engine-combination group.
 
     Ref: ``calculateCombinedFDRScore`` invoked at
     ``/root/reference/src/.../proteomics/PIAModelerService.java:76``;
     published semantics (Jones et al., Proteomics 2009): PSMs are grouped
-    by WHICH search engines identified them, and the target–decoy q-value
-    is computed within each combination group, making scores comparable
-    across engines.  Implementation: the per-group branch of
-    :func:`add_fdr_qvalue` (already-partitioned windows — no global sort,
-    embarrassingly parallel across groups).
+    by WHICH search engines identified them, the target–decoy q-value is
+    computed within each combination group, and each PSM then receives the
+    *FDR score*: the q-value step function linearly interpolated between
+    successive step points (rows where the monotone q-value increases), so
+    scores are smooth, strictly informative between decoy hits, and
+    comparable across engines.
+
+    Plan shape: the per-group branch of :func:`add_fdr_qvalue`
+    (partitioned RANGE windows), then the interpolation as three more
+    window passes over the SAME partition key — Spark stacks them over one
+    exchange; no global sort anywhere.  Rows at a q-value plateau tie-
+    robustly interpolate between the surrounding step points (step rows
+    evaluate to exactly their q-value).  ``interpolate=False`` returns the
+    raw stepped per-group q-value.
     """
     out = add_fdr_qvalue(
         df,
@@ -231,6 +248,36 @@ def combined_fdr_score(
         better=better,
         partition_cols=[engine_set_col],
         out_fdr="__grp_fdr",
-        out_qvalue=out_col,
+        out_qvalue="__grp_q" if interpolate else out_col,
+    ).drop("__grp_fdr")
+    if not interpolate:
+        return out
+
+    key = (-F.col(score_col) if better == "higher" else F.col(score_col)).cast("double")
+    d = out.withColumn("__k", key)
+    w_lag = Window.partitionBy(engine_set_col).orderBy("__k")
+    prev_q = F.lag("__grp_q").over(w_lag)
+    is_step = prev_q.isNull() | (F.col("__grp_q") > prev_q)
+    d = d.withColumn(
+        "__step",
+        F.when(is_step, F.struct(F.col("__k").alias("x"), F.col("__grp_q").alias("q"))),
     )
-    return out.drop("__grp_fdr")
+    w_fwd = (
+        Window.partitionBy(engine_set_col)
+        .orderBy("__k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy(engine_set_col)
+        .orderBy(F.col("__k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.last("__step", ignorenulls=True).over(w_fwd)   # step at or before
+    nxt = F.last("__step", ignorenulls=True).over(w_bwd)    # step at or after
+    interp = F.when(
+        prev.isNull() | nxt.isNull() | (nxt["x"] == prev["x"]), F.col("__grp_q")
+    ).otherwise(
+        prev["q"]
+        + (nxt["q"] - prev["q"]) * ((F.col("__k") - prev["x"]) / (nxt["x"] - prev["x"]))
+    )
+    return d.withColumn(out_col, interp).drop("__k", "__step", "__grp_q")

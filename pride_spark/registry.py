@@ -1563,12 +1563,40 @@ def q44_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, engineSet, score, isDecoy,
              cd / GREATEST(ct, 1) AS fdr
       FROM cume
+    ), q AS (
+      SELECT o_orderkey, engineSet, score, isDecoy,
+             MIN(fdr) OVER (PARTITION BY engineSet ORDER BY score DESC
+                            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS qv
+      FROM f
+    ), marked AS (
+      SELECT *,
+             CASE WHEN LAG(qv) OVER w IS NULL OR qv > LAG(qv) OVER w
+                  THEN 1 ELSE 0 END AS is_step
+      FROM q
+      WINDOW w AS (PARTITION BY engineSet ORDER BY score DESC)
+    ), stepped AS (
+      SELECT *,
+             CASE WHEN is_step = 1 THEN score END AS sx,
+             CASE WHEN is_step = 1 THEN qv END AS sq
+      FROM marked
+    ), bounds AS (
+      SELECT *,
+             LAST_VALUE(sx IGNORE NULLS) OVER wf AS px,
+             LAST_VALUE(sq IGNORE NULLS) OVER wf AS pq,
+             LAST_VALUE(sx IGNORE NULLS) OVER wb AS nx,
+             LAST_VALUE(sq IGNORE NULLS) OVER wb AS nq
+      FROM stepped
+      WINDOW
+        wf AS (PARTITION BY engineSet ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wb AS (PARTITION BY engineSet ORDER BY score ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT o_orderkey, engineSet, isDecoy,
-           MIN(fdr) OVER (PARTITION BY engineSet ORDER BY score DESC
-                          RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           CASE WHEN px IS NULL OR nx IS NULL OR nx = px THEN qv
+                ELSE pq + (nq - pq) * ((score - px) / (nx - px)) END
              AS combinedFdrScore
-    FROM f
+    FROM bounds
     """,
 )
 def q45_combined_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,3 +106,32 @@ def test_top_n_per_spectrum(spark):
     top1 = top_n_per_spectrum(df, n=1).collect()
     by_spec = {r["spectrumId"]: r["psmId"] for r in top1}
     assert by_spec == {"s1": "p2", "s2": "p4"}  # tie broken on psmId
+
+def test_combined_fdr_score_interpolation(spark):
+    from pride_spark.operators.fdr import combined_fdr_score
+
+    # one engine group; scores desc: T T D T T D
+    rows = [
+        (1, 10.0, False), (2, 9.0, False), (3, 8.0, True),
+        (4, 7.0, False), (5, 6.0, False), (6, 5.0, True),
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, isDecoy boolean")
+    df = df.withColumn("eng", F.lit("A+B"))
+
+    stepped = {
+        r["id"]: r["combinedFdrScore"]
+        for r in combined_fdr_score(df, "score", "isDecoy", "eng", interpolate=False).collect()
+    }
+    # monotone per-group q-values: 0, 0, .25, .25, .25, .5
+    assert [round(stepped[i], 6) for i in range(1, 7)] == [0.0, 0.0, 0.25, 0.25, 0.25, 0.5]
+
+    interp = {
+        r["id"]: r["combinedFdrScore"]
+        for r in combined_fdr_score(df, "score", "isDecoy", "eng").collect()
+    }
+    # step points at (10, 0), (8, .25), (5, .5); plateau rows interpolate
+    expect = {1: 0.0, 2: 0.125, 3: 0.25, 4: 0.25 + 0.25 / 3, 5: 0.25 + 0.25 * 2 / 3, 6: 0.5}
+    for i, v in expect.items():
+        assert abs(interp[i] - v) < 1e-12, (i, interp[i], v)
+    # interpolation is the distinguishing behavior on plateau rows
+    assert interp[2] != stepped[2] and interp[4] != stepped[4]
