@@ -106,14 +106,22 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs ``(id_a < id_b)``.
 
     Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
     docs agreeing on any full band land in one bucket.  The self-join is on
     the (band, bucket-digest) key — shuffle size is O(docs·bands), never
-    O(docs²).  Skewed buckets (boilerplate text) are handled by AQE skew
-    splitting; a salt-and-cap can be layered on for adversarial data.
+    O(docs²).  AQE skew splitting balances moderately skewed buckets, but a
+    bucket with m members still emits m² candidate pairs — on adversarial
+    corpora (m boilerplate-identical docs) that term is quadratic no matter
+    how it is split.  ``max_bucket`` caps it: buckets larger than the cap
+    are dropped before the join (a window count over the same key the join
+    shuffles on — no extra exchange).  Dropped docs in such a bucket are
+    mutually near-identical with overwhelming probability, so downstream
+    exact-dedup or a re-run at a tighter shingle size covers them; use
+    :func:`lsh_bucket_stats` to measure the dropped volume.
     """
     rows = num_hashes // bands
     sigs = minhash_signatures_df(
@@ -137,6 +145,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(wb))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -148,6 +165,49 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> dict:
+    """Diagnostic job: bucket-size distribution and the row volume a
+    ``max_bucket`` cap would drop.  One aggregate pass; run it when tuning
+    the cap or auditing what a capped run skipped."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    row = sizes.agg(
+        F.count("*").alias("buckets"),
+        F.max("n").alias("max_size"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)).alias("dropped_rows"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("dropped_buckets"),
+    ).first()
+    return {k: (row[k] or 0) for k in ("buckets", "max_size", "dropped_rows", "dropped_buckets")}
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
@@ -172,15 +232,18 @@ def near_dedup_minhash(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates → exact Jaccard verify → pairs ≥ threshold.
 
     The verify join carries pre-computed distinct shingle SETS (computed once
     per doc), so per-pair work is one hash-set intersect — not a re-parse of
-    both texts.
+    both texts.  ``max_bucket`` is the adversarial-skew cap (see
+    :func:`lsh_candidate_pairs`).
     """
     pairs = lsh_candidate_pairs(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, max_bucket=max_bucket,
     )
     sets = df.select(
         F.col(id_col).alias("id"),

@@ -155,12 +155,18 @@ def result_file_filters(files: DataFrame) -> DataFrame:
 
 
 def assay_validity_gate(
-    psms: DataFrame, cfg: FilterConfig = FilterConfig()
+    psms: DataFrame,
+    cfg: FilterConfig = FilterConfig(),
+    protein_count: int | None = None,
 ) -> tuple[bool, dict]:
-    """F11 — require decoys>0 AND targets>0 AND total > minPSMs, else abort.
+    """F11 — require decoys>0 AND targets>0 AND total > minPSMs (STRICT,
+    matching the reference's ``psms.size() > minPSMs``), else abort.
 
     Ref: PrideAnalysisAssayService.java:440-447,477-480.  One aggregate job
     (count + conditional sums in a single pass), driver-side decision.
+    The reference additionally aborts when the post-inference protein list
+    is empty (:478); callers that have run inference pass its count via
+    ``protein_count`` to apply that gate too.
     """
     row = psms.agg(
         F.count("*").alias("total"),
@@ -168,5 +174,8 @@ def assay_validity_gate(
         F.sum((~F.col("isDecoy")).cast("long")).alias("targets"),
     ).first()
     stats = {"total": row["total"], "decoys": row["decoys"] or 0, "targets": row["targets"] or 0}
-    ok = stats["decoys"] > 0 and stats["targets"] > 0 and stats["total"] >= cfg.min_psms
+    ok = stats["decoys"] > 0 and stats["targets"] > 0 and stats["total"] > cfg.min_psms
+    if protein_count is not None:
+        stats["proteins"] = protein_count
+        ok = ok and protein_count > 0
     return ok, stats

@@ -61,12 +61,18 @@ def peptide_protein_sets(psms: DataFrame) -> DataFrame:
     )
 
 
-def occams_razor(psms: DataFrame) -> DataFrame:
+def occams_razor(psms: DataFrame, max_groups: int = 2_000_000) -> DataFrame:
     """Full parsimony inference; returns one row per protein accession.
 
     ``category`` ∈ {'distinguishable', 'indistinguishable', 'subset'};
     ``isLeading`` marks proteins of groups chosen by the greedy cover.
     Deterministic: ties in the greedy step break on smallest groupId.
+
+    The iterative steps run on the driver over the aggregated group table
+    (one row per distinct peptide set); ``max_groups`` guards the collect —
+    reference-scale proteomes are ~10⁴ groups, so hitting the ceiling means
+    the input is not a peptide→protein map and the blind collect would have
+    OOMed the driver.
     """
     spark = psms.sparkSession
     grouped = (
@@ -75,6 +81,13 @@ def occams_razor(psms: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_set("proteinAccession")).alias("groupMembers"))
         .withColumn("groupId", F.element_at("groupMembers", 1))
     )
+    n_groups = grouped.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"occams_razor: {n_groups} distinct peptide-set groups exceed the "
+            f"driver-collect ceiling ({max_groups}); raise max_groups only if "
+            "the driver has memory for the group table"
+        )
     # Driver loop input: one row per DISTINCT peptide set — compact.
     groups = [
         (r["groupId"], tuple(r["groupMembers"]), frozenset(r["peptides"]))

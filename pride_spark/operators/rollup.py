@@ -67,9 +67,18 @@ def protein_rollup(
         F.count("*").alias("numberPSMs"),
         F.countDistinct("peptideSequence").alias("numberPeptides"),
     )
+    # DecimalFormat("###.#####") parity: HALF_EVEN (bround), fixed 5dp via
+    # decimal cast (no scientific notation), then strip trailing zeros and
+    # a bare trailing dot — format_number would round HALF_UP, pad zeros,
+    # and insert locale grouping
+    score_5dp = F.bround(-F.log10(F.col("bestSearchEngineScoreValue")), 5).cast(
+        "decimal(14,5)"
+    )
     return agg.withColumn(
         "proteinScore",
-        F.format_number(-F.log10(F.col("bestSearchEngineScoreValue")), 5),
+        F.regexp_replace(
+            F.regexp_replace(score_5dp.cast("string"), r"0+$", ""), r"\.$", ""
+        ),
     )
 
 

@@ -31,7 +31,7 @@ only.  Output matches the S11 cluster table shape, so
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pride_spark.operators.graph import connected_components
@@ -87,6 +87,7 @@ def cluster_spectra(
     bands: int = 8,
     threshold: float = 0.5,
     method: str = "lsh",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """→ ``(key, clusterId)`` — one row per input spectrum; singletons keep
     their own key as clusterId (MaraCluster's TSV likewise lists every
@@ -98,6 +99,13 @@ def cluster_spectra(
     oracle-able) and exact, at O(block²) cost — the registry/correctness
     path and the recall baseline for the LSH path
     (tests/test_graph_spectral.py).
+
+    ``max_bucket`` drops candidate buckets (the LSH ``(pblock, band,
+    bandHash)`` key, or the block-mode ``pblock`` key) larger than the cap
+    before the self-join — the quadratic within-bucket term is unbounded on
+    adversarial inputs (all-identical spectra) no matter how AQE splits the
+    partitions; capped members are mutually near-identical and survive via
+    exact dedup upstream.
     """
     rows_per_band = num_hashes // bands
     binned = spectra.select(
@@ -153,8 +161,18 @@ def cluster_spectra(
         )
     ).alias("bh")
 
+    def _cap(frame: DataFrame, keys: list[str]) -> DataFrame:
+        if max_bucket is None:
+            return frame
+        wb = Window.partitionBy(*keys)
+        return (
+            frame.withColumn("__bsz", F.count("*").over(wb))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+
     if method == "block":
-        blocked = binned.select("key", "bins", pblock)
+        blocked = _cap(binned.select("key", "bins", pblock), ["pblock"])
         left = blocked.select(
             F.col("key").alias("key_a"), F.col("bins").alias("bins_a"), "pblock"
         )
@@ -163,8 +181,11 @@ def cluster_spectra(
         )
         cand = left.join(right, ["pblock"])
     else:
-        buckets = sigs.select("key", "bins", pblock, "sig").select(
-            "key", "bins", "pblock", band
+        buckets = _cap(
+            sigs.select("key", "bins", pblock, "sig").select(
+                "key", "bins", "pblock", band
+            ).select("key", "bins", "pblock", "bh"),
+            ["pblock", "bh"],
         )
         left = buckets.select(
             F.col("key").alias("key_a"),

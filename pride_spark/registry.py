@@ -711,9 +711,13 @@ def q23_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
               LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6|' || x))),
               LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7|' || x)))] AS sg
       FROM s
-    ), banded AS (
+    ), banded0 AS (
       SELECT doc_id, band, MD5(ARRAY_TO_STRING(LIST_SLICE(sg, band * 2 + 1, band * 2 + 2), '|')) AS bucket
       FROM sig, UNNEST([0, 1, 2, 3]) AS u(band)
+    ), banded AS (
+      -- mirror of the engine's max_bucket skew cap
+      SELECT doc_id, band, bucket FROM banded0
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 500
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
@@ -732,7 +736,8 @@ def q23_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dedup_minhash(
-        docs, "text", "doc_id", threshold=0.1, num_hashes=8, bands=4, shingle_n=3
+        docs, "text", "doc_id", threshold=0.1, num_hashes=8, bands=4, shingle_n=3,
+        max_bucket=500,
     )
 
 

@@ -84,3 +84,16 @@ def test_occams_razor_greedy_minimality(spark):
     assert out["P5"]["isLeading"] is True
     assert out["P6"]["category"] == "subset" and not out["P6"]["isLeading"]
     assert out["P7"]["category"] == "subset" and not out["P7"]["isLeading"]
+
+def test_occams_razor_group_ceiling(spark):
+    from pride_spark.operators.inference import occams_razor
+
+    psms = spark.createDataFrame(
+        [(f"PEP{i}", [f"P{i}"]) for i in range(10)],
+        "peptideSequence string, proteinAccessions array<string>",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="exceed the driver-collect ceiling"):
+        occams_razor(psms, max_groups=2)
+    assert occams_razor(psms, max_groups=100).count() == 10

@@ -191,3 +191,30 @@ def test_simhash_md5_close_docs_close_hashes(spark):
     assert all(0 <= v < 2**60 for v in h.values())
     assert hamming(h[1], h[2]) < 8
     assert hamming(h[1], h[3]) > 16
+
+def test_lsh_cap_bounds_adversarial_corpus(spark):
+    # 300 identical docs: uncapped LSH emits ~300^2/2 pairs per band;
+    # the cap drops the oversized buckets so the plan stays linear, and the
+    # stats helper reports exactly what was skipped.
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every document").alias("text"),
+    )
+    capped = dedup.near_dedup_minhash(
+        docs, "text", "doc_id", threshold=0.5, max_bucket=100
+    ).collect()
+    assert capped == []  # every bucket oversized -> all dropped
+    stats = dedup.lsh_bucket_stats(docs, "text", "doc_id", max_bucket=100)
+    assert stats["dropped_buckets"] == 4  # one mega-bucket per band
+    assert stats["dropped_rows"] == 1200  # 300 docs x 4 bands
+    assert stats["max_size"] == 300
+
+    # a mixed corpus keeps its small-bucket pairs under the same cap
+    mixed = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here altogether now")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.near_dedup_minhash(mixed, "text", "doc_id", threshold=0.5, max_bucket=100).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]

@@ -101,3 +101,24 @@ def test_cluster_spectra_block_mode_matches_lsh_on_clean_groups(spark):
     assert block == lsh
     assert len({block[f"usi:A:{i}"] for i in range(4)}) == 1
     assert len({block[f"usi:B:{i}"] for i in range(3)}) == 1
+
+def test_cluster_spectra_cap_bounds_identical_spectra(spark):
+    # all-identical spectra in one precursor block: the cap drops the
+    # mega-bucket, so everything stays a singleton instead of an O(n^2)
+    # self-join
+    peaks = [100.0 + 7 * k for k in range(20)]
+    inten = [float(50 + k) for k in range(20)]
+    rows = [(f"s{i}", 450.0, peaks, inten) for i in range(50)]
+    spectra = spark.createDataFrame(
+        rows,
+        "usi string, precursorMz double, masses array<double>, intensities array<double>",
+    )
+    out = {
+        r["key"]: r["clusterId"]
+        for r in cluster_spectra(spectra, "usi", method="block", max_bucket=10).collect()
+    }
+    assert len(out) == 50
+    assert all(k == v for k, v in out.items())
+    # uncapped, the same corpus merges into one cluster
+    merged = cluster_spectra(spectra, "usi", method="block").select("clusterId").distinct().count()
+    assert merged == 1
