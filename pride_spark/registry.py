@@ -987,7 +987,7 @@ def q30_cluster_best_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE pairs AS (
       SELECT DISTINCT 'PROT' || l_orderkey AS prot, CAST(l_partkey % 60 AS INT) AS pep
-      FROM lineitem
+      FROM lineitem WHERE l_orderkey % 16 = 0
     ),
     masks AS (
       SELECT prot, BIT_OR(1::BIGINT << pep) AS mask FROM pairs GROUP BY prot
@@ -1022,7 +1022,11 @@ def q30_cluster_best_psm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q31_occams_razor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # orderkey % 16 bounds the group table at reference scale (~10^4
+    # proteins at sf0.1): with a 60-peptide universe the rarest-peptide
+    # subset pruning cannot block, so the driver loop is O(groups^2) and
+    # an unbounded orderkey key grows it 100x past the domain's size
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 16 == 0)
     psms = li.select(
         F.concat(F.lit("PEP"), F.col("l_partkey") % 60).alias("peptideSequence"),
         F.array(F.concat(F.lit("PROT"), F.col("l_orderkey"))).alias("proteinAccessions"),
