@@ -1,0 +1,144 @@
+"""Scale-stress harness: synthesize an ~sf1 dataset from sf0.1 and run
+the heavy registry queries against it.
+
+VERDICT r01 item 10 ("run end-to-end at sf1 to catch memory/partition
+issues the sf0.1 bench hides").  The driver ships no sf1 parquet, so we
+manufacture one: each fact table is unioned ``--factor`` times with its
+primary key offset per copy (dimension tables are copied once).  The
+data distribution per copy is identical to sf0.1, which is exactly what
+we want — the stress is cardinality, not new value domains.
+
+Duplicated *text/embedding* payloads are a feature here: the dedup and
+LSH queries see a corpus where every document has ``factor`` exact
+copies, which pressure-tests the bucket caps and the exact-dedup
+shuffle far harder than organic data would.
+
+Usage:
+    python tools/stress_scale.py [--factor 10] [--out /tmp/sf1]
+        [--queries q03_fdr_qvalue,q47_connected_components,...]
+        [--skip-build]
+
+Prints one JSON line per query (name, seconds, rows) and a total.
+Intentionally not part of the oracle gate: no DuckDB comparison at this
+scale, correctness is sf0.01's job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+
+# key column to offset per copy; None => dimension, copy once
+KEYED = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "customer": None,
+    "supplier": None,
+    "part": None,
+    "nation": None,
+    "region": None,
+}
+
+# The queries worth stressing: every one VERDICT called expensive or
+# scale-relevant, plus the shuffle-heavy rollups.
+DEFAULT_QUERIES = [
+    "q03_fdr_qvalue",
+    "q05_big_join_agg",
+    "q13_dedup_exact",
+    "q23_minhash_signature",
+    "q24_lsh_near_dup",
+    "q26_positional_join",
+    "q28_protein_rollup",
+    "q31_occams_razor",
+    "q33_mgf_record",
+    "q35_simhash",
+    "q39_mod_regroup",
+    "q43_ivf_ann",
+    "q45_combined_fdr",
+    "q47_connected_components",
+    "q48_spectral_cluster",
+]
+
+
+def build(spark, out: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for table, key in KEYED.items():
+        src = f"{SRC}/{table}.parquet"
+        dst = f"{out}/{table}.parquet"
+        if os.path.exists(dst):
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(dst):
+                os.remove(dst)
+        df = spark.read.parquet(src)
+        if key is None or factor == 1:
+            scaled = df
+        else:
+            stride = df.agg(F.max(key)).first()[0] + 1
+            copies = [
+                df.withColumn(key, F.col(key) + F.lit(int(k * stride)))
+                for k in range(factor)
+            ]
+            scaled = copies[0]
+            for c in copies[1:]:
+                scaled = scaled.unionByName(c)
+        # one parquet dir per table, same layout the registry's _t expects
+        scaled.write.mode("overwrite").parquet(dst)
+        n = spark.read.parquet(dst).count()
+        print(f"built {table}: {n} rows", file=sys.stderr)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    from pride_spark.session import get_spark
+    from pride_spark import registry
+
+    spark = get_spark("stress-scale")
+    if not args.skip_build:
+        t0 = time.time()
+        build(spark, args.out, args.factor)
+        print(f"build: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    qs = registry.queries()
+    results, total = {}, 0.0
+    for name in args.queries.split(","):
+        name = name.strip()
+        if name not in qs:
+            print(f"unknown query {name}", file=sys.stderr)
+            continue
+        t0 = time.time()
+        try:
+            n = qs[name](spark, args.out).count()
+            dt = time.time() - t0
+            results[name] = {"sec": round(dt, 2), "rows": n}
+        except Exception as exc:  # keep going; a stall/OOM is the finding
+            dt = time.time() - t0
+            results[name] = {"sec": round(dt, 2), "err": repr(exc)[:200]}
+        total += dt
+        print(json.dumps({name: results[name]}), file=sys.stderr)
+    print(json.dumps({"factor": args.factor, "total_sec": round(total, 2),
+                      "queries": results}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
