@@ -1750,3 +1750,70 @@ def q48_spectral_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cluster_spectra(spectra, "usi", top_k=24, threshold=0.5, method="block")
     return out.select(F.col("key").alias("usi"), "clusterId")
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH ANN (north-star similarity, scale path).  The planes are
+# seeded literals so the DuckDB oracle reproduces the exact bucket
+# assignment: bucket = sum of sign bits of plane dot products, candidates
+# restricted to same-(table, bucket) pairs, OR-construction over two
+# 4-plane tables, then exact cosine rank within candidates.  Both engines
+# fold the dot product left-to-right in double, so the sign bits agree.
+# ---------------------------------------------------------------------------
+def _lsh_planes(tables: int = 2, bits: int = 4, dim: int = 64) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes (LCG, 4dp literals)."""
+    state = 20250813
+    out = []
+    for _ in range(tables):
+        tbl = []
+        for _ in range(bits):
+            p = []
+            for _ in range(dim):
+                state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+                p.append(round(state / float(1 << 63) * 2.0 - 1.0, 4))
+            tbl.append(p)
+        out.append(tbl)
+    return out
+
+
+def _lsh_oracle_sql() -> str:
+    tables = _lsh_planes()
+    selects = []
+    for t, tbl in enumerate(tables):
+        bits = " + ".join(
+            f"CASE WHEN LIST_INNER_PRODUCT(v, {plane!r}) >= 0 THEN {1 << i} ELSE 0 END"
+            for i, plane in enumerate(tbl)
+        )
+        selects.append(f"SELECT vec_id, v, {t} AS t, ({bits}) AS bucket FROM e")
+    union = "\n      UNION ALL\n      ".join(selects)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    h AS (
+      {union}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS nbr_id
+      FROM h a JOIN h b ON a.t = b.t AND a.bucket = b.bucket
+      WHERE a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT query_id, nbr_id,
+             ROUND(LIST_INNER_PRODUCT(qa.v, qb.v) /
+                   (SQRT(LIST_INNER_PRODUCT(qa.v, qa.v)) *
+                    SQRT(LIST_INNER_PRODUCT(qb.v, qb.v))), 6) AS cosine
+      FROM pairs
+      JOIN e qa ON qa.vec_id = query_id
+      JOIN e qb ON qb.vec_id = nbr_id
+    )
+    SELECT query_id, nbr_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, nbr_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@register("q49_lsh_ann", _lsh_oracle_sql())
+def q49_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, "vec_id", "embedding", planes=_lsh_planes(), k=3)

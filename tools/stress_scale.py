@@ -126,9 +126,12 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            n = qs[name](spark, args.out).count()
+            df = qs[name](spark, args.out)
+            # noop sink, not count(): count would let Spark prune every
+            # unused column and skip the map-side work entirely
+            df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            results[name] = {"sec": round(dt, 2), "rows": n}
+            results[name] = {"sec": round(dt, 2)}
         except Exception as exc:  # keep going; a stall/OOM is the finding
             dt = time.time() - t0
             results[name] = {"sec": round(dt, 2), "err": repr(exc)[:200]}
