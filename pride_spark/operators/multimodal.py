@@ -95,6 +95,58 @@ def image_features(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", IntegerType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def _decode_audio(payload: bytes) -> list[int]:
+    """STUB decode seam — replace with soundfile/torchaudio in a full
+    container.  Deterministic fake: payload bytes as signed 8-bit PCM."""
+    if payload is None:
+        raise NotImplementedError("real audio decode requires a codec; payload was None")
+    return [b - 256 if b > 127 else b for b in payload]
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched waveform features over audio payloads.
+
+    Same plumbing contract as :func:`image_features`: ``mapInPandas``
+    batches in, a narrow feature table out.  Sample count, integer RMS
+    and zero-crossing count are deterministic stand-ins for a real
+    spectral kernel (MFCC/chroma), computable on the fake PCM decode.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            waves = [_decode_audio(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_samples": [len(w) for w in waves],
+                    "rms": [
+                        int((sum(s * s for s in w) / len(w)) ** 0.5) if w else 0
+                        for w in waves
+                    ],
+                    "zero_crossings": [
+                        sum(
+                            1
+                            for a, b in zip(w, w[1:])
+                            if (a < 0) != (b < 0)
+                        )
+                        for w in waves
+                    ],
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """STUB resize: passes payload through, rewrites metadata; the batch
     shape / schema contract is what a real PIL kernel would use."""

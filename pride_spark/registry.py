@@ -1287,10 +1287,38 @@ def q37_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Multimodal feature extraction (north-star; Arrow-batched mapInPandas with
-# stubbed decode kernels). Python-side kernel — rows-only driver check;
-# determinism is unit-tested in tests/test_multimodal.py.
+# stubbed decode kernels). The stub decode is deterministic byte
+# arithmetic, so even the Python mapInPandas kernel is oracle-checkable:
+# DuckDB extracts payload bytes as hex pairs and reproduces the byte
+# stats and the big-endian signed 8-byte "phash" exactly.
 # ---------------------------------------------------------------------------
-@register("q38_image_features", None)
+@register(
+    "q38_image_features",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id, ENCODE(text) AS p
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    b AS (SELECT media_id, HEX(p) AS fh, OCTET_LENGTH(p) AS n FROM img),
+    v AS (
+      SELECT media_id, n,
+             LIST_TRANSFORM(GENERATE_SERIES(1, n),
+                            i -> ('0x' || SUBSTR(fh, 2*i-1, 2))::INT) AS bytes,
+             ('0x'||SUBSTR(RPAD(SUBSTR(fh,1,16),16,'0'),1,8))::BIGINT::HUGEINT
+               * 4294967296::HUGEINT
+             + ('0x'||SUBSTR(RPAD(SUBSTR(fh,1,16),16,'0'),9,8))::BIGINT::HUGEINT AS pv
+      FROM b
+    )
+    SELECT media_id,
+           CAST(n AS INT) AS n_bytes,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE TRUNC(LIST_SUM(bytes)::DOUBLE / n) END AS INT) AS byte_mean,
+           CAST(CASE WHEN pv >= 9223372036854775808::HUGEINT
+                     THEN pv - 18446744073709551616::HUGEINT
+                     ELSE pv END AS BIGINT) AS phash
+    FROM v
+    """,
+)
 def q38_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pride_spark.operators import multimodal as mm
 
@@ -1817,3 +1845,43 @@ def _lsh_oracle_sql() -> str:
 def q49_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, "vec_id", "embedding", planes=_lsh_planes(), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Audio waveform features (north-star multimodal, audio modality).  Same
+# Arrow mapInPandas plumbing as q38; the stub decode (payload bytes as
+# signed 8-bit PCM) is deterministic arithmetic, so DuckDB reproduces the
+# sample count, integer RMS and zero-crossing count exactly from the
+# UTF-8 payload bytes.
+# ---------------------------------------------------------------------------
+@register(
+    "q50_audio_features",
+    """
+    WITH au AS (
+      SELECT doc_id AS media_id, ENCODE(text) AS p
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    b AS (SELECT media_id, HEX(p) AS fh, OCTET_LENGTH(p) AS n FROM au),
+    w AS (
+      SELECT media_id, n,
+        LIST_TRANSFORM(GENERATE_SERIES(1, n),
+          i -> CASE WHEN ('0x'||SUBSTR(fh,2*i-1,2))::INT > 127
+                    THEN ('0x'||SUBSTR(fh,2*i-1,2))::INT - 256
+                    ELSE ('0x'||SUBSTR(fh,2*i-1,2))::INT END) AS sb
+      FROM b
+    )
+    SELECT media_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE TRUNC(SQRT(LIST_SUM(LIST_TRANSFORM(sb, x -> x*x))::DOUBLE
+                                     / n)) END AS INT) AS rms,
+           CAST(COALESCE(LEN(LIST_FILTER(GENERATE_SERIES(1, n-1),
+                    i -> (sb[i] < 0) != (sb[i+1] < 0))), 0) AS INT) AS zero_crossings
+    FROM w
+    """,
+)
+def q50_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    return mm.audio_features(mm.synthesize_media_from_documents(docs))

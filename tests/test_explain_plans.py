@@ -1,0 +1,77 @@
+"""Physical-plan contracts: the shapes that must survive a 100x scale-up.
+
+Each test renders the formatted explain of a registry query at sf0.001
+and asserts plan properties — predicate pushdown reaching the parquet
+scan, broadcast joins where a side is dimension-sized, and the absence
+of single-partition exchanges / nested-loop cartesians on scale paths.
+Planning only: nothing here executes a job.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pride_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_stack_pushes_predicates_to_scan(spark):
+    plan = _plan(spark, "q02_filter_stack")
+    scans = [b for b in plan.split("\n\n") if "Scan parquet" in b]
+    assert scans, plan
+    assert any("PushedFilters: [" in s and "PushedFilters: []" not in s for s in scans), plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q06_star_join")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def _assert_two_pass_shape(plan: str) -> None:
+    # 1. no global sort: a formatted Sort node prints "[keys], <global>, 0"
+    #    — global=true is the single-task funnel the two-pass design avoids
+    assert "], true, 0" not in plan, plan
+    # 2. SinglePartition exchanges are only legitimate on the tiny
+    #    per-partition-offsets side, which is always broadcast afterwards;
+    #    every one of them must be matched by a BroadcastExchange
+    assert plan.count("SinglePartition") <= plan.count("BroadcastExchange"), plan
+
+
+def test_fdr_fact_side_never_globally_sorted(spark):
+    _assert_two_pass_shape(_plan(spark, "q03_fdr_qvalue"))
+
+
+def test_positional_join_fact_side_never_globally_sorted(spark):
+    _assert_two_pass_shape(_plan(spark, "q26_positional_join"))
+
+
+def test_lsh_ann_is_bucketed_not_cartesian(spark):
+    plan = _plan(spark, "q49_lsh_ann")
+    assert "CartesianProduct" not in plan, plan
+    # the candidate join must be an equi-join on the bucket key
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_near_dup_avoids_nested_loop(spark):
+    plan = _plan(spark, "q34_embedding_near_dup")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_scan_prunes_columns_for_narrow_projection(spark):
+    # token stats reads documents(doc_id, text) only — the scan schema
+    # must not include the unused lang/source/n_chars columns
+    plan = _plan(spark, "q14_token_stats")
+    scans = [b for b in plan.split("\n\n") if "Scan parquet" in b]
+    assert scans, plan
+    assert not any("n_chars" in s for s in scans), plan

@@ -30,6 +30,23 @@ def test_image_features_deterministic(spark):
     assert all(r["n_bytes"] > 0 for r in rows.values())
 
 
+def test_audio_features_match_reference_arithmetic(spark):
+    media = _media(spark)
+    feats = mm.audio_features(media)
+    assert feats.schema.simpleString() == mm.AUDIO_FEATURES_SCHEMA.simpleString()
+    rows = {r["media_id"]: r for r in feats.collect()}
+    audio = {r["media_id"]: bytes(r["payload"]) for r in media.filter("kind='audio'").collect()}
+    assert set(rows) == set(audio) and rows
+    # features must equal the plain-Python computation on the raw bytes
+    for mid, payload in audio.items():
+        w = [b - 256 if b > 127 else b for b in payload]
+        assert rows[mid]["n_samples"] == len(w)
+        assert rows[mid]["rms"] == int((sum(s * s for s in w) / len(w)) ** 0.5)
+        assert rows[mid]["zero_crossings"] == sum(
+            1 for a, b in zip(w, w[1:]) if (a < 0) != (b < 0)
+        )
+
+
 def test_resize_rewrites_metadata_only(spark):
     media = _media(spark)
     out = mm.resize_images(media, 32, 48).collect()
