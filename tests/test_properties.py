@@ -1,0 +1,99 @@
+"""Property-based checks (hypothesis): distributed operators vs
+pure-Python references on adversarial random inputs.
+
+The fixed oracles compare against DuckDB on one dataset; these compare
+against an independent Python implementation on many generated ones,
+aimed at the boundaries the two-pass designs must get right — score
+ties spanning range-bucket edges, all-decoy prefixes, single-row and
+single-bucket degenerate shapes.
+
+Spark jobs per example are slow, so max_examples is small and each
+example packs ties deliberately (scores drawn from a 6-value pool).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pride_spark.operators.fdr import add_fdr_qvalue
+from pride_spark.operators.joins import positional_zip_join
+
+# small score pool → dense ties; decoy flag free
+_ROWS = st.lists(
+    st.tuples(st.sampled_from([1, 2, 3, 5, 8, 13]), st.booleans()),
+    min_size=1,
+    max_size=60,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _ref_fdr_qvalue(rows: list[tuple[int, bool]], better: str = "higher"):
+    """Independent reference: per-distinct-score cumulative counts
+    (range-frame tie semantics), then suffix-min for q-values."""
+    scores = sorted({s for s, _ in rows}, reverse=(better == "higher"))
+    dec = {s: 0 for s in scores}
+    tgt = {s: 0 for s in scores}
+    for s, d in rows:
+        (dec if d else tgt)[s] += 1
+    fdr, cum_d, cum_t = {}, 0, 0
+    for s in scores:
+        cum_d += dec[s]
+        cum_t += tgt[s]
+        fdr[s] = cum_d / max(cum_t, 1)
+    qval, running = {}, float("inf")
+    for s in reversed(scores):
+        running = min(running, fdr[s])
+        qval[s] = running
+    return fdr, qval
+
+
+@given(rows=_ROWS, better=st.sampled_from(["higher", "lower"]))
+@_SETTINGS
+def test_fdr_two_pass_matches_reference(spark, rows, better):
+    df = spark.createDataFrame(
+        [(float(s), d) for s, d in rows], "score double, decoy boolean"
+    )
+    out = add_fdr_qvalue(
+        df, "score", "decoy", better=better, scalable=True, num_range_partitions=3
+    ).collect()
+    fdr, qval = _ref_fdr_qvalue(rows, better)
+    for r in out:
+        assert abs(r["fdr"] - fdr[int(r["score"])]) < 1e-12, (rows, better, r)
+        assert abs(r["qvalue"] - qval[int(r["score"])]) < 1e-12, (rows, better, r)
+
+
+@given(rows=_ROWS)
+@_SETTINGS
+def test_fdr_window_and_two_pass_agree(spark, rows):
+    df = spark.createDataFrame(
+        [(float(s), d) for s, d in rows], "score double, decoy boolean"
+    )
+    two_pass = add_fdr_qvalue(
+        df, "score", "decoy", scalable=True, num_range_partitions=2
+    )
+    window = add_fdr_qvalue(df, "score", "decoy", scalable=False)
+    a = sorted((r["score"], r["decoy"], r["fdr"], r["qvalue"]) for r in two_pass.collect())
+    b = sorted((r["score"], r["decoy"], r["fdr"], r["qvalue"]) for r in window.collect())
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x[:2] == y[:2] and abs(x[2] - y[2]) < 1e-12 and abs(x[3] - y[3]) < 1e-12
+
+
+@given(n=st.integers(min_value=1, max_value=50), m=st.integers(min_value=0, max_value=60))
+@_SETTINGS
+def test_positional_zip_join_matches_python_zip(spark, n, m):
+    # left ordered by key; right indexed 0..m-1; expect pairs for i < min(n, m)
+    left = spark.createDataFrame([(i * 10, f"L{i}") for i in range(n)], "k long, lv string")
+    right = spark.createDataFrame([(i, f"R{i}") for i in range(m)], "idx long, rv string")
+    out = positional_zip_join(
+        left, right, left_order=["k"], right_index_col="idx", num_range_partitions=3
+    )
+    got = sorted((r["lv"], r["rv"]) for r in out.collect())
+    want = sorted((f"L{i}", f"R{i}") for i in range(min(n, m)))
+    assert got == want
