@@ -3,7 +3,10 @@
 JSON line with per-query and total wall seconds.
 
 Each query executes end-to-end into the noop sink (full plan, no driver
-collect overhead).
+collect overhead).  Per query we report the MIN of
+$SPARK_GRAFT_BENCH_RUNS (default 2) runs: this container's scheduler is
+noisy enough that identical back-to-back runs differ by 2x, and min-of-N
+measures the query's compute cost rather than the machine's mood.
 """
 
 from __future__ import annotations
@@ -32,15 +35,21 @@ def main() -> int:
     warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
 
+    runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")), 1)
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as ex:  # a failed query must not hide the others
-            timings[name] = -1.0
-            print(f"# {name} FAILED: {ex}", file=sys.stderr)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            except Exception as ex:  # a failed query must not hide the others
+                best = -1.0
+                print(f"# {name} FAILED: {ex}", file=sys.stderr)
+                break
+        timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
