@@ -30,32 +30,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-def _by_a() -> Window:
-    # whole-partition frame: min(b) over all rows sharing ``a`` — ONE
-    # shuffle, versus the groupBy+re-join formulation which exchanges the
-    # edge list twice per star step
-    return Window.partitionBy("a")
+def _with_min_b(df: DataFrame, skew_safe: bool) -> DataFrame:
+    """Attach ``m = min(b) over rows sharing a``.
+
+    Default (window): whole-partition frame — ONE shuffle, versus the
+    groupBy+re-join formulation which exchanges the edge list twice per
+    star step.  But a window routes EVERY row of a key to one task, and
+    star contraction deliberately manufactures hubs (at the fixpoint the
+    component minimum's degree IS the component size), so on graphs with
+    billion-node components the window becomes a straggler.
+
+    ``skew_safe``: groupBy-min (map-side combine collapses each hub to
+    one row per map task before the shuffle — skew-immune) + join back
+    (AQE's OptimizeSkewedJoin can split a skewed probe side; it cannot
+    split a window partition).  Costs one extra small exchange per step;
+    flip it on for adversarial/unknown graph shapes at scale.
+    """
+    if skew_safe:
+        mins = df.groupBy("a").agg(F.min("b").alias("m"))
+        return df.join(mins, "a")
+    return df.withColumn("m", F.min("b").over(Window.partitionBy("a")))
 
 
-def _large_star(sym: DataFrame) -> DataFrame:
+def _large_star(sym: DataFrame, skew_safe: bool = False) -> DataFrame:
     """sym = both orientations.  Emit (v, min(N(u) ∪ {u})) for v > u."""
-    m = F.least(F.min("b").over(_by_a()), F.col("a"))
     # no distinct here: the output feeds straight into small-star's
-    # per-``a`` window, where duplicate (u,v) rows can't change the min —
+    # per-``a`` min, where duplicate (u,v) rows can't change the min —
     # the round's edge list is deduped once, at small-star's output
     return (
-        sym.withColumn("m", m)
+        _with_min_b(sym, skew_safe)
+        .withColumn("m", F.least(F.col("m"), F.col("a")))
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("u"), F.col("m").alias("v"))
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, skew_safe: bool = False) -> DataFrame:
     """Orient toward larger endpoint; connect u ∪ smaller-neighbors to min."""
     oriented = edges.select(
         F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
     )
-    with_m = oriented.withColumn("m", F.min("b").over(_by_a()))
+    with_m = _with_min_b(oriented, skew_safe)
     links = with_m.select(F.col("b").alias("u"), F.col("m").alias("v")).union(
         with_m.select(F.col("a").alias("u"), F.col("m").alias("v"))
     )
@@ -68,12 +83,17 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iterations: int = 50,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Label every node with the MIN node id of its connected component.
 
     ``edges`` is an undirected edge list (any orientation, duplicates and
     self-loops fine); isolated nodes appearing in the list label
     themselves.  Returns ``(node, component)``.
+
+    ``skew_safe=True`` swaps the per-key window for a map-side-combined
+    groupBy+join in each star step (see :func:`_with_min_b`) — use it
+    when components can grow past what one task should hold.
     """
     spark = edges.sparkSession
     base = (
@@ -94,7 +114,7 @@ def connected_components(
         sym = cur.select("u", "v").union(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("a"), F.col("v").alias("b"))
-        cur = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(sym, skew_safe), skew_safe).localCheckpoint(eager=True)
         # scalar-only convergence signature
         row = cur.agg(
             F.count(F.lit(1)).alias("n"),

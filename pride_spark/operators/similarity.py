@@ -204,15 +204,24 @@ def _kmeans_centroids(
 def _nearest_centroids_expr(vec: Column, cents: list[list[float]]) -> tuple[Column, Column]:
     """(nearest-centroid id, centroid ids ordered nearest-first) as pure
     Column expressions over a driver-side centroid list — assignment and
-    probe selection cost zero shuffles."""
+    probe selection cost zero shuffles.
+
+    Ranks by ``dot(vec, c) / ||c||`` instead of full cosine: dividing by
+    the row-constant ``||vec||`` cannot change the per-row ordering (and
+    the degenerate ``||vec|| = 0`` row ties every key either way), while
+    the centroid norms are Python-side constants — so each row pays
+    ``n_centroids`` dot folds instead of ``n_centroids`` dots plus
+    ``2 · n_centroids`` norm folds."""
     # the cast names the struct fields; aliases inside F.struct are not
     # reliably preserved through array_sort's type merge
     entry_t = "struct<neg:double,cid:int>"
+    norms = [max(sum(x * x for x in c) ** 0.5, 1e-12) for c in cents]
     order = F.array_sort(
         F.array(
             *[
                 F.struct(
-                    -cosine(vec, F.array(*[F.lit(x) for x in c])), F.lit(ci)
+                    -dot(vec, F.array(*[F.lit(x) for x in c])) / F.lit(norms[ci]),
+                    F.lit(ci),
                 ).cast(entry_t)
                 for ci, c in enumerate(cents)
             ]

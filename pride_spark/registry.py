@@ -1885,3 +1885,35 @@ def q50_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return mm.audio_features(mm.synthesize_media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (north-star multimodal, video modality).  The 1→N
+# mapInPandas explode (one row per sampled frame) is the plumbing a real
+# ffmpeg kernel would use; the stub frame is a deterministic byte slice,
+# so DuckDB reproduces each frame as a hex substring of the payload.
+# ---------------------------------------------------------------------------
+@register(
+    "q51_video_frames",
+    """
+    WITH vid AS (
+      SELECT doc_id AS media_id, ENCODE(text) AS p, n_chars
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    b AS (SELECT media_id, HEX(p) AS fh,
+                 GREATEST(CAST((n_chars * 10) // 5000 AS INT), 1) AS nf
+          FROM vid)
+    SELECT media_id,
+           CAST(i - 1 AS INT) AS frame_idx,
+           SUBSTR(fh, 2*(i-1)+1, 32) AS frame_hex
+    FROM b, UNNEST(GENERATE_SERIES(1, nf)) AS g(i)
+    """,
+)
+def q51_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = mm.sample_frames(mm.synthesize_media_from_documents(docs), every_ms=5000)
+    return frames.select(
+        "media_id", "frame_idx", F.upper(F.hex(F.col("frame"))).alias("frame_hex")
+    )

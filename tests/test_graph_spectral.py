@@ -26,6 +26,20 @@ def test_connected_components_long_chain(spark):
     assert set(out.values()) == {0} and len(out) == 31
 
 
+def test_connected_components_skew_safe_agrees_on_hub_graph(spark):
+    # one 400-leaf hub + a chain welded to it + a separate pair: the hub
+    # shape that makes the window path a single-task straggler at scale
+    rows = [(0, i) for i in range(1, 401)] + [(400, 500), (500, 501), (600, 601)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    fast = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    safe = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, skew_safe=True).collect()
+    }
+    assert fast == safe
+    assert safe[501] == 0 and safe[601] == 600 and len(safe) == 405
+
+
 def _spectrum(rng, base_peaks, jitter=0.05, drop=0):
     peaks = sorted(rng.sample(base_peaks, len(base_peaks) - drop))
     return (
