@@ -96,15 +96,13 @@ def cmd_generate_index_files(args) -> int:
     return 0
 
 
-def cmd_perform_inference(args) -> int:
+def _inference_outputs(spark, archive, clusters_tsv: str | None):
+    """§3.2 composition shared by perform-inference and run-pipeline."""
     from pride_spark.plans.perform_inference import perform_inference
-    from pride_spark.sources.jsonlines import read_archive_spectra, write_jsonlines
     from pride_spark.sources.tabular import read_maracluster
 
-    spark = _spark("perform-inference")
-    archive = read_archive_spectra(spark, args.archive_json)
-    if args.clusters_tsv:
-        clusters = read_maracluster(spark, args.clusters_tsv)
+    if clusters_tsv:
+        clusters = read_maracluster(spark, clusters_tsv)
         clusters_by = "index"
     else:  # §2.14b — native in-engine clustering instead of MaraCluster
         from pride_spark.operators.spectral_cluster import cluster_spectra
@@ -115,7 +113,7 @@ def cmd_perform_inference(args) -> int:
         clusters_by = "usi"
     # the reference re-parses bestSearchEngineScore.value as the PSM score
     # (InferenceService.java:102)
-    out = perform_inference(
+    return perform_inference(
         archive.withColumn(
             "score", F.col("bestSearchEngineScore")["value"].cast("double")
         ).withColumn(
@@ -125,10 +123,87 @@ def cmd_perform_inference(args) -> int:
         clusters,
         clusters_by=clusters_by,
     )
+
+
+def cmd_perform_inference(args) -> int:
+    from pride_spark.sources.jsonlines import read_archive_spectra, write_jsonlines
+
+    spark = _spark("perform-inference")
+    archive = read_archive_spectra(spark, args.archive_json)
+    out = _inference_outputs(spark, archive, args.clusters_tsv)
     write_jsonlines(out["cluster_best"], f"{args.output_dir}/cluster_best")
     write_jsonlines(out["winner_spectra"], f"{args.output_dir}/winner_spectra")
     write_jsonlines(out["protein_evidence"], f"{args.output_dir}/protein_evidence")
     print(f"wrote inference tables under {args.output_dir}")
+    return 0
+
+
+def cmd_run_pipeline(args) -> int:
+    """§3.3 — the post-download submissions.nf DAG as ONE Spark app.
+
+    Ref: ``submissions.nf:190-303`` — generate_json_index_files →
+    json_check_validator → convert_to_mgf → clustering →
+    final_inference_after_clustering.  Every reference arrow is a
+    process boundary (separate JVM, files as intermediate
+    representation); here the whole chain is one Spark application: the
+    F12 gate and MGF export reuse the in-memory archive frame, and the
+    §3.2 stage consumes the written T1 artifact — its schema contract —
+    through the same session.
+    """
+    from pride_spark.operators.filters import spectrum_validity_filter
+    from pride_spark.plans.generate_index_files import IndexConfig, generate_index_files
+    from pride_spark.plans.ingest import prepare_psms, read_psms_any, read_spectra_any
+    from pride_spark.sinks.mgf import write_mgf
+    from pride_spark.sources.jsonlines import read_archive_spectra, write_jsonlines
+
+    spark = _spark("run-pipeline")
+    # §3.1 generate_json_index_files
+    psms = read_psms_any(spark, args.result_files)
+    spectra = read_spectra_any(spark, args.spectra_files)
+    prepared = prepare_psms(psms, args.spectra_files[0])
+    key_col = "index" if dict(prepared.dtypes)["spectrumKey"] == "int" else "spectrumId"
+    spectra_keyed = spectra.withColumnRenamed(key_col, "spectrumKey").select(
+        "fileName", "spectrumKey", "masses", "intensities"
+    )
+    cfg = IndexConfig(
+        q_value_threshold=args.qvalue_threshold,
+        peptide_length=args.peptide_length,
+        min_psms=args.min_psms,
+        score_better=args.score_better,
+    )
+    out = generate_index_files(
+        prepared, spectra_keyed, args.project, cfg, enforce_gates=not args.no_gates
+    )
+    # archive feeds four downstream stages — materialize once
+    archive = out["archive_spectra"].persist()
+    write_jsonlines(archive, f"{args.output_dir}/archive_spectra")
+    write_jsonlines(out["summary_spectra"], f"{args.output_dir}/summary_spectra")
+    write_jsonlines(out["protein_evidence"], f"{args.output_dir}/protein_evidence")
+
+    # json_check_validator (F12) — same abort-the-pipeline contract
+    total = archive.count()
+    valid = spectrum_validity_filter(archive).count()
+    if valid != total:
+        print(f"ABORT: {total - valid}/{total} archive spectra invalid", file=sys.stderr)
+        archive.unpersist()
+        return 1
+
+    # convert_to_mgf (K5)
+    write_mgf(archive, f"{args.output_dir}/export.mgf")
+
+    # clustering + final_inference_after_clustering (§3.2) — reads the T1
+    # artifact written above: inference's input contract is the archive
+    # JSON schema, not the wider in-memory frame
+    inf = _inference_outputs(
+        spark,
+        read_archive_spectra(spark, f"{args.output_dir}/archive_spectra"),
+        args.clusters_tsv,
+    )
+    write_jsonlines(inf["cluster_best"], f"{args.output_dir}/cluster_best")
+    write_jsonlines(inf["winner_spectra"], f"{args.output_dir}/winner_spectra")
+    write_jsonlines(inf["protein_evidence"], f"{args.output_dir}/protein_evidence_final")
+    archive.unpersist()
+    print(f"pipeline complete: {valid} spectra indexed, outputs under {args.output_dir}")
     return 0
 
 
@@ -193,6 +268,21 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--clusters-tsv", help="MaraCluster TSV; omit for native clustering")
     g.add_argument("--output-dir", required=True)
     g.set_defaults(fn=cmd_perform_inference)
+
+    g = sub.add_parser(
+        "run-pipeline", help="§3.3 post-download DAG in one Spark app (index→check→MGF→inference)"
+    )
+    g.add_argument("--project", required=True)
+    g.add_argument("--result-files", nargs="+", required=True)
+    g.add_argument("--spectra-files", nargs="+", required=True)
+    g.add_argument("--output-dir", required=True)
+    g.add_argument("--clusters-tsv", help="MaraCluster TSV; omit for native clustering")
+    g.add_argument("--qvalue-threshold", type=float, default=0.01)
+    g.add_argument("--peptide-length", type=int, default=7)
+    g.add_argument("--min-psms", type=int, default=1000)
+    g.add_argument("--score-better", choices=("higher", "lower"), default="higher")
+    g.add_argument("--no-gates", action="store_true", help="skip the F11 validity gate")
+    g.set_defaults(fn=cmd_run_pipeline)
 
     g = sub.add_parser("generate-mgf-files", help="MGF export of archive spectra (K5)")
     g.add_argument("--archive-json", required=True)

@@ -137,3 +137,42 @@ def test_index_inference_mgf_check_pipeline(spark, project_dir, tmp_path):
         for l in p.read_text().splitlines()
     ]
     assert best and all("usi" in r for r in best)
+
+
+def _read_jsonl(outdir):
+    return [
+        json.loads(l)
+        for p in outdir.iterdir()
+        if p.name.startswith("part-")
+        for l in p.read_text().splitlines()
+    ]
+
+
+def test_run_pipeline_single_app(spark, project_dir, tmp_path):
+    # §3.3: the chained DAG in ONE command must produce the same artifact
+    # set as the four staged commands above
+    outdir = tmp_path / "pipe"
+    rc = main(
+        [
+            "run-pipeline",
+            "--project", "PXD777",
+            "--result-files", str(project_dir / "a.mzid"),
+            "--spectra-files", str(project_dir / "run1.mgf"),
+            "--output-dir", str(outdir),
+            "--qvalue-threshold", "0.1",
+            "--min-psms", "5",
+            "--score-better", "lower",
+        ]
+    )
+    assert rc == 0
+    archive = _read_jsonl(outdir / "archive_spectra")
+    assert archive and all("usi" in r for r in archive)
+    text = "".join(
+        p.read_text()
+        for p in (outdir / "export.mgf").iterdir()
+        if p.name.startswith("part-")
+    )
+    assert "BEGIN IONS" in text and "mzspec:PXD777:run1.mgf" in text
+    best = _read_jsonl(outdir / "cluster_best")
+    assert best and all("usi" in r for r in best)
+    assert (outdir / "protein_evidence_final").exists()
