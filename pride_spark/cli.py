@@ -66,12 +66,11 @@ def cmd_get_related_files(args) -> int:
     return 0
 
 
-def cmd_generate_index_files(args) -> int:
+def _index_outputs(spark, args):
+    """§3.1 composition shared by generate-index-files and run-pipeline."""
     from pride_spark.plans.generate_index_files import IndexConfig, generate_index_files
     from pride_spark.plans.ingest import prepare_psms, read_psms_any, read_spectra_any
-    from pride_spark.sources.jsonlines import write_jsonlines
 
-    spark = _spark("generate-index-files")
     psms = read_psms_any(spark, args.result_files)
     spectra = read_spectra_any(spark, args.spectra_files)
     prepared = prepare_psms(psms, args.spectra_files[0])
@@ -86,9 +85,16 @@ def cmd_generate_index_files(args) -> int:
         min_psms=args.min_psms,
         score_better=args.score_better,
     )
-    out = generate_index_files(
+    return generate_index_files(
         prepared, spectra_keyed, args.project, cfg, enforce_gates=not args.no_gates
     )
+
+
+def cmd_generate_index_files(args) -> int:
+    from pride_spark.sources.jsonlines import write_jsonlines
+
+    spark = _spark("generate-index-files")
+    out = _index_outputs(spark, args)
     write_jsonlines(out["archive_spectra"], f"{args.output_dir}/archive_spectra")
     write_jsonlines(out["summary_spectra"], f"{args.output_dir}/summary_spectra")
     write_jsonlines(out["protein_evidence"], f"{args.output_dir}/protein_evidence")
@@ -151,29 +157,12 @@ def cmd_run_pipeline(args) -> int:
     through the same session.
     """
     from pride_spark.operators.filters import spectrum_validity_filter
-    from pride_spark.plans.generate_index_files import IndexConfig, generate_index_files
-    from pride_spark.plans.ingest import prepare_psms, read_psms_any, read_spectra_any
     from pride_spark.sinks.mgf import write_mgf
     from pride_spark.sources.jsonlines import read_archive_spectra, write_jsonlines
 
     spark = _spark("run-pipeline")
     # §3.1 generate_json_index_files
-    psms = read_psms_any(spark, args.result_files)
-    spectra = read_spectra_any(spark, args.spectra_files)
-    prepared = prepare_psms(psms, args.spectra_files[0])
-    key_col = "index" if dict(prepared.dtypes)["spectrumKey"] == "int" else "spectrumId"
-    spectra_keyed = spectra.withColumnRenamed(key_col, "spectrumKey").select(
-        "fileName", "spectrumKey", "masses", "intensities"
-    )
-    cfg = IndexConfig(
-        q_value_threshold=args.qvalue_threshold,
-        peptide_length=args.peptide_length,
-        min_psms=args.min_psms,
-        score_better=args.score_better,
-    )
-    out = generate_index_files(
-        prepared, spectra_keyed, args.project, cfg, enforce_gates=not args.no_gates
-    )
+    out = _index_outputs(spark, args)
     # archive feeds four downstream stages — materialize once
     archive = out["archive_spectra"].persist()
     write_jsonlines(archive, f"{args.output_dir}/archive_spectra")

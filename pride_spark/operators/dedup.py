@@ -98,6 +98,34 @@ def minhash_signatures_df(
     )
 
 
+def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) rows: md5 digest of each signature band slice.
+
+    Shared by :func:`lsh_candidate_pairs` and :func:`lsh_bucket_stats` —
+    the stats are only meaningful if they hash the EXACT same banding the
+    join uses (and the q23/q24 DuckDB oracles mirror this expression).
+    """
+    rows = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -123,28 +151,10 @@ def lsh_candidate_pairs(
     exact-dedup or a re-run at a tighter shingle size covers them; use
     :func:`lsh_bucket_stats` to measure the dropped volume.
     """
-    rows = num_hashes // bands
     sigs = minhash_signatures_df(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _banded(sigs, num_hashes, bands)
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -180,26 +190,8 @@ def lsh_bucket_stats(
     """Diagnostic job: bucket-size distribution and the row volume a
     ``max_bucket`` cap would drop.  One aggregate pass; run it when tuning
     the cap or auditing what a capped run skipped."""
-    rows = num_hashes // bands
     sigs = minhash_signatures_df(df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _banded(sigs, num_hashes, bands)
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     row = sizes.agg(
         F.count("*").alias("buckets"),

@@ -166,7 +166,11 @@ def _global_two_pass(
     # materialize the result once so BOTH intermediate caches can be
     # released now — a bare persist here would pin executor storage for the
     # session's lifetime; the checkpoint blocks are instead freed by the
-    # ContextCleaner when `out` is garbage collected
+    # ContextCleaner when `out` is garbage collected.  eager=True does cost
+    # plan-only callers a full materialization, but any caller already paid
+    # the two boundary collects above (inherent to the two-pass shape), and
+    # eager=False would force unpersisting the inputs before the checkpoint
+    # materializes — recomputing the whole pipeline cacheless on first use
     out = out.localCheckpoint(eager=True)
     with_fdr.unpersist()
     part.unpersist()

@@ -81,17 +81,19 @@ def occams_razor(psms: DataFrame, max_groups: int = 2_000_000) -> DataFrame:
         .agg(F.sort_array(F.collect_set("proteinAccession")).alias("groupMembers"))
         .withColumn("groupId", F.element_at("groupMembers", 1))
     )
-    n_groups = grouped.count()
-    if n_groups > max_groups:
+    # limit(ceiling+1) bounds driver memory exactly like a pre-count would,
+    # but runs the explode+groupBy aggregation ONCE instead of twice
+    rows = grouped.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
         raise ValueError(
-            f"occams_razor: {n_groups} distinct peptide-set groups exceed the "
+            f"occams_razor: distinct peptide-set groups exceed the "
             f"driver-collect ceiling ({max_groups}); raise max_groups only if "
             "the driver has memory for the group table"
         )
     # Driver loop input: one row per DISTINCT peptide set — compact.
     groups = [
         (r["groupId"], tuple(r["groupMembers"]), frozenset(r["peptides"]))
-        for r in grouped.collect()
+        for r in rows
     ]
 
     # Step 2: subset absorption.  An inverted peptide→groups index makes

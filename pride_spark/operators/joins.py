@@ -135,7 +135,14 @@ def positional_zip_join(
     bucketable = lead_type in _ORDERED_NUMERIC or lead_type.startswith("decimal")
     order_cols = [F.col(c) for c in left_order]
     if n > 1 and bucketable:
-        keyed = left.withColumn("__zkey", F.col(lead).cast("double"))
+        # date/timestamp_ntz cannot cast straight to double; route them
+        # through timestamp (epoch seconds) — order-preserving either way
+        zkey = (
+            F.col(lead).cast("timestamp").cast("double")
+            if lead_type in ("date", "timestamp_ntz")
+            else F.col(lead).cast("double")
+        )
+        keyed = left.withColumn("__zkey", zkey)
         qs = [i / n for i in range(1, n)]
         # loose relativeError: boundaries only balance load, never values
         bounds = sorted(set(keyed.stat.approxQuantile("__zkey", qs, 0.05))) if qs else []

@@ -188,6 +188,8 @@ def _kmeans_centroids(
         .limit(n_sample)
         .collect()
     )
+    if not rows:  # empty input: no centroids (caller returns empty result)
+        return []
     x = np.asarray([list(map(float, r["v"])) for r in rows], dtype=np.float64)
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cents = x[: min(n_centroids, len(x))].copy()
@@ -264,6 +266,11 @@ def ivf_topk(
     """
     n_probe = n_probe or n_centroids
     cents = _kmeans_centroids(df, id_col, vec_col, n_centroids, kmeans_iters)
+    if not cents:  # empty table: empty result with the output schema
+        id_t = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"query_id {id_t}, nbr_id {id_t}, cosine double, rank int"
+        )
     nearest, order = _nearest_centroids_expr(F.col(vec_col), cents)
     bucket = (
         nearest

@@ -203,6 +203,8 @@ def _pridexml_spectra(path: str, base: str) -> Iterator[tuple]:
                         rt = float(p.get("value"))
             elif name == "ionSelection":
                 for p in child:
+                    if not p.get("value"):  # value-less cvParam, like above
+                        continue
                     acc = p.get("accession")
                     if acc in ("PSI:1000040", "MS:1000744"):
                         precursor_mz = float(p.get("value"))

@@ -121,6 +121,18 @@ def test_rolling_fingerprint_matches_python(spark):
     assert df.select(text.rolling_fingerprint(F.col("t")).alias("f")).first()["f"] == expected
 
 
+def test_ivf_topk_empty_input(spark):
+    # regression: the k-means quantizer must not crash on an empty table
+    from pride_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        "vec_id < 0"
+    )
+    out = similarity.ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=4)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "nbr_id", "cosine", "rank"}
+
+
 def test_ivf_topk_exact_when_probing_all(spark):
     from pride_spark.operators import similarity
 

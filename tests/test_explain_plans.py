@@ -4,7 +4,8 @@ Each test renders the formatted explain of a registry query at sf0.001
 and asserts plan properties — predicate pushdown reaching the parquet
 scan, broadcast joins where a side is dimension-sized, and the absence
 of single-partition exchanges / nested-loop cartesians on scale paths.
-Planning only: nothing here executes a job.
+Mostly planning-only; the two-pass queries (q03/q26) do run their
+boundary-collect jobs at build time — inherent to that shape.
 """
 
 from __future__ import annotations

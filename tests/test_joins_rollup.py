@@ -56,6 +56,25 @@ def test_positional_zip_join(spark):
     assert got == {("a", "first"), ("c", "third")}
 
 
+def test_positional_zip_join_date_key(spark):
+    # date/timestamp_ntz are bucketable but cannot cast straight to double
+    # — regression: the bucket key must route through timestamp
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(dt.date(2020, 1, d), f"L{d}") for d in (3, 1, 2)], "day date, lv string"
+    )
+    right = spark.createDataFrame([(0, "first"), (2, "third")], "idx int, tag string")
+    got = {
+        (r["lv"], r["tag"])
+        for r in positional_zip_join(
+            left, right, left_order=("day",), right_index_col="idx",
+            num_range_partitions=2,
+        ).collect()
+    }
+    assert got == {("L1", "first"), ("L3", "third")}
+
+
 def test_positional_zip_join_distributed(spark):
     # k = id*37 mod 1000 is a permutation of 0..999, so the row with k=j is
     # the j-th row in k-order: the zip must align k with idx exactly.
