@@ -85,6 +85,79 @@ def test_fdr_window_and_two_pass_agree(spark, rows):
         assert x[:2] == y[:2] and abs(x[2] - y[2]) < 1e-12 and abs(x[3] - y[3]) < 1e-12
 
 
+_WORDS = st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8)
+
+
+@given(docs=st.lists(_WORDS, min_size=1, max_size=10))
+@_SETTINGS
+def test_minhash_signatures_match_python_reference(spark, docs):
+    import hashlib
+
+    k, n = 4, 3
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs)], "doc_id long, text string"
+    )
+    from pride_spark.operators.dedup import minhash_signatures_df
+
+    got = {
+        r["id"]: tuple(r[f"mh{i}"] for i in range(k))
+        for r in minhash_signatures_df(df, "text", "doc_id", num_hashes=k, shingle_n=n).collect()
+    }
+    import re
+
+    for doc_id, w in enumerate(docs):
+        words = re.split(r"\s+", " ".join(w).strip())
+        kk = max(len(words) - n + 1, 1)
+        shingles = {" ".join(words[i : i + n]) for i in range(kk)}
+        want = tuple(
+            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shingles)
+            for i in range(k)
+        )
+        assert got[doc_id] == want, (doc_id, docs)
+
+
+_PSM_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # clusterId
+        st.sampled_from(["PEPA", "PEPB"]),              # peptideSequence (no L/I)
+        st.sampled_from(["PEPA", "PEPA[+80]", "PEPB"]),  # peptidoform
+        st.integers(min_value=0, max_value=5),          # score
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(rows=_PSM_ROWS)
+@_SETTINGS
+def test_best_psm_per_cluster_matches_python_reference(spark, rows):
+    from pride_spark.operators.cluster import best_psm_per_cluster
+
+    data = [
+        (cid, f"usi:{i}", pep, form, float(s))
+        for i, (cid, pep, form, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "clusterId int, usi string, peptideSequence string, peptidoform string, score double"
+    )
+    got = {r["clusterId"]: r["usi"] for r in best_psm_per_cluster(df).collect()}
+    # reference: purity gates (single isobaric peptide; row's own peptidoform
+    # is the strict majority) then min (score, usi)
+    want = {}
+    for cid in {c for c, *_ in rows}:
+        members = [d for d in data if d[0] == cid]
+        if len({m[2] for m in members}) != 1:  # sequences contain no L/I
+            continue
+        total = len(members)
+        form_counts = {}
+        for m in members:
+            form_counts[m[3]] = form_counts.get(m[3], 0) + 1
+        survivors = [m for m in members if form_counts[m[3]] * 2 > total]
+        if survivors:
+            want[cid] = min(survivors, key=lambda m: (m[4], m[1]))[1]
+    assert got == want, (rows, got, want)
+
+
 @given(n=st.integers(min_value=1, max_value=50), m=st.integers(min_value=0, max_value=60))
 @_SETTINGS
 def test_positional_zip_join_matches_python_zip(spark, n, m):
