@@ -1917,3 +1917,31 @@ def q51_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.upper(F.hex(F.col("frame"))).alias("frame_hex")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream time-range join — streaming surface, batch-checked
+# (pride_spark.streaming.joins.correlate_event_pairs; SURVEY §2.12
+# extension).  Same body serves readStream (watermark-bounded state) and
+# the batch oracle below (equi-key sort-merge join + range post-filter).
+# ---------------------------------------------------------------------------
+@register(
+    "q52_stream_stream_join",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+               FROM events)
+    SELECT a.user_id AS user_id,
+           a.event_id AS trigger_id,
+           b.event_id AS outcome_id,
+           EPOCH_US(b.ts) - EPOCH_US(a.ts) AS latency_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q52_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.streaming.joins import correlate_event_pairs
+
+    ev = _events(spark, sf_dir)
+    return correlate_event_pairs(ev, ev, streaming=False)

@@ -124,13 +124,21 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> list:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+) -> list:
     """Drain the stream with the availableNow trigger into a memory sink;
-    returns collected rows (test/backfill helper)."""
+    returns collected rows (test/backfill helper).
+
+    Default mode is ``complete`` (aggregations); stream-stream joins only
+    support ``append`` — pass ``output_mode="append"`` for those.
+    """
+    if output_mode is None:
+        output_mode = "complete" if stream_df.isStreaming else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
