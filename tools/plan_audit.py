@@ -1,0 +1,143 @@
+"""Physical-plan audit over the whole registry: the 100-TB readiness gate.
+
+Renders ``explain("formatted")`` for every registry query at a small SF
+(planning is SF-independent) and flags the shapes that break at scale:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — O(n*m) joins.
+  Allowed only where the build side is a bounded probe/literal set
+  (whitelisted with a justification that is printed, not hidden).
+- ``Exchange SinglePartition`` — a global funnel.  Allowed only for
+  final scalar/boundary collects that are O(#partitions), not O(rows).
+- ``BatchEvalPython`` — row-at-a-time Python UDF in the plan (the slow
+  path; Arrow ``ArrowEvalPython``/``MapInPandas`` are fine and expected
+  at the XML/media seams).
+- a global ``Sort`` with no partitioning directly under the root
+  (single-task ordering of the full result).
+
+Exit code is non-zero if an *unwhitelisted* red flag appears, so this
+can run as a gate.  Writes PLAN_AUDIT.md with one row per query.
+
+Usage: PYTHONPATH=/root/repo python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+from pride_spark import registry
+from pride_spark.session import get_spark
+
+# query -> (pattern -> why it is acceptable there)
+WHITELIST: dict[str, dict[str, str]] = {
+    "q22_cosine_topk": {
+        "BroadcastNestedLoopJoin": (
+            "exact-recall baseline: probe side bounded to 100 broadcast rows; "
+            "scale paths are q43 (IVF) and q49 (LSH)"
+        ),
+    },
+    "q03_fdr_qvalue": {
+        "Exchange SinglePartition": (
+            "two-pass boundary collect: one row per value-bucket (O(32)), not per PSM"
+        ),
+        "BroadcastNestedLoopJoin": (
+            "global q==0 repair scalar: cross-join of a 1-row aggregate "
+            "(IdentityBroadcastMode, O(1) build side) — the no-collect way "
+            "to attach a global min"
+        ),
+    },
+    "q10_min_positive_repair": {
+        "BroadcastNestedLoopJoin": (
+            "global min-positive scalar: cross-join of a 1-row aggregate — "
+            "O(1) build side, any scale"
+        ),
+    },
+    "q26_positional_join": {
+        "Exchange SinglePartition": (
+            "two-pass row-number boundary: one row per partition, broadcast back"
+        ),
+    },
+    "q45_combined_fdr": {
+        "Exchange SinglePartition": (
+            "per-engine-set boundary collect (bounded by #engine-sets)"
+        ),
+    },
+}
+
+FLAGS = [
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "Exchange SinglePartition",
+    "BatchEvalPython",
+]
+
+
+def _plan(spark, name: str, sf_dir: str) -> str:
+    df = registry.queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _audit_one(plan: str) -> list[str]:
+    found = [f for f in FLAGS if f in plan]
+    # root-level global sort: a Sort node whose child is a single-partition
+    # exchange (full-result ordering through one task)
+    if re.search(r"Sort .*\n.*Exchange SinglePartition", plan):
+        found.append("GlobalSort")
+    return found
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-audit")
+    rows: list[tuple[str, list[str], list[str]]] = []  # name, ok-flags, bad-flags
+    failures = 0
+    for name in sorted(registry.queries()):
+        try:
+            plan = _plan(spark, name, sf_dir)
+        except Exception as exc:  # pragma: no cover - audit robustness
+            rows.append((name, [], [f"PLAN-ERROR: {exc}"]))
+            failures += 1
+            continue
+        hits = _audit_one(plan)
+        allowed = WHITELIST.get(name, {})
+        ok = [h for h in hits if h in allowed]
+        bad = [h for h in hits if h not in allowed]
+        if bad:
+            failures += 1
+        rows.append((name, ok, bad))
+
+    codegen = sum(1 for n, _, _ in rows)
+    lines = [
+        "# PLAN_AUDIT — physical-plan red flags per registry query",
+        "",
+        f"Queries audited: {codegen}.  Flags: {', '.join(FLAGS)}, GlobalSort.",
+        "A `whitelisted` entry is a deliberate bounded-size exception (see",
+        "`tools/plan_audit.py` WHITELIST for the justification).",
+        "",
+        "| query | verdict | notes |",
+        "|---|---|---|",
+    ]
+    for name, ok, bad in rows:
+        if bad:
+            verdict, notes = "FLAG", "; ".join(bad)
+        elif ok:
+            verdict = "clean*"
+            notes = "; ".join(f"whitelisted {h}: {WHITELIST[name][h]}" for h in ok)
+        else:
+            verdict, notes = "clean", ""
+        lines.append(f"| {name} | {verdict} | {notes} |")
+        print(f"{name:32s} {verdict:7s} {'; '.join(bad) or '; '.join(ok)}")
+    with open("PLAN_AUDIT.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"== {len(rows) - failures} clean / {failures} flagged -> PLAN_AUDIT.md")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
