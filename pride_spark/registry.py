@@ -1945,3 +1945,16 @@ def q52_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return correlate_event_pairs(ev, ev, streaming=False)
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH ANN, GEMM-scored variant — same bucketing and oracle as
+# q49, but each (table, bucket) group is scored as one Arrow batch with a
+# float64 BLAS matmul and only per-bucket top-k rows cross the Python/JVM
+# boundary (O(n·L·k) traffic vs O(candidate pairs)).  ~6x the fold path
+# at sf0.1; the sanctioned vectorized-Pandas-UDF scale path.
+# ---------------------------------------------------------------------------
+@register("q53_lsh_ann_gemm", _lsh_oracle_sql())
+def q53_lsh_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk_gemm(emb, "vec_id", "embedding", planes=_lsh_planes(), k=3)

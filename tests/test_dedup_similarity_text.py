@@ -230,3 +230,56 @@ def test_lsh_cap_bounds_adversarial_corpus(spark):
     )
     pairs = dedup.near_dedup_minhash(mixed, "text", "doc_id", threshold=0.5, max_bucket=100).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_lsh_gemm_matches_fold_path(spark):
+    # same buckets, same candidates: the GEMM scorer must reproduce the
+    # JVM fold path's ranked output (scores to 1e-6, same neighbor ids)
+    import random
+
+    from pride_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    random.seed(17)
+    tables = [
+        [[random.gauss(0, 1) for _ in range(dim)] for _ in range(4)] for _ in range(2)
+    ]
+    fold = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+        for r in similarity.lsh_topk(emb, "vec_id", "embedding", tables, k=3).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], r["cosine"])
+        for r in similarity.lsh_topk_gemm(
+            emb, "vec_id", "embedding", tables, k=3
+        ).collect()
+    }
+    assert fold.keys() == gemm.keys()
+    for key, (nbr, cos) in fold.items():
+        gn, gc = gemm[key]
+        assert abs(cos - gc) <= 1e-6, (key, cos, gc)
+        assert nbr == gn, (key, nbr, gn)
+
+
+def test_lsh_gemm_skewed_bucket_and_zero_vectors(spark):
+    # adversarial: every vector identical (one mega-bucket) plus zero
+    # vectors; block_rows smaller than the bucket forces the chunked path
+    from pride_spark.operators import similarity
+
+    rows = [(i, [1.0, 2.0, 2.0]) for i in range(50)] + [
+        (100 + i, [0.0, 0.0, 0.0]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = [[[0.5, -0.1, 0.3]]]  # 1 table, 1 plane -> 2 buckets max
+    out = similarity.lsh_topk_gemm(
+        df, "vec_id", "embedding", planes, k=2, block_rows=8
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # identical vectors: cosine 1.0 with smallest nbr_ids first
+    assert [x["cosine"] for x in sorted(by_q[0], key=lambda r: r["rank"])] == [1.0, 1.0]
+    # zero vectors: cosine 0.0, never NaN
+    for r in out:
+        assert r["cosine"] == r["cosine"], "NaN cosine"
