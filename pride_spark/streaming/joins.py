@@ -58,9 +58,10 @@ def correlate_event_pairs(
         F.col("uid").alias("user_id"),
         "trigger_id",
         "outcome_id",
-        (
-            F.unix_micros(F.col("outcome_ts")) - F.unix_micros(F.col("trigger_ts"))
-        ).alias("latency_us"),
+        # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike — the
+        # events parquet surfaces as NTZ (isAdjustedToUTC=false), where
+        # unix_micros would fail analysis.
+        F.expr("timestampdiff(MICROSECOND, trigger_ts, outcome_ts)").alias("latency_us"),
     )
 
 
