@@ -24,7 +24,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: events parquet schema — ts is TIMESTAMP(NANOS), readable only as long.
+#: legacy events shape — ts as TIMESTAMP(NANOS), readable only as long.
+#: Current driver testdata writes ts as TIMESTAMP(MICROS) (surfaces as
+#: timestamp_ntz); ``read_event_stream`` probes the real file schema so
+#: both generations read correctly.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -38,16 +41,23 @@ EVENTS_SCHEMA = StructType(
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    """Nanos-long → proper timestamp column ``ts`` (integer div, no loss)."""
+    """Nanos-long → proper timestamp column ``ts`` (integer div, no loss);
+    native timestamp / timestamp_ntz columns pass through unchanged."""
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
 def read_event_stream(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
-    """Incremental parquet source over an events directory."""
+    """Incremental parquet source over an events directory.
+
+    The stream schema is probed from the existing files (driver-side
+    footer read, no scan): assuming nanos-long for a micros-timestamp
+    file would silently shift every event to 1970.
+    """
+    schema = spark.read.parquet(path).schema
     return with_event_time(
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
         .parquet(path)
     )
