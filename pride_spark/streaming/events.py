@@ -41,10 +41,25 @@ EVENTS_SCHEMA = StructType(
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    """Nanos-long → proper timestamp column ``ts`` (integer div, no loss);
-    native timestamp / timestamp_ntz columns pass through unchanged."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Canonicalize the event-time column ``ts`` to TIMESTAMP.
+
+    Generation-independent output type:
+
+    - legacy nanos-long generation → integer ``div`` to micros (no loss);
+    - TIMESTAMP_NTZ (current micros generation, isAdjustedToUTC=false) →
+      cast to TIMESTAMP.  ``withWatermark`` rejects NTZ event time
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the session time zone is
+      pinned to UTC (session.py RUNTIME_CONF) so the cast is
+      epoch-preserving.
+
+    A single output type also keeps streaming state-store schemas stable
+    if a directory migrates generations across query restarts.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -53,9 +68,19 @@ def read_event_stream(spark: SparkSession, path: str, max_files: int = 16) -> Da
 
     The stream schema is probed from the existing files (driver-side
     footer read, no scan): assuming nanos-long for a micros-timestamp
-    file would silently shift every event to 1970.
+    file would silently shift every event to 1970.  If the directory is
+    empty or not yet created (normal for a stream whose producer hasn't
+    written), the probe fails and we fall back to ``EVENTS_SCHEMA`` so
+    the stream can still start and pick up files later.
+
+    Assumes one ts generation per directory (the probe resolves a single
+    footer type); mixed nanos-long + micros files in one directory must
+    be read as two streams and unioned after :func:`with_event_time`.
     """
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:  # empty/missing dir: unable to infer schema
+        schema = EVENTS_SCHEMA
     return with_event_time(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)

@@ -27,7 +27,7 @@ def _rows_to_set(rows):
 
 
 def test_stream_stream_join_equals_batch(spark, events_dir):
-    batch_src = ev.with_event_time(spark.read.schema(ev.EVENTS_SCHEMA).parquet(events_dir))
+    batch_src = ev.with_event_time(spark.read.parquet(events_dir))
     batch = correlate_event_pairs(batch_src, batch_src, streaming=False)
 
     sa = ev.read_event_stream(spark, events_dir, max_files=2)
@@ -40,7 +40,7 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
 
 
 def test_stream_stream_join_range_bound(spark, events_dir):
-    src = ev.with_event_time(spark.read.schema(ev.EVENTS_SCHEMA).parquet(events_dir))
+    src = ev.with_event_time(spark.read.parquet(events_dir))
     out = correlate_event_pairs(src, src, within="30 minutes", streaming=False)
     bad = out.filter((F.col("latency_us") < 0) | (F.col("latency_us") > 30 * 60 * 1_000_000))
     assert bad.count() == 0
@@ -50,7 +50,7 @@ def test_stream_static_enrichment(spark, events_dir):
     dim = spark.createDataFrame(
         [(i, f"seg{i % 3}") for i in range(50)], ["user_id", "segment"]
     )
-    batch_src = ev.with_event_time(spark.read.schema(ev.EVENTS_SCHEMA).parquet(events_dir))
+    batch_src = ev.with_event_time(spark.read.parquet(events_dir))
     batch = enrich_with_dimension(batch_src, dim).select("event_id", "segment")
 
     stream = enrich_with_dimension(ev.read_event_stream(spark, events_dir, max_files=2), dim)

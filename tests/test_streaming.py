@@ -27,8 +27,7 @@ def _rows_to_set(rows):
 
 def test_tumbling_stream_equals_batch(spark, events_dir):
     batch = ev.tumbling_counts(
-        ev.with_event_time(spark.read.schema(ev.EVENTS_SCHEMA).parquet(events_dir)),
-        streaming=False,
+        ev.with_event_time(spark.read.parquet(events_dir)), streaming=False
     )
     stream = ev.tumbling_counts(ev.read_event_stream(spark, events_dir, max_files=2))
     got = ev.run_available_now(stream, "t_tumbling")
@@ -38,8 +37,7 @@ def test_tumbling_stream_equals_batch(spark, events_dir):
 
 def test_sliding_stream_equals_batch(spark, events_dir):
     batch = ev.sliding_counts(
-        ev.with_event_time(spark.read.schema(ev.EVENTS_SCHEMA).parquet(events_dir)),
-        streaming=False,
+        ev.with_event_time(spark.read.parquet(events_dir)), streaming=False
     )
     stream = ev.sliding_counts(ev.read_event_stream(spark, events_dir, max_files=2))
     got = ev.run_available_now(stream, "t_sliding")
@@ -48,6 +46,45 @@ def test_sliding_stream_equals_batch(spark, events_dir):
     n_batch = sum(r["n"] for r in batch.collect())
     src_n = spark.read.parquet(events_dir).count()
     assert n_batch == 2 * src_n
+
+
+def test_session_stream_equals_batch(spark, events_dir):
+    batch = ev.session_counts(
+        ev.with_event_time(spark.read.parquet(events_dir)), streaming=False
+    )
+    stream = ev.session_counts(ev.read_event_stream(spark, events_dir, max_files=2))
+    got = ev.run_available_now(stream, "t_session")
+    assert _rows_to_set(got) == _rows_to_set(batch.collect())
+    assert len(got) > 0
+
+
+def test_with_event_time_canonical_type(spark, events_dir):
+    # NTZ (current testdata generation) and legacy nanos-long both land on
+    # TIMESTAMP, and the epochs agree between the two conversions.
+    ntz = spark.read.parquet(events_dir)
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    out_ntz = ev.with_event_time(ntz)
+    assert dict(out_ntz.dtypes)["ts"] == "timestamp"
+
+    legacy = ntz.withColumn(
+        "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+    )
+    out_legacy = ev.with_event_time(legacy)
+    assert dict(out_legacy.dtypes)["ts"] == "timestamp"
+    a = out_ntz.select("event_id", "ts").orderBy("event_id").limit(100).collect()
+    b = out_legacy.select("event_id", "ts").orderBy("event_id").limit(100).collect()
+    assert a == b
+
+
+def test_read_event_stream_empty_dir_falls_back(spark, tmp_path):
+    # Empty source dir: schema probe fails ('unable to infer schema'), the
+    # stream must still start with EVENTS_SCHEMA and drain zero rows.
+    # (A *missing* dir is rejected by the file source itself at start.)
+    path = tmp_path / "empty_events"
+    path.mkdir()
+    stream = ev.tumbling_counts(ev.read_event_stream(spark, str(path)))
+    got = ev.run_available_now(stream, "t_empty")
+    assert got == []
 
 
 def test_session_windows_gap_semantics(spark):
@@ -88,3 +125,15 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT event_id FROM t_dedup").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_dedup_within_watermark_ntz_generation(spark, events_dir):
+    # Same operator over the current NTZ-micros testdata generation: the
+    # stream must start (withWatermark needs the canonicalized TIMESTAMP)
+    # and exact-dedup to the distinct event_id count.
+    stream = ev.dedup_within_watermark(ev.read_event_stream(spark, events_dir, max_files=2))
+    got = ev.run_available_now(stream, "t_dedup_ntz", output_mode="append")
+    n_distinct = (
+        spark.read.parquet(events_dir).select("event_id").distinct().count()
+    )
+    assert len(got) == n_distinct
