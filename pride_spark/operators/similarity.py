@@ -102,8 +102,31 @@ def lsh_topk(
     vec_col: str,
     planes: list[list[float]] | list[list[list[float]]],
     k: int = 3,
+    scorer: str = "gemm",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to same-bucket pairs.
+
+    Default production path: per-bucket GEMM scoring
+    (:func:`lsh_topk_gemm` — ~4.5x the fold path at sf0.1, O(n·L·k)
+    Python↔JVM traffic).  ``scorer="fold"`` selects the all-JVM
+    sequential-fold variant (:func:`lsh_topk_fold`) where bit-parity
+    with a left-to-right float summation matters; the two agree to 6 dp
+    (equivalence asserted in tests/test_dedup_similarity_text.py).
+    """
+    if scorer == "gemm":
+        return lsh_topk_gemm(df, id_col, vec_col, planes, k=k)
+    return lsh_topk_fold(df, id_col, vec_col, planes, k=k)
+
+
+def lsh_topk_fold(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]] | list[list[list[float]]],
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to same-bucket pairs,
+    scored pair-at-a-time with the JVM ``aggregate`` fold.
 
     ``planes`` is either ONE hash table (a list of hyperplanes) or a list
     of tables (OR-construction): with L tables of b planes, a pair whose

@@ -247,7 +247,9 @@ def test_lsh_gemm_matches_fold_path(spark):
     ]
     fold = {
         (r["query_id"], r["rank"]): (r["nbr_id"], r["cosine"])
-        for r in similarity.lsh_topk(emb, "vec_id", "embedding", tables, k=3).collect()
+        for r in similarity.lsh_topk(
+            emb, "vec_id", "embedding", tables, k=3, scorer="fold"
+        ).collect()
     }
     gemm = {
         (r["query_id"], r["rank"]): (r["nbr_id"], r["cosine"])
