@@ -5,14 +5,26 @@ pipeline carries media as ``binary`` columns with struct metadata, and the
 decode / feature-extract / resize / frame-sample steps run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python row by row.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are deterministic fakes behind ``_decode_*`` seams, clearly
-marked — the Spark-side plumbing (schemas, batch iteration, partitioning,
-output contracts) is real and tested.  Swap the kernel, keep the plan.
+The decode kernels are selected per call via ``decoder=``:
+
+- ``"stub"`` (default) — deterministic fakes behind the ``_decode_*``
+  seams, clearly marked; CI and the DuckDB oracles stay hermetic because
+  the fake arithmetic is reproducible SQL-side.
+- ``"real"`` — actual codecs: PIL for images, stdlib ``wave`` (or
+  soundfile when installed) for audio, ffmpeg for video frames.  Raises
+  if the codec is absent.
+- ``"auto"`` — ``real`` when :func:`codec_support` says the codec is
+  importable, else the stub.
+
+Either way the Spark-side plumbing (schemas, Arrow batch iteration,
+partitioning, output contracts) is identical — swap the kernel, keep the
+plan.
 """
 
 from __future__ import annotations
 
+import importlib.util
+import shutil
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,28 +70,57 @@ FRAME_SAMPLE_SCHEMA = StructType(
 )
 
 
+def codec_support() -> dict[str, bool]:
+    """Runtime feature probe: which real decode kernels this environment
+    can run.  Import/binary checks only — nothing is loaded eagerly."""
+    return {
+        "image": importlib.util.find_spec("PIL") is not None,
+        "audio": True,  # stdlib wave handles RIFF/WAV; soundfile widens it
+        "audio_soundfile": importlib.util.find_spec("soundfile") is not None,
+        "video": shutil.which("ffmpeg") is not None,
+    }
+
+
+def _pick(decoder: str, kind: str) -> str:
+    if decoder == "auto":
+        return "real" if codec_support()[kind] else "stub"
+    return decoder
+
+
 def _decode_image(payload: bytes) -> bytes:
-    """STUB decode seam — replace with PIL in a full container.
+    """STUB decode seam (``decoder="stub"``).
 
     Deterministic fake: the 'decoded pixels' are the payload itself.
     """
     if payload is None:
-        raise NotImplementedError("real image decode requires PIL; payload was None")
+        raise NotImplementedError("image decode: payload was None")
     return payload
 
 
-def image_features(media: DataFrame) -> DataFrame:
+def _decode_image_real(payload: bytes) -> bytes:
+    """Real PIL decode: payload → raw RGB pixel bytes.  Import deferred to
+    the executor so the driver never needs PIL installed."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.convert("RGB").tobytes()
+
+
+def image_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
     """Arrow-batched feature extraction over image payloads.
 
     Real plumbing: ``mapInPandas`` receives pandas batches (zero-copy via
     Arrow for binary), emits a narrow feature table.  The per-byte stats
-    and the 64-bit fake perceptual hash are deterministic stand-ins for a
-    CNN/pHash kernel.
+    and the 64-bit perceptual-hash stand-in run over either the stub
+    'pixels' (the payload) or the PIL-decoded RGB bytes (``decoder="real"``).
     """
+    decode = _decode_image_real if _pick(decoder, "image") == "real" else _decode_image
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [_decode_image(p) for p in pdf["payload"]]
+            payloads = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -106,25 +147,52 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 
 def _decode_audio(payload: bytes) -> list[int]:
-    """STUB decode seam — replace with soundfile/torchaudio in a full
-    container.  Deterministic fake: payload bytes as signed 8-bit PCM."""
+    """STUB decode seam (``decoder="stub"``).  Deterministic fake: payload
+    bytes as signed 8-bit PCM."""
     if payload is None:
-        raise NotImplementedError("real audio decode requires a codec; payload was None")
+        raise NotImplementedError("audio decode: payload was None")
     return [b - 256 if b > 127 else b for b in payload]
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+def _decode_audio_real(payload: bytes) -> list[int]:
+    """Real audio decode.  RIFF/WAV via stdlib ``wave`` (always available;
+    8/16-bit PCM → signed ints); anything else via soundfile when
+    installed."""
+    import io
+
+    if payload[:4] == b"RIFF":
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            raw = w.readframes(w.getnframes())
+            width = w.getsampwidth()
+        if width == 1:  # WAV 8-bit is unsigned
+            return [b - 128 for b in raw]
+        if width == 2:
+            return [
+                int.from_bytes(raw[i : i + 2], "little", signed=True)
+                for i in range(0, len(raw), 2)
+            ]
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    import soundfile as sf  # non-WAV containers need the optional codec
+
+    data, _rate = sf.read(io.BytesIO(payload), dtype="int16")
+    return [int(v) for v in data.reshape(-1)]
+
+
+def audio_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
     """Arrow-batched waveform features over audio payloads.
 
     Same plumbing contract as :func:`image_features`: ``mapInPandas``
     batches in, a narrow feature table out.  Sample count, integer RMS
-    and zero-crossing count are deterministic stand-ins for a real
-    spectral kernel (MFCC/chroma), computable on the fake PCM decode.
+    and zero-crossing count run over either the fake PCM decode (stub)
+    or real WAV/soundfile samples (``decoder="real"``).
     """
+    decode = _decode_audio_real if _pick(decoder, "audio") == "real" else _decode_audio
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            waves = [_decode_audio(p) for p in pdf["payload"]]
+            waves = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -161,24 +229,60 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(kernel, media.schema)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def _extract_frames_stub(payload: bytes, duration_ms: int, every_ms: int) -> list[bytes]:
+    """STUB frame extraction (``decoder="stub"``): deterministic payload
+    slices, one per sampling interval."""
+    n = max(int((duration_ms or 0) // every_ms), 1)
+    payload = payload or b""
+    return [bytes(payload[i : i + 16]) for i in range(n)]
+
+
+def _extract_frames_real(payload: bytes, duration_ms: int, every_ms: int) -> list[bytes]:
+    """Real frame extraction via the ffmpeg binary: container bytes in,
+    one JPEG per sampled timestamp out."""
+    import glob
+    import os
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in.bin")
+        with open(src, "wb") as f:
+            f.write(payload or b"")
+        subprocess.run(
+            [
+                "ffmpeg", "-nostdin", "-v", "error", "-i", src,
+                "-vf", f"fps=1000/{every_ms}",
+                os.path.join(td, "f%05d.jpg"),
+            ],
+            check=True,
+        )
+        return [
+            open(p, "rb").read() for p in sorted(glob.glob(os.path.join(td, "f*.jpg")))
+        ]
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, decoder: str = "stub") -> DataFrame:
     """Video → one row per sampled frame (explode in Python batch space).
 
-    STUB frame extraction (slices of the payload); real plumbing: a
-    1→N ``mapInPandas`` producing a tall frame table partitioned by
-    ``media_id`` for downstream per-frame featurization.
+    Real plumbing either way: a 1→N ``mapInPandas`` producing a tall frame
+    table partitioned by ``media_id`` for downstream per-frame
+    featurization.  ``decoder="real"`` shells out to ffmpeg per payload;
+    the stub slices the payload deterministically.
     """
+    extract = (
+        _extract_frames_real if _pick(decoder, "video") == "real" else _extract_frames_stub
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for _, row in pdf.iterrows():
-                n = max(int((row["duration_ms"] or 0) // every_ms), 1)
-                payload = row["payload"] or b""
-                for i in range(n):
+                fs = extract(row["payload"], row["duration_ms"], every_ms)
+                for i, fr in enumerate(fs):
                     ids.append(row["media_id"])
                     idxs.append(i)
-                    frames.append(bytes(payload[i : i + 16]))
+                    frames.append(fr)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.filter(F.col("kind") == "video").mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)

@@ -2,6 +2,12 @@
 
 from __future__ import annotations
 
+import io
+import wave
+
+import pytest
+from pyspark.sql import functions as F
+
 from pride_spark.operators import multimodal as mm
 
 
@@ -61,3 +67,77 @@ def test_frame_sampling_explodes(spark):
     assert {r["media_id"] for r in per} == set(vids)
     for r in per:
         assert r["count"] == max(vids[r["media_id"]] // 5000, 1)
+
+
+# --- real-decoder paths (feature-probed; stub stays the hermetic default) ---
+
+
+def _wav_bytes(samples: list[int]) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(s.to_bytes(2, "little", signed=True) for s in samples))
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav_decode(spark):
+    # stdlib wave is always present: the real path runs hermetically in CI
+    samples = [0, 1000, -1000, 500, -500, 0, 2000, -2000]
+    rows = [(1, "audio", _wav_bytes(samples), "audio/wav", None, None, None)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.audio_features(media, decoder="real").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_samples"] == len(samples)
+    assert r["rms"] == int((sum(s * s for s in samples) / len(samples)) ** 0.5)
+    assert r["zero_crossings"] == sum(
+        1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+    )
+
+
+def test_decoder_auto_matches_probe(spark):
+    # auto == real for audio (wave is stdlib); for image/video it must
+    # fall back to the stub when PIL/ffmpeg are absent
+    sup = mm.codec_support()
+    assert sup["audio"] is True
+    media = _media(spark)
+    if not sup["image"]:
+        stub = {r["media_id"]: r for r in mm.image_features(media).collect()}
+        auto = {r["media_id"]: r for r in mm.image_features(media, decoder="auto").collect()}
+        assert stub == auto
+    if not sup["video"]:
+        stub = mm.sample_frames(media, every_ms=5000).count()
+        auto = mm.sample_frames(media, every_ms=5000, decoder="auto").count()
+        assert stub == auto
+
+
+@pytest.mark.skipif(not mm.codec_support()["image"], reason="PIL not installed")
+def test_image_features_real_pil_decode(spark):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2), (10, 20, 30)).save(buf, format="PNG")
+    rows = [(1, "image", buf.getvalue(), "image/png", 4, 2, None)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.image_features(media, decoder="real").collect()
+    assert out[0]["n_bytes"] == 4 * 2 * 3
+    assert out[0]["byte_mean"] == 20
+
+
+@pytest.mark.skipif(not mm.codec_support()["video"], reason="ffmpeg not installed")
+def test_sample_frames_real_ffmpeg_decode(spark, tmp_path):
+    import subprocess
+
+    src = tmp_path / "test.mp4"
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi", "-i", "testsrc=duration=2:rate=5",
+         str(src)],
+        check=True,
+    )
+    rows = [(1, "video", src.read_bytes(), "video/mp4", None, None, 2000)]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.sample_frames(media, every_ms=1000, decoder="real").collect()
+    assert len(out) >= 2
+    assert all(bytes(r["frame"])[:2] == b"\xff\xd8" for r in out)  # JPEG SOI
