@@ -1,0 +1,131 @@
+"""End-to-end CLI wall-clock bench: large synthetic mzid+MGF → run-pipeline.
+
+VERDICT r02 item 8: the sf0.1 registry bench exercises operators on
+pre-built frames; this drives the §3.3 DAG (parse → normalize → read
+spectra → FDR → J5 join → USI → MGF export → inference) from RAW FILES
+at a PSM count the reference's own envelope is quoted at (800 K PSMs /
+10 h / 4 cores ≈ 22 PSM/s/core), to catch memory/partition issues the
+small fixtures hide.
+
+Usage:
+    python tools/bench_pipeline.py [--n 200000] [--out /tmp/pipe_bench]
+
+Prints one JSON line: fixture-build seconds, pipeline wall seconds,
+PSM/s and PSM/s/core.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_fixture(n: int, out: str) -> tuple[str, str]:
+    """Streamed writers — the n=200k mzid is ~90 MB; never hold it in RAM."""
+    os.makedirs(out, exist_ok=True)
+    mzid, mgf = os.path.join(out, "big.mzid"), os.path.join(out, "run1.mgf")
+    with open(mzid, "w") as f:
+        f.write('<?xml version="1.0"?>\n')
+        f.write('<MzIdentML xmlns="http://psidev.info/psi/pi/mzIdentML/1.1">\n')
+        f.write("<SequenceCollection>")
+        for i in range(n):
+            decoy = i % 4 == 3
+            acc = f"{'DECOY_' if decoy else ''}PROT{i % 997}"
+            f.write(f'<DBSequence id="DB_{i}" accession="{acc}"/>')
+        for i in range(n):
+            f.write(
+                f'<Peptide id="Pep_{i}"><PeptideSequence>'
+                f"PEPTIDEK{chr(65 + i % 19)}{chr(65 + i % 7)}"
+                f"</PeptideSequence></Peptide>"
+            )
+        for i in range(n):
+            decoy = i % 4 == 3
+            f.write(
+                f'<PeptideEvidence id="PE_{i}" peptide_ref="Pep_{i}" '
+                f'dBSequence_ref="DB_{i}" isDecoy="{str(decoy).lower()}"/>'
+            )
+        f.write("</SequenceCollection><DataCollection>")
+        f.write(
+            '<Inputs><SpectraData id="SD_1" location="file:///data/run1.mgf">'
+            '<SpectrumIDFormat><cvParam accession="MS:1000774" '
+            'name="multiple peak list nativeID format"/></SpectrumIDFormat>'
+            "</SpectraData></Inputs>"
+        )
+        f.write('<AnalysisData><SpectrumIdentificationList id="SIL_1">')
+        for i in range(n):
+            decoy = i % 4 == 3
+            score = 0.95 if decoy else max(0.9 - (i % 40000) * 2e-5, 0.0001)
+            f.write(
+                f'<SpectrumIdentificationResult id="SIR_{i}" spectrumID="index={i}" '
+                f'spectraData_ref="SD_1">'
+                f'<SpectrumIdentificationItem id="SII_{i}" rank="1" chargeState="2" '
+                f'experimentalMassToCharge="{400.0 + i % 1000}" peptide_ref="Pep_{i}" '
+                f'passThreshold="true">'
+                f'<PeptideEvidenceRef peptideEvidence_ref="PE_{i}"/>'
+                f'<cvParam accession="MS:1002257" name="e-value" value="{score}"/>'
+                f"</SpectrumIdentificationItem></SpectrumIdentificationResult>"
+            )
+        f.write("</SpectrumIdentificationList></AnalysisData></DataCollection></MzIdentML>\n")
+    with open(mgf, "w") as f:
+        for i in range(n):
+            f.write(
+                f"BEGIN IONS\nTITLE=spec{i}\nPEPMASS={400.0 + i % 1000}\nCHARGE=2+\n"
+                f"{100.0 + i % 500}\t10.0\n{200.0 + i % 500}\t20.0\n"
+                f"{300.0 + i % 500}\t15.0\nEND IONS\n"
+            )
+    return mzid, mgf
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--out", default="/tmp/pipe_bench")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    mzid, mgf = build_fixture(args.n, args.out)
+    t_build = time.time() - t0
+    print(f"fixture: {t_build:.1f}s, mzid {os.path.getsize(mzid)>>20} MB", file=sys.stderr)
+
+    from pride_spark.cli import main as cli_main
+
+    outdir = os.path.join(args.out, "pipe_out")
+    shutil.rmtree(outdir, ignore_errors=True)
+    t0 = time.time()
+    rc = cli_main(
+        [
+            "run-pipeline",
+            "--project", "PXD777",
+            "--result-files", mzid,
+            "--spectra-files", mgf,
+            "--output-dir", outdir,
+            "--qvalue-threshold", "0.1",
+            "--min-psms", "5",
+            "--score-better", "lower",
+        ]
+    )
+    t_pipe = time.time() - t0
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(
+        json.dumps(
+            {
+                "n_psms": args.n,
+                "rc": rc,
+                "fixture_sec": round(t_build, 1),
+                "pipeline_sec": round(t_pipe, 1),
+                "psm_per_sec": round(args.n / t_pipe, 1),
+                "psm_per_sec_per_core": round(args.n / t_pipe / cores, 2),
+            }
+        )
+    )
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

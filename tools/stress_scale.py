@@ -71,11 +71,13 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build(spark, out: str, factor: int) -> None:
+def build(spark, out: str, factor: int, tables: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out, exist_ok=True)
     for table, key in KEYED.items():
+        if tables and table not in tables:
+            continue
         src = f"{SRC}/{table}.parquet"
         dst = f"{out}/{table}.parquet"
         if os.path.exists(dst):
@@ -106,6 +108,18 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list: build only these tables (adversarial runs that "
+        "touch documents/embeddings need not materialize lineitem x64)",
+    )
+    ap.add_argument(
+        "--bucket-stats",
+        action="store_true",
+        help="also run dedup.lsh_bucket_stats on the scaled documents and "
+        "report the volume a max_bucket cap drops",
+    )
     args = ap.parse_args()
 
     from pride_spark.session import get_spark
@@ -114,7 +128,8 @@ def main() -> int:
     spark = get_spark("stress-scale")
     if not args.skip_build:
         t0 = time.time()
-        build(spark, args.out, args.factor)
+        build(spark, args.out, args.factor,
+              args.tables.split(",") if args.tables else None)
         print(f"build: {time.time() - t0:.1f}s", file=sys.stderr)
 
     qs = registry.queries()
@@ -137,8 +152,17 @@ def main() -> int:
             results[name] = {"sec": round(dt, 2), "err": repr(exc)[:200]}
         total += dt
         print(json.dumps({name: results[name]}), file=sys.stderr)
-    print(json.dumps({"factor": args.factor, "total_sec": round(total, 2),
-                      "queries": results}))
+    out = {"factor": args.factor, "total_sec": round(total, 2), "queries": results}
+    if args.bucket_stats:
+        from pride_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{args.out}/documents.parquet")
+        t0 = time.time()
+        # cap matches q24's production setting (registry.py max_bucket=500)
+        stats = dedup.lsh_bucket_stats(docs, "text", "doc_id", max_bucket=500)
+        stats["sec"] = round(time.time() - t0, 2)
+        out["bucket_stats"] = {k: int(v) if k != "sec" else v for k, v in stats.items()}
+    print(json.dumps(out))
     spark.stop()
     return 0
 
