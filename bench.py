@@ -4,7 +4,7 @@ JSON line with per-query and total wall seconds.
 
 Each query executes end-to-end into the noop sink (full plan, no driver
 collect overhead).  Per query we report the MIN of
-$SPARK_GRAFT_BENCH_RUNS (default 2) runs: this container's scheduler is
+$SPARK_GRAFT_BENCH_RUNS (default 3) runs: this container's scheduler is
 noisy enough that identical back-to-back runs differ by 2x, and min-of-N
 measures the query's compute cost rather than the machine's mood.
 """
@@ -35,7 +35,7 @@ def main() -> int:
     warm = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
 
-    runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")), 1)
+    runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():
         best = None
