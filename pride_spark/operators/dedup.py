@@ -154,7 +154,30 @@ def lsh_candidate_pairs(
     sigs = minhash_signatures_df(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
-    banded = _banded(sigs, num_hashes, bands)
+    # Carry the whole band-digest array on every banded row so the join can
+    # apply FIRST-COLLISION-WINS: a pair agreeing in several bands is
+    # emitted only from the first agreeing band.  Same pair set as
+    # emit-everywhere + distinct, but the join output shrinks ~bands× and
+    # the pair-level distinct shuffle disappears entirely (the dominant
+    # cost at 64× duplicate skew: 312s → see STRESS_r03).  When a
+    # max_bucket cap drops a pair's first-agreeing band, the pair is
+    # treated as cap-dropped even if a later band survives — consistent
+    # with the cap's contract (over-cap members are mutually
+    # near-identical and covered by exact dedup upstream).
+    rows = num_hashes // bands
+    digs = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col("id"), digs.alias("digs")).select(
+        "id", "digs", F.posexplode("digs").alias("band", "bucket")
+    )
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -165,6 +188,9 @@ def lsh_candidate_pairs(
             .drop("__bsz")
         )
     a, b = banded.alias("a"), banded.alias("b")
+    first_agree = F.array_position(
+        F.zip_with(F.col("a.digs"), F.col("b.digs"), lambda x, y: x == y), True
+    )
     return (
         a.join(
             b,
@@ -172,8 +198,8 @@ def lsh_candidate_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(first_agree == F.col("a.band") + 1)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
 
 
