@@ -132,34 +132,22 @@ def cluster_spectra(
         F.array(*[_minhash(s) for s in range(num_hashes)]).alias("sig"),
     )
 
-    # two overlapping precursor blocks per spectrum
-    pblock = F.explode(
-        F.array_distinct(
-            F.array(
-                F.floor(F.col("pmz") / F.lit(precursor_window)),
-                F.floor(F.col("pmz") / F.lit(precursor_window) + F.lit(0.5)),
-            )
-        )
-    ).alias("pblock")
-    band = F.explode(
+    # two overlapping precursor blocks per spectrum; every row carries the
+    # FULL pbs (and, for lsh, band-digest) array so the candidate join can
+    # apply FIRST-COLLISION-WINS: a pair meeting in several (pblock, band)
+    # buckets is emitted only where pblock is the smallest shared block and
+    # band is the first agreeing band.  Same pair set as
+    # emit-everywhere + dropDuplicates, minus the pair-level dedup shuffle
+    # over the (up to 2·bands ×) duplicated candidate explosion.  When a
+    # max_bucket cap drops the first-colliding bucket, the pair counts as
+    # cap-dropped even if a later bucket survives (the cap's contract:
+    # over-cap members are mutually near-identical).
+    pbs = F.array_distinct(
         F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bandHash"),
-                )
-                for b in range(bands)
-            ]
+            F.floor(F.col("pmz") / F.lit(precursor_window)),
+            F.floor(F.col("pmz") / F.lit(precursor_window) + F.lit(0.5)),
         )
-    ).alias("bh")
+    )
 
     def _cap(frame: DataFrame, keys: list[str]) -> DataFrame:
         if max_bucket is None:
@@ -171,40 +159,81 @@ def cluster_spectra(
             .drop("__bsz")
         )
 
+    first_block = F.col("pblock") == F.array_min(
+        F.array_intersect(F.col("pbs_a"), F.col("pbs_b"))
+    )
     if method == "block":
-        blocked = _cap(binned.select("key", "bins", pblock), ["pblock"])
+        blocked = _cap(
+            binned.select("key", "bins", pbs.alias("pbs"))
+            .select("key", "bins", "pbs", F.explode("pbs").alias("pblock")),
+            ["pblock"],
+        )
         left = blocked.select(
-            F.col("key").alias("key_a"), F.col("bins").alias("bins_a"), "pblock"
+            F.col("key").alias("key_a"),
+            F.col("bins").alias("bins_a"),
+            F.col("pbs").alias("pbs_a"),
+            "pblock",
         )
         right = blocked.select(
-            F.col("key").alias("key_b"), F.col("bins").alias("bins_b"), "pblock"
+            F.col("key").alias("key_b"),
+            F.col("bins").alias("bins_b"),
+            F.col("pbs").alias("pbs_b"),
+            "pblock",
         )
-        cand = left.join(right, ["pblock"])
+        cand = left.join(right, ["pblock"]).filter(first_block)
     else:
+        digs = F.array(
+            *[
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
         buckets = _cap(
-            sigs.select("key", "bins", pblock, "sig").select(
-                "key", "bins", "pblock", band
-            ).select("key", "bins", "pblock", "bh"),
-            ["pblock", "bh"],
+            sigs.select("key", "bins", pbs.alias("pbs"), digs.alias("digs"))
+            .select("key", "bins", "pbs", "digs", F.explode("pbs").alias("pblock"))
+            .select(
+                "key", "bins", "pbs", "digs", "pblock",
+                F.posexplode("digs").alias("band", "bandHash"),
+            ),
+            ["pblock", "band", "bandHash"],
         )
         left = buckets.select(
             F.col("key").alias("key_a"),
             F.col("bins").alias("bins_a"),
+            F.col("pbs").alias("pbs_a"),
+            F.col("digs").alias("digs_a"),
             "pblock",
-            F.col("bh.band").alias("band"),
-            F.col("bh.bandHash").alias("bandHash"),
+            "band",
+            "bandHash",
         )
         right = buckets.select(
             F.col("key").alias("key_b"),
             F.col("bins").alias("bins_b"),
+            F.col("pbs").alias("pbs_b"),
+            F.col("digs").alias("digs_b"),
             "pblock",
-            F.col("bh.band").alias("band"),
-            F.col("bh.bandHash").alias("bandHash"),
+            "band",
+            "bandHash",
         )
-        cand = left.join(right, ["pblock", "band", "bandHash"])
+        first_band = (
+            F.array_position(
+                F.zip_with(F.col("digs_a"), F.col("digs_b"), lambda x, y: x == y), True
+            )
+            == F.col("band") + 1
+        )
+        cand = left.join(right, ["pblock", "band", "bandHash"]).filter(
+            first_block & first_band
+        )
     pairs = (
         cand.filter(F.col("key_a") < F.col("key_b"))
-        .dropDuplicates(["key_a", "key_b"])
         .filter(_jaccard(F.col("bins_a"), F.col("bins_b")) >= threshold)
         .select("key_a", "key_b")
     )

@@ -1231,8 +1231,13 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q35_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode→vote-sum shape (simhash_df): identical bits to the in-row
+    # simhash_md5 fold, but codegen + map-side combine instead of an
+    # interpreted per-row HOF fold — ~10% at sf0.1, ~30% at 64x corpus
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup.simhash_md5(F.col("text")).alias("simhash"))
+    return dedup.simhash_df(docs, "text", "doc_id", variant="md5").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -204,6 +204,25 @@ def test_simhash_md5_close_docs_close_hashes(spark):
     assert hamming(h[1], h[2]) < 8
     assert hamming(h[1], h[3]) > 16
 
+def test_simhash_df_matches_in_row_fold(spark):
+    # the explode→vote-sum hot path must produce the exact bits of the
+    # in-row fold, both variants, including short/empty docs
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    extra = spark.createDataFrame([(9001, ""), (9002, "one"), (9003, "a b")],
+                                  ["doc_id", "text"])
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    for variant, col_fn in [("md5", dedup.simhash_md5), ("xx64", dedup.simhash64)]:
+        fold = {
+            r["doc_id"]: r["h"]
+            for r in docs.select("doc_id", col_fn(F.col("text")).alias("h")).collect()
+        }
+        agg = {
+            r["id"]: r["simhash"]
+            for r in dedup.simhash_df(docs, "text", "doc_id", variant=variant).collect()
+        }
+        assert fold == agg, variant
+
+
 def test_lsh_cap_bounds_adversarial_corpus(spark):
     # 300 identical docs: uncapped LSH emits ~300^2/2 pairs per band;
     # the cap drops the oversized buckets so the plan stays linear, and the
