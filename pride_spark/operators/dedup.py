@@ -49,18 +49,30 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
-    """k independent min-hashes over shingles: ``min(md5(seed || shingle))``.
+#: hash i = 8-hex-char (32-bit) chunk i%4 of md5(f"{i//4}|" + shingle).
+#: One md5 yields FOUR independent 32-bit min-hash values: md5 output bits
+#: are uniform and independent, and 32 bits is ample for a min-hash value
+#: domain, so this quarters the md5 invocations AND the signature width vs
+#: one full digest per hash — md5 is the dominant map-side cost of
+#: near-dedup at scale.  Fixed-length lowercase hex compares like the
+#: number it encodes, in any engine (the DuckDB oracles mirror this
+#: SUBSTR(MD5(..)) derivation exactly).
+def _chunk_hash(sh: Column, i: int) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{i // 4}|"), sh)), (i % 4) * 8 + 1, 8
+    )
 
-    Seeded md5 gives k independent permutations; output is
-    ``array<string>`` of length ``num_hashes``.
-    """
+
+def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """k independent 32-bit min-hashes over shingles (chunked md5, see
+    :func:`_chunk_hash`); output is ``array<string>`` of length
+    ``num_hashes``."""
     sh = word_shingles(text, shingle_n)
 
-    def seeded(seed: int):
+    def seeded(i: int):
         # single-arg closure: a 2-arg lambda would receive (element, index)
         def h(s: Column) -> Column:
-            return F.md5(F.concat(F.lit(f"{seed}|"), s))
+            return _chunk_hash(s, i)
 
         return h
 
@@ -77,19 +89,30 @@ def minhash_signatures_df(
 ) -> DataFrame:
     """Per-document MinHash signature via explode + groupBy-min.
 
-    The scalable shape: shingles are materialized ONCE (explode), each gets
-    k seeded hashes, and the signature is a single map-side-combinable
-    ``min`` aggregation — one shuffle of (id, k×32B), no quadratic array
-    re-evaluation.  Output: (id, mh0..mh{k-1}).
+    The scalable shape: shingles are materialized ONCE (explode), each
+    md5 digest is computed ONCE and split into four 32-bit chunk hashes
+    (:func:`_chunk_hash` — explicit two-step select so the digest is
+    never recomputed per chunk), and the signature is a single
+    map-side-combinable ``min`` aggregation — one shuffle of
+    (id, k×8B), no quadratic array re-evaluation.  Output:
+    (id, mh0..mh{k-1}).
     """
+    n_digests = (num_hashes + 3) // 4
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("sh"),
     )
-    hashed = sh.select(
+    digests = sh.select(
         "id",
         *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))).alias(f"h{i}")
+            F.md5(F.concat(F.lit(f"{d}|"), F.col("sh"))).alias(f"d{d}")
+            for d in range(n_digests)
+        ],
+    )
+    hashed = digests.select(
+        "id",
+        *[
+            F.substring(F.col(f"d{i // 4}"), (i % 4) * 8 + 1, 8).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )

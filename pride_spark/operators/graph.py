@@ -21,6 +21,13 @@ Scale notes:
 - each round's output is localCheckpoint-ed — without that the loop's
   lineage would re-execute all prior rounds (and the upstream edge
   plan) on every use;
+- superseded rounds' checkpoint RDDs are unpersisted eagerly: the
+  ContextCleaner only frees them on a driver GC, so a long session
+  (bench/stress runs 50 queries in one JVM) would otherwise accumulate
+  every round of every CC call in the executor storage pool and evict
+  everyone else's cache (observed: q47 24s idle vs 131s at the tail of
+  a stress sequence).  Only ``base`` and the final round stay pinned —
+  they feed the returned plan;
 - convergence is a (count, hash-sum) scalar pair per round — row data
   never reaches the driver.
 """
@@ -29,6 +36,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of currently persisted RDDs (via the Java map; the cleaner-based
+    py4j path frees checkpoints only on driver GC)."""
+    try:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    except Exception:  # private accessor unavailable: degrade to no-op hygiene
+        return set()
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    try:
+        m = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            if m.containsKey(i):
+                m.get(i).unpersist(False)
+    except Exception:
+        pass
 
 def _with_min_b(df: DataFrame, skew_safe: bool) -> DataFrame:
     """Attach ``m = min(b) over rows sharing a``.
@@ -110,11 +136,19 @@ def connected_components(
 
     cur = base.filter(F.col("u") != F.col("v"))
     prev_sig = None
+    sc = spark.sparkContext
+    prev_round_ids: set[int] = set()
     for i in range(max_iterations):
         sym = cur.select("u", "v").union(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+        before = _persistent_rdd_ids(sc)
         cur = _small_star(_large_star(sym, skew_safe), skew_safe).localCheckpoint(eager=True)
+        new_ids = _persistent_rdd_ids(sc) - before
+        # the previous round's checkpoint fed this one and is now dead;
+        # free it instead of waiting for a driver GC
+        _unpersist_rdd_ids(sc, prev_round_ids)
+        prev_round_ids = new_ids
         # scalar-only convergence signature
         row = cur.agg(
             F.count(F.lit(1)).alias("n"),

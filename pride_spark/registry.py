@@ -682,10 +682,12 @@ _MINHASH_ORACLE = r"""
       FROM t
     )
     SELECT doc_id,
-           LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0|' || x))) AS mh0,
-           LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1|' || x))) AS mh1,
-           LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2|' || x))) AS mh2,
-           LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3|' || x))) AS mh3
+           -- hash i = 32-bit chunk i%4 of MD5((i//4) || '|' || shingle);
+           -- mirrors dedup._chunk_hash (one digest -> four min-hash values)
+           LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 1, 8))) AS mh0,
+           LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 9, 8))) AS mh1,
+           LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 17, 8))) AS mh2,
+           LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 25, 8))) AS mh3
     FROM s
 """
 
@@ -712,15 +714,17 @@ def q23_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
                             i -> ARRAY_TO_STRING(LIST_SLICE(w, i, i + 2), ' ')) AS sh
       FROM t
     ), sig AS (
+      -- chunked md5 min-hashes mirroring dedup._chunk_hash: hash i is the
+      -- 8-hex-char chunk i%4 of MD5((i//4) || '|' || shingle)
       SELECT doc_id, text, sh,
-             [LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('0|' || x))),
-              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('1|' || x))),
-              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('2|' || x))),
-              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('3|' || x))),
-              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('4|' || x))),
-              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('5|' || x))),
-              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('6|' || x))),
-              LIST_MIN(LIST_TRANSFORM(sh, x -> MD5('7|' || x)))] AS sg
+             [LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 1, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 9, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 17, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 25, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('1|' || x), 1, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('1|' || x), 9, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('1|' || x), 17, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('1|' || x), 25, 8)))] AS sg
       FROM s
     ), banded0 AS (
       SELECT doc_id, band, MD5(ARRAY_TO_STRING(LIST_SLICE(sg, band * 2 + 1, band * 2 + 2), '|')) AS bucket

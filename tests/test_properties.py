@@ -109,8 +109,15 @@ def test_minhash_signatures_match_python_reference(spark, docs):
         words = re.split(r"\s+", " ".join(w).strip())
         kk = max(len(words) - n + 1, 1)
         shingles = {" ".join(words[i : i + n]) for i in range(kk)}
+        # chunked md5 (dedup._chunk_hash): hash i = 8-hex-char chunk i%4
+        # of md5(f"{i//4}|" + shingle)
         want = tuple(
-            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shingles)
+            min(
+                hashlib.md5(f"{i // 4}|{s}".encode()).hexdigest()[
+                    (i % 4) * 8 : (i % 4) * 8 + 8
+                ]
+                for s in shingles
+            )
             for i in range(k)
         )
         assert got[doc_id] == want, (doc_id, docs)
