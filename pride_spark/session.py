@@ -20,6 +20,15 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Cluster-deployment note (measured, not speculative): on a real
+    # cluster raise spark.sql.adaptive.coalescePartitions.initialPartitionNum
+    # to several x the executor-core count so AQE sizes shuffles DOWN to
+    # the data (it can merge small partitions but cannot split
+    # under-partitioned ones outside skew joins).  We deliberately do NOT
+    # set it here: at sf0.1 on local[32] both initialPartitionNum=4x and
+    # parallelismFirst=false measured ~20% SLOWER end-to-end (per-stage
+    # AQE re-planning + task overhead dominate small shuffles, and the
+    # advisory-size target serializes the iterative operators).
     # Deterministic timestamp semantics matching the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
     # Arrow for any pandas-UDF path (the slow-path escape hatch).
