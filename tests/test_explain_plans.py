@@ -69,6 +69,17 @@ def test_embedding_near_dup_avoids_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_lsh_pair_emission_has_no_pair_dedup_shuffle(spark):
+    # first-collision-wins emits each candidate pair exactly once, so the
+    # plan must not contain the old pair-level distinct (an aggregate
+    # keyed on the pair ids — one full shuffle of the candidate explosion)
+    for q in ("q24_lsh_near_dup", "q48_spectral_cluster"):
+        plan = _plan(spark, q)
+        for agg in ("HashAggregate(keys=[id_a", "SortAggregate(key=[id_a",
+                    "HashAggregate(keys=[key_a", "SortAggregate(key=[key_a"):
+            assert agg not in plan, (q, agg)
+
+
 def test_scan_prunes_columns_for_narrow_projection(spark):
     # token stats reads documents(doc_id, text) only — the scan schema
     # must not include the unused lang/source/n_chars columns
