@@ -16,7 +16,7 @@ MinHash+LSH pipeline applied to binned peak vectors.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -79,6 +79,49 @@ def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> 
     return F.array(*[F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)])
 
 
+def shingle_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    *,
+    distinct: bool = False,
+) -> DataFrame:
+    """(id, sh) word-n-gram shingle rows via posexplode + window ``lead``.
+
+    Same shingles as :func:`word_shingles` (incl. the whole-document
+    singleton for short/empty texts: ``concat_ws`` skips the null leads),
+    but every step is whole-stage codegen — the in-row
+    ``transform(sequence, slice+array_join)`` tree runs interpreted and
+    measured 3× slower at sf0.1.  Cost model: ONE shuffle of the word
+    rows (≈ corpus bytes) keyed by id, vs zero shuffles + interpreted CPU
+    for the in-row form — the standard distributed-shingling trade; at
+    100 TB the window shuffle co-partitions with the downstream per-id
+    aggregation, which then needs no additional exchange.
+
+    ``distinct=True`` dedups (id, sh) — REQUIRED for voting consumers
+    (SimHash counts each distinct shingle once); min-style consumers
+    (MinHash) skip it, since duplicate shingles cannot change a min.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", k).over(w) for k in range(1, n)]
+    sh = (
+        words.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("sh"),
+            F.count("*").over(Window.partitionBy("id")).alias("__nw"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("__nw") - n, F.lit(0)))
+        .select("id", "sh")
+    )
+    return sh.distinct() if distinct else sh
+
+
 def minhash_signatures_df(
     df: DataFrame,
     text_col: str,
@@ -87,21 +130,18 @@ def minhash_signatures_df(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature via explode + groupBy-min.
+    """Per-document MinHash signature via shingle rows + groupBy-min.
 
-    The scalable shape: shingles are materialized ONCE (explode), each
-    md5 digest is computed ONCE and split into four 32-bit chunk hashes
-    (:func:`_chunk_hash` — explicit two-step select so the digest is
-    never recomputed per chunk), and the signature is a single
-    map-side-combinable ``min`` aggregation — one shuffle of
-    (id, k×8B), no quadratic array re-evaluation.  Output:
-    (id, mh0..mh{k-1}).
+    The scalable shape: shingle rows come from the codegen window form
+    (:func:`shingle_rows`; no distinct — duplicates cannot change a min),
+    each md5 digest is computed ONCE and split into four 32-bit chunk
+    hashes (:func:`_chunk_hash` — explicit two-step select so the digest
+    is never recomputed per chunk), and the signature is a single ``min``
+    aggregation that reuses the window's id-partitioning — no second
+    exchange.  Output: (id, mh0..mh{k-1}).
     """
     n_digests = (num_hashes + 3) // 4
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("sh"),
-    )
+    sh = shingle_rows(df, text_col, id_col, shingle_n)
     digests = sh.select(
         "id",
         *[
@@ -363,12 +403,9 @@ def simhash_df(
     else:
         n_bits = 63
         hasher = F.xxhash64(F.col("sh"))
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).alias("sh"),
-    ).select("id", hasher.alias("h"))
+    exploded = shingle_rows(df, text_col, id_col, shingle_n, distinct=True).select(
+        "id", hasher.alias("h")
+    )
     votes = exploded.groupBy("id").agg(
         *[
             F.sum(
