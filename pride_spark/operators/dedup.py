@@ -326,21 +326,32 @@ def near_dedup_minhash(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, max_bucket=max_bucket,
     )
+    # Exact-duplicate short-circuit: equal text digests ⇒ identical shingle
+    # sets ⇒ jaccard is exactly 1.0 — no set ops, and the (wide) shingle
+    # arrays are never shipped to those pairs.  On duplicate-heavy corpora
+    # (web-scale dedup, where exact copies dominate the candidate mass)
+    # this removes the quadratic × per-pair array-intersect term: the 64×
+    # adversarial corpus verifies in a digest compare per pair.  Only
+    # differing-digest pairs join the shingle sets for the exact Jaccard.
+    meta = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("dg"))
+    tagged = pairs.join(
+        meta.select(F.col("id").alias("id_a"), F.col("dg").alias("dg_a")), "id_a"
+    ).join(meta.select(F.col("id").alias("id_b"), F.col("dg").alias("dg_b")), "id_b")
+    same = F.coalesce(F.col("dg_a") == F.col("dg_b"), F.lit(False))
+    eq = tagged.filter(same).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
-    withsets = (
-        pairs.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+    neq = (
+        tagged.filter(~same)
+        .select("id_a", "id_b")
+        .join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
-    )
-    return (
-        withsets.withColumn(
-            "jaccard", F.round(jaccard_of_sets(F.col("sa"), F.col("sb")), 6)
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn("jaccard", F.round(jaccard_of_sets(F.col("sa"), F.col("sb")), 6))
         .select("id_a", "id_b", "jaccard")
     )
+    return eq.unionByName(neq).filter(F.col("jaccard") >= threshold)
 
 
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
