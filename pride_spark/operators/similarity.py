@@ -242,9 +242,13 @@ def lsh_topk_gemm(
         Vn[nz] = V[nz] / norms[nz, None]  # zero-norm rows stay 0 -> cosine 0.0
         ids = pdf["vid"].to_numpy()
         kk = min(k, n - 1)
+        # bound the transient score matrix to ~256 MB (2^25 float64
+        # entries) however large a skewed bucket gets: block_rows is the
+        # throughput knob, this is the memory ceiling
+        eff_block = max(1, min(block_rows, (1 << 25) // n))
         outs = []
-        for s in range(0, n, block_rows):
-            e = min(s + block_rows, n)
+        for s in range(0, n, eff_block):
+            e = min(s + eff_block, n)
             S = Vn[s:e] @ Vn.T
             S[np.arange(e - s), np.arange(s, e)] = -np.inf  # mask self-pairs
             top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
