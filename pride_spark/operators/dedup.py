@@ -156,33 +156,44 @@ def minhash_signatures_df(
             for i in range(num_hashes)
         ],
     )
-    return hashed.groupBy("id").agg(
+    aggs = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
     )
+    # Null-text docs produce zero shingle rows and would vanish; the q23
+    # oracle's LIST_MIN aggregate keeps them with NULL signature values —
+    # preserve every input id the same way.  The join is id-keyed and
+    # narrow; on corpora without null text it is a no-op row-wise.
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(aggs, "id", "left")
+
+
+def _band_digests(num_hashes: int, bands: int) -> list[Column]:
+    """Per-band bucket digests (md5 of the signature band slice), one
+    Column per band.  The ONE definition of the banding key — shared by
+    :func:`lsh_candidate_pairs` (join key + first-collision array) and
+    :func:`lsh_bucket_stats`: the stats are only meaningful if they hash
+    the EXACT same banding the join uses (and the q24 DuckDB oracle
+    mirrors this expression)."""
+    rows = num_hashes // bands
+    return [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
+            )
+        )
+        for b in range(bands)
+    ]
 
 
 def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(id, band, bucket) rows: md5 digest of each signature band slice.
-
-    Shared by :func:`lsh_candidate_pairs` and :func:`lsh_bucket_stats` —
-    the stats are only meaningful if they hash the EXACT same banding the
-    join uses (and the q23/q24 DuckDB oracles mirror this expression).
-    """
-    rows = num_hashes // bands
+    """(id, band, bucket) rows from :func:`_band_digests`."""
     return sigs.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
+                    F.struct(F.lit(b).alias("band"), d.alias("bucket"))
+                    for b, d in enumerate(_band_digests(num_hashes, bands))
                 ]
             )
         ).alias("bb"),
@@ -227,19 +238,16 @@ def lsh_candidate_pairs(
     # treated as cap-dropped even if a later band survives — consistent
     # with the cap's contract (over-cap members are mutually
     # near-identical and covered by exact dedup upstream).
-    rows = num_hashes // bands
-    digs = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(F.col("id"), digs.alias("digs")).select(
-        "id", "digs", F.posexplode("digs").alias("band", "bucket")
+    digs = F.array(*_band_digests(num_hashes, bands))
+    # null-signature rows (null-text docs, preserved by
+    # minhash_signatures_df for oracle parity) must not enter banding:
+    # their band digest would be the md5 of "" — a CONSTANT that sweeps
+    # every null doc into one bucket per band — where the oracle's NULL
+    # buckets never equi-join.
+    banded = (
+        sigs.filter(F.col("mh0").isNotNull())
+        .select(F.col("id"), digs.alias("digs"))
+        .select("id", "digs", F.posexplode("digs").alias("band", "bucket"))
     )
     if max_bucket is not None:
         from pyspark.sql import Window
@@ -280,7 +288,8 @@ def lsh_bucket_stats(
     ``max_bucket`` cap would drop.  One aggregate pass; run it when tuning
     the cap or auditing what a capped run skipped."""
     sigs = minhash_signatures_df(df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n)
-    banded = _banded(sigs, num_hashes, bands)
+    # same null-signature exclusion as the join path (see lsh_candidate_pairs)
+    banded = _banded(sigs.filter(F.col("mh0").isNotNull()), num_hashes, bands)
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     row = sizes.agg(
         F.count("*").alias("buckets"),

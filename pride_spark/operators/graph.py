@@ -38,13 +38,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _persistent_rdd_ids(sc) -> set[int]:
+def _persistent_rdd_ids(sc) -> set[int] | None:
     """Ids of currently persisted RDDs (via the Java map; the cleaner-based
-    py4j path frees checkpoints only on driver GC)."""
+    py4j path frees checkpoints only on driver GC).  Returns None — not an
+    empty set — when the private accessor fails, so callers can tell
+    "probe broken" from "nothing persisted": treating a failed *before*
+    probe as ∅ would make the after-diff claim every long-lived RDD
+    (including this loop's ``base``) and unpersist lineage-truncated data
+    that the returned plan still needs."""
     try:
         return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     except Exception:  # private accessor unavailable: degrade to no-op hygiene
-        return set()
+        return None
 
 
 def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
@@ -137,6 +142,13 @@ def connected_components(
     cur = base.filter(F.col("u") != F.col("v"))
     prev_sig = None
     sc = spark.sparkContext
+    # Everything persisted before the loop (base, plus anything other
+    # queries in this session pinned) is off-limits to the hygiene sweep.
+    # NB: the before/after diff assumes no OTHER driver thread persists
+    # RDDs concurrently with a round's checkpoint — the standard
+    # single-threaded-driver ETL shape; concurrent-action drivers should
+    # pass their own isolation (the sweep would free their checkpoint).
+    entry_ids = _persistent_rdd_ids(sc)
     prev_round_ids: set[int] = set()
     for i in range(max_iterations):
         sym = cur.select("u", "v").union(
@@ -144,11 +156,16 @@ def connected_components(
         ).select(F.col("u").alias("a"), F.col("v").alias("b"))
         before = _persistent_rdd_ids(sc)
         cur = _small_star(_large_star(sym, skew_safe), skew_safe).localCheckpoint(eager=True)
-        new_ids = _persistent_rdd_ids(sc) - before
+        after = _persistent_rdd_ids(sc)
         # the previous round's checkpoint fed this one and is now dead;
-        # free it instead of waiting for a driver GC
-        _unpersist_rdd_ids(sc, prev_round_ids)
-        prev_round_ids = new_ids
+        # free it instead of waiting for a driver GC.  Skip the sweep
+        # whenever any probe failed — never guess at what to unpersist.
+        if before is not None and after is not None and entry_ids is not None:
+            new_ids = after - before - entry_ids
+            _unpersist_rdd_ids(sc, prev_round_ids)
+            prev_round_ids = new_ids
+        else:
+            prev_round_ids = set()
         # scalar-only convergence signature
         row = cur.agg(
             F.count(F.lit(1)).alias("n"),

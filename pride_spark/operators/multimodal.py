@@ -102,6 +102,8 @@ def _decode_image_real(payload: bytes) -> bytes:
     the executor so the driver never needs PIL installed."""
     import io
 
+    if payload is None:  # same seam contract as the stub
+        raise NotImplementedError("image decode: payload was None")
     from PIL import Image
 
     with Image.open(io.BytesIO(payload)) as im:
@@ -160,6 +162,8 @@ def _decode_audio_real(payload: bytes) -> list[int]:
     installed."""
     import io
 
+    if payload is None:  # same seam contract as the stub
+        raise NotImplementedError("audio decode: payload was None")
     if payload[:4] == b"RIFF":
         import wave
 
@@ -186,9 +190,23 @@ def audio_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
     Same plumbing contract as :func:`image_features`: ``mapInPandas``
     batches in, a narrow feature table out.  Sample count, integer RMS
     and zero-crossing count run over either the fake PCM decode (stub)
-    or real WAV/soundfile samples (``decoder="real"``).
+    or real WAV/soundfile samples (``decoder="real"``, strict — raises
+    on undecodable payloads).  ``decoder="auto"`` is best-effort PER
+    PAYLOAD: stdlib ``wave`` handles any RIFF payload, but non-WAV
+    containers need the optional soundfile module, so auto falls back to
+    the stub for payloads the real decoder cannot handle instead of
+    failing the whole task on the first mp3.
     """
-    decode = _decode_audio_real if _pick(decoder, "audio") == "real" else _decode_audio
+    if decoder == "auto":
+
+        def decode(p):
+            try:
+                return _decode_audio_real(p)
+            except Exception:
+                return _decode_audio(p)
+
+    else:
+        decode = _decode_audio_real if decoder == "real" else _decode_audio
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

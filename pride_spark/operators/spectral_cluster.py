@@ -105,7 +105,12 @@ def cluster_spectra(
     before the self-join — the quadratic within-bucket term is unbounded on
     adversarial inputs (all-identical spectra) no matter how AQE splits the
     partitions; capped members are mutually near-identical and survive via
-    exact dedup upstream.
+    exact dedup upstream.  NB the cap composes with first-collision pair
+    emission: a pair whose FIRST shared bucket (smallest shared pblock /
+    first agreeing band) was capped is dropped even if a later shared
+    bucket survives — so block mode is deterministic and exact only with
+    ``max_bucket=None`` (the oracle configuration); with a cap it shares
+    the LSH path's cap contract.
     """
     rows_per_band = num_hashes // bands
     binned = spectra.select(

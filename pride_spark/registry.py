@@ -726,17 +726,28 @@ def q23_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
               LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('1|' || x), 17, 8))),
               LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('1|' || x), 25, 8)))] AS sg
       FROM s
+    ), bd AS (
+      SELECT doc_id,
+             LIST_TRANSFORM([0, 1, 2, 3],
+               b -> MD5(ARRAY_TO_STRING(LIST_SLICE(sg, b * 2 + 1, b * 2 + 2), '|'))) AS bds
+      FROM sig
     ), banded0 AS (
-      SELECT doc_id, band, MD5(ARRAY_TO_STRING(LIST_SLICE(sg, band * 2 + 1, band * 2 + 2), '|')) AS bucket
-      FROM sig, UNNEST([0, 1, 2, 3]) AS u(band)
+      SELECT doc_id, u.band AS band, bds[u.band + 1] AS bucket, bds
+      FROM bd, UNNEST([0, 1, 2, 3]) AS u(band)
     ), banded AS (
       -- mirror of the engine's max_bucket skew cap
-      SELECT doc_id, band, bucket FROM banded0
+      SELECT doc_id, band, bucket, bds FROM banded0
       QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 500
     ), pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      -- FIRST-COLLISION-WINS, mirroring dedup.lsh_candidate_pairs: a pair
+      -- is emitted only from the first band whose digests agree (checked
+      -- over ALL bands, capped or not) — so a pair whose first-agreeing
+      -- band was capped counts as cap-dropped even if a later band survives
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE LIST_POSITION(LIST_TRANSFORM(RANGE(1, 5), i -> a.bds[i] = b.bds[i]), TRUE)
+            = a.band + 1
     ), verified AS (
       SELECT id_a, id_b,
              ROUND(

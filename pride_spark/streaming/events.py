@@ -77,9 +77,14 @@ def read_event_stream(spark: SparkSession, path: str, max_files: int = 16) -> Da
     footer type); mixed nanos-long + micros files in one directory must
     be read as two streams and unioned after :func:`with_event_time`.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         schema = spark.read.parquet(path).schema
-    except Exception:  # empty/missing dir: unable to infer schema
+    except AnalysisException:  # empty dir: 'unable to infer schema'.
+        # Deliberately narrow: a corrupt footer or FS error should surface
+        # HERE, not silently fall back to the legacy nanos-long schema and
+        # misread micros files as 1970s timestamps downstream.
         schema = EVENTS_SCHEMA
     return with_event_time(
         spark.readStream.schema(schema)

@@ -204,6 +204,21 @@ def test_simhash_md5_close_docs_close_hashes(spark):
     assert hamming(h[1], h[2]) < 8
     assert hamming(h[1], h[3]) > 16
 
+def test_minhash_null_text_rows_preserved_and_never_pair(spark):
+    # q23 oracle parity: LIST_MIN aggregates keep null-text docs with NULL
+    # signature values; and two null docs must NOT meet in a bucket (their
+    # would-be digest of "" is a constant, the oracle's NULL never joins)
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r["id"]: r["mh0"] for r in
+            dedup.minhash_signatures_df(df, "text", "doc_id", num_hashes=4).collect()}
+    assert set(sigs) == {1, 2, 3, 4}
+    assert sigs[3] is None and sigs[4] is None and sigs[1] == sigs[2]
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.lsh_candidate_pairs(df, "text", "doc_id", num_hashes=4).collect()}
+    assert pairs == {(1, 2)}
+
+
 def test_simhash_df_matches_in_row_fold(spark):
     # the explode→vote-sum hot path must produce the exact bits of the
     # in-row fold, both variants, including short/empty docs

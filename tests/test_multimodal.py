@@ -98,11 +98,21 @@ def test_audio_features_real_wav_decode(spark):
 
 
 def test_decoder_auto_matches_probe(spark):
-    # auto == real for audio (wave is stdlib); for image/video it must
-    # fall back to the stub when PIL/ffmpeg are absent
+    # auto is per-payload best-effort for audio (non-WAV payloads without
+    # soundfile fall back to the stub); for image/video it must fall back
+    # to the stub when PIL/ffmpeg are absent
     sup = mm.codec_support()
     assert sup["audio"] is True
     media = _media(spark)
+    if not sup["audio_soundfile"]:
+        # synthesized payloads are text bytes (not RIFF): auto must equal
+        # the stub on every row instead of crashing on soundfile import
+        stub_a = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+        auto_a = {
+            r["media_id"]: r
+            for r in mm.audio_features(media, decoder="auto").collect()
+        }
+        assert stub_a == auto_a
     if not sup["image"]:
         stub = {r["media_id"]: r for r in mm.image_features(media).collect()}
         auto = {r["media_id"]: r for r in mm.image_features(media, decoder="auto").collect()}
