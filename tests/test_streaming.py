@@ -127,6 +127,44 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_path):
     assert sorted(r["event_id"] for r in got) == [1, 2]
 
 
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    # exactly-once file-source semantics across a stop/restart: the second
+    # run must process ONLY files that arrived after the first run, with
+    # no duplicates and no gaps in the combined sink output
+    src_dir = tmp_path / "src"
+    sink_dir = str(tmp_path / "sink")
+    ckpt_dir = str(tmp_path / "ckpt")
+    src_dir.mkdir()
+    all_events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(1000)
+    first, second = all_events.filter("event_id % 2 = 0"), all_events.filter(
+        "event_id % 2 = 1"
+    )
+    first.write.mode("overwrite").parquet(str(src_dir / "batch1"))
+
+    def drain():
+        stream = ev.read_event_stream(spark, str(src_dir / "*"), max_files=4)
+        q = (
+            stream.select("event_id", "ts", "event_type")
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n_first = spark.read.parquet(sink_dir).count()
+    assert n_first == first.count()
+
+    second.write.mode("overwrite").parquet(str(src_dir / "batch2"))
+    drain()
+    out = spark.read.parquet(sink_dir)
+    assert out.count() == all_events.count()  # no gaps
+    assert out.select("event_id").distinct().count() == all_events.count()  # no dupes
+
+
 def test_dedup_within_watermark_ntz_generation(spark, events_dir):
     # Same operator over the current NTZ-micros testdata generation: the
     # stream must start (withWatermark needs the canonicalized TIMESTAMP)
