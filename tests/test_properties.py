@@ -177,3 +177,62 @@ def test_positional_zip_join_matches_python_zip(spark, n, m):
     got = sorted((r["lv"], r["rv"]) for r in out.collect())
     want = sorted((f"L{i}", f"R{i}") for i in range(min(n, m)))
     assert got == want
+
+
+_DOCS = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=10),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(docs=_DOCS)
+@_SETTINGS
+def test_lsh_first_collision_pairs_match_any_band_reference(spark, docs):
+    # first-collision-wins must emit exactly the pairs that agree on ANY
+    # band (uncapped) — same set the old emit-everywhere + distinct gave
+    import hashlib
+
+    from pride_spark.operators.dedup import lsh_candidate_pairs
+
+    k, bands, n = 8, 4, 3
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            df, "text", "doc_id", num_hashes=k, bands=bands, shingle_n=n
+        ).collect()
+    }
+
+    import re
+
+    def sig(words):
+        ws = re.split(r"\s+", " ".join(words).strip())
+        kk = max(len(ws) - n + 1, 1)
+        shingles = {" ".join(ws[i : i + n]) for i in range(kk)}
+        return [
+            min(
+                hashlib.md5(f"{i // 4}|{s}".encode()).hexdigest()[
+                    (i % 4) * 8 : (i % 4) * 8 + 8
+                ]
+                for s in shingles
+            )
+            for i in range(k)
+        ]
+
+    sigs = {i: sig(w) for i, w in enumerate(docs)}
+
+    def bucket(s, b):
+        rows = k // bands
+        return hashlib.md5("|".join(s[b * rows : (b + 1) * rows]).encode()).hexdigest()
+
+    want = set()
+    ids = sorted(sigs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if any(bucket(sigs[a], x) == bucket(sigs[b], x) for x in range(bands)):
+                want.add((a, b))
+    assert got == want, (docs, got, want)
