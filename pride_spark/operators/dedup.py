@@ -220,10 +220,12 @@ def lsh_candidate_pairs(
     corpora (m boilerplate-identical docs) that term is quadratic no matter
     how it is split.  ``max_bucket`` caps it: buckets larger than the cap
     are dropped before the join (a window count over the same key the join
-    shuffles on — no extra exchange).  Dropped docs in such a bucket are
-    mutually near-identical with overwhelming probability, so downstream
-    exact-dedup or a re-run at a tighter shingle size covers them; use
-    :func:`lsh_bucket_stats` to measure the dropped volume.
+    shuffles on), and first-collision falls through to the first SURVIVING
+    agreeing band, so a pair is lost only when every band it agrees in is
+    over-cap.  Docs dropped that way are mutually near-identical with
+    overwhelming probability, so downstream exact-dedup or a re-run at a
+    tighter shingle size covers them; use :func:`lsh_bucket_stats` to
+    measure the dropped volume.
     """
     sigs = minhash_signatures_df(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
@@ -233,11 +235,12 @@ def lsh_candidate_pairs(
     # emitted only from the first agreeing band.  Same pair set as
     # emit-everywhere + distinct, but the join output shrinks ~bands× and
     # the pair-level distinct shuffle disappears entirely (the dominant
-    # cost at 64× duplicate skew: 312s → see STRESS_r03).  When a
-    # max_bucket cap drops a pair's first-agreeing band, the pair is
-    # treated as cap-dropped even if a later band survives — consistent
-    # with the cap's contract (over-cap members are mutually
-    # near-identical and covered by exact dedup upstream).
+    # cost at 64× duplicate skew: 312s → see STRESS_r03).  With a
+    # max_bucket cap, CAPPED bands are masked to NULL in the carried
+    # digest array, so first-agreement falls through to the first
+    # SURVIVING agreeing band: a pair loses nothing to the cap unless
+    # EVERY agreeing band is over-cap (in which case its members are
+    # mutually near-identical and covered by exact dedup upstream).
     digs = F.array(*_band_digests(num_hashes, bands))
     # null-signature rows (null-text docs, preserved by
     # minhash_signatures_df for oracle parity) must not enter banding:
@@ -253,10 +256,26 @@ def lsh_candidate_pairs(
         from pyspark.sql import Window
 
         wb = Window.partitionBy("band", "bucket")
+        flagged = banded.withColumn("__surv", F.count("*").over(wb) <= max_bucket)
+        # Rebuild the per-id digest array with capped bands masked to NULL
+        # (NULL==NULL is NULL, never TRUE, so a capped band can't be the
+        # first agreement) and re-explode only the surviving bands.  One
+        # extra id-keyed shuffle of (bands) small structs per doc — paid
+        # only on the capped (adversarial-skew) path.
+        per_id = flagged.groupBy("id").agg(
+            F.sort_array(F.collect_list(F.struct("band", "bucket", "__surv"))).alias(
+                "bb"
+            )
+        )
         banded = (
-            banded.withColumn("__bsz", F.count("*").over(wb))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
+            per_id.select(
+                "id",
+                F.transform("bb", lambda s: F.when(s["__surv"], s["bucket"])).alias(
+                    "digs"
+                ),
+            )
+            .select("id", "digs", F.posexplode("digs").alias("band", "bucket"))
+            .filter(F.col("bucket").isNotNull())
         )
     a, b = banded.alias("a"), banded.alias("b")
     first_agree = F.array_position(
@@ -378,7 +397,9 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
     """
     sh = F.array_distinct(word_shingles(text, shingle_n))
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    return _simhash_votes(hashes, 63)
+    # NULL text → NULL hash (not the accidental all-zero fold the NULL
+    # votes would otherwise produce); matches simhash_df's left-join-back.
+    return F.when(text.isNotNull(), _simhash_votes(hashes, 63))
 
 
 def simhash_md5(text: Column, shingle_n: int = 2) -> Column:
@@ -392,7 +413,8 @@ def simhash_md5(text: Column, shingle_n: int = 2) -> Column:
     hashes = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
-    return _simhash_votes(hashes, 60)
+    # NULL text → NULL hash, matching simhash_df (see simhash64).
+    return F.when(text.isNotNull(), _simhash_votes(hashes, 60))
 
 
 def simhash_df(
@@ -414,8 +436,11 @@ def simhash_df(
     to ~30% on a 64× corpus — the gap widens with data because the
     aggregation combines map-side while the fold's cost is pure per-row
     interpretation.  One shuffle of (id, n_bits longs).
-    ``word_shingles`` emits ≥1 shingle for any text, so the explode is
-    total — no left-join-back needed.  Output: (id, simhash).
+    ``word_shingles`` emits ≥1 shingle for any NON-NULL text, so for those
+    the explode is total; NULL-text docs yield zero shingle rows
+    (posexplode of a null split) and are restored by an id-keyed left
+    join with NULL simhash — matching the in-row fold variants, which
+    emit NULL for null text.  Output: (id, simhash).
     """
     if variant == "md5":
         n_bits = 60
@@ -440,7 +465,12 @@ def simhash_df(
             F.lit(0).cast("long")
         )
         packed = term if packed is None else packed + term
-    return votes.select("id", packed.alias("simhash"))
+    hashed = votes.select("id", packed.alias("simhash"))
+    # NULL-text docs produced zero shingle rows; restore them with NULL
+    # simhash (the in-row fold variants also yield NULL there).  Id-keyed
+    # narrow join; row-wise a no-op on corpora without null text.
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(hashed, "id", "left")
 
 
 def _simhash_votes(hashes: Column, n_bits: int) -> Column:

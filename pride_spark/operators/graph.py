@@ -38,26 +38,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _persistent_rdd_ids(sc) -> set[int] | None:
-    """Ids of currently persisted RDDs (via the Java map; the cleaner-based
-    py4j path frees checkpoints only on driver GC).  Returns None — not an
-    empty set — when the private accessor fails, so callers can tell
-    "probe broken" from "nothing persisted": treating a failed *before*
-    probe as ∅ would make the after-diff claim every long-lived RDD
-    (including this loop's ``base``) and unpersist lineage-truncated data
-    that the returned plan still needs."""
+def _checkpoint_rdd(df: DataFrame):
+    """Java handle of the persisted RDD backing a ``localCheckpoint``-ed
+    DataFrame — the ``LogicalRDD`` plan node's ``rdd`` field.  Tracking the
+    checkpoint DIRECTLY (instead of diffing the global persistent-RDD map
+    before/after, which misattributes a concurrent thread's freshly
+    persisted RDD to this loop) makes the hygiene sweep safe in
+    multi-threaded drivers.  Returns None when the private plan accessor
+    fails (version drift) — callers then skip the sweep rather than guess.
+    """
     try:
-        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        return plan.rdd()
     except Exception:  # private accessor unavailable: degrade to no-op hygiene
         return None
 
 
-def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+def _unpersist_handle(rdd) -> None:
+    """Non-blocking unpersist of a tracked checkpoint handle; never raises
+    (hygiene must not fail the computation)."""
     try:
-        m = sc._jsc.getPersistentRDDs()
-        for i in ids:
-            if m.containsKey(i):
-                m.get(i).unpersist(False)
+        rdd.unpersist(False)
     except Exception:
         pass
 
@@ -141,31 +144,22 @@ def connected_components(
 
     cur = base.filter(F.col("u") != F.col("v"))
     prev_sig = None
-    sc = spark.sparkContext
-    # Everything persisted before the loop (base, plus anything other
-    # queries in this session pinned) is off-limits to the hygiene sweep.
-    # NB: the before/after diff assumes no OTHER driver thread persists
-    # RDDs concurrently with a round's checkpoint — the standard
-    # single-threaded-driver ETL shape; concurrent-action drivers should
-    # pass their own isolation (the sweep would free their checkpoint).
-    entry_ids = _persistent_rdd_ids(sc)
-    prev_round_ids: set[int] = set()
+    # Checkpoint hygiene tracks each round's checkpoint RDD by DIRECT
+    # handle (the LogicalRDD's rdd — see _checkpoint_rdd), so concurrent
+    # driver threads persisting their own RDDs are never touched.  Only
+    # the immediately superseded round is freed; ``base`` and the final
+    # round (both feeding the returned plan) stay pinned.
+    prev_ckpt = None
     for i in range(max_iterations):
         sym = cur.select("u", "v").union(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("a"), F.col("v").alias("b"))
-        before = _persistent_rdd_ids(sc)
         cur = _small_star(_large_star(sym, skew_safe), skew_safe).localCheckpoint(eager=True)
-        after = _persistent_rdd_ids(sc)
         # the previous round's checkpoint fed this one and is now dead;
-        # free it instead of waiting for a driver GC.  Skip the sweep
-        # whenever any probe failed — never guess at what to unpersist.
-        if before is not None and after is not None and entry_ids is not None:
-            new_ids = after - before - entry_ids
-            _unpersist_rdd_ids(sc, prev_round_ids)
-            prev_round_ids = new_ids
-        else:
-            prev_round_ids = set()
+        # free it instead of waiting for a driver GC.
+        if prev_ckpt is not None:
+            _unpersist_handle(prev_ckpt)
+        prev_ckpt = _checkpoint_rdd(cur)
         # scalar-only convergence signature
         row = cur.agg(
             F.count(F.lit(1)).alias("n"),

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -144,6 +145,11 @@ AUDIO_FEATURES_SCHEMA = StructType(
         StructField("n_samples", IntegerType()),
         StructField("rms", IntegerType()),
         StructField("zero_crossings", IntegerType()),
+        # which kernel actually produced this row: True = real codec
+        # decode, False = deterministic stub arithmetic.  Matters for
+        # decoder="auto", whose per-payload fallback would otherwise mix
+        # fake features into real ones indistinguishably.
+        StructField("decoded_real", BooleanType(), False),
     ]
 )
 
@@ -195,22 +201,33 @@ def audio_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
     PAYLOAD: stdlib ``wave`` handles any RIFF payload, but non-WAV
     containers need the optional soundfile module, so auto falls back to
     the stub for payloads the real decoder cannot handle instead of
-    failing the whole task on the first mp3.
+    failing the whole task on the first mp3.  Every output row carries a
+    ``decoded_real`` flag saying which kernel produced it, so mixed
+    best-effort output is distinguishable downstream (a corrupt RIFF that
+    fell back to stub arithmetic is flagged False).
     """
     if decoder == "auto":
 
         def decode(p):
             try:
-                return _decode_audio_real(p)
+                return _decode_audio_real(p), True
             except Exception:
-                return _decode_audio(p)
+                return _decode_audio(p), False
+
+    elif decoder == "real":
+
+        def decode(p):
+            return _decode_audio_real(p), True
 
     else:
-        decode = _decode_audio_real if decoder == "real" else _decode_audio
+
+        def decode(p):
+            return _decode_audio(p), False
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            waves = [decode(p) for p in pdf["payload"]]
+            decoded = [decode(p) for p in pdf["payload"]]
+            waves = [w for w, _ in decoded]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -227,6 +244,7 @@ def audio_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
                         )
                         for w in waves
                     ],
+                    "decoded_real": [real for _, real in decoded],
                 }
             )
 

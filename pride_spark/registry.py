@@ -732,17 +732,27 @@ def q23_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
                b -> MD5(ARRAY_TO_STRING(LIST_SLICE(sg, b * 2 + 1, b * 2 + 2), '|'))) AS bds
       FROM sig
     ), banded0 AS (
-      SELECT doc_id, u.band AS band, bds[u.band + 1] AS bucket, bds
+      SELECT doc_id, u.band AS band, bds[u.band + 1] AS bucket
       FROM bd, UNNEST([0, 1, 2, 3]) AS u(band)
+    ), surv0 AS (
+      -- mirror of the engine's max_bucket skew cap, with capped bands
+      -- masked to NULL in the carried digest array so first-agreement
+      -- falls through to the first SURVIVING agreeing band
+      SELECT doc_id, band, bucket,
+             COUNT(*) OVER (PARTITION BY band, bucket) <= 500 AS surv
+      FROM banded0
+    ), perid AS (
+      SELECT doc_id,
+             LIST(CASE WHEN surv THEN bucket END ORDER BY band) AS bds
+      FROM surv0 GROUP BY doc_id
     ), banded AS (
-      -- mirror of the engine's max_bucket skew cap
-      SELECT doc_id, band, bucket, bds FROM banded0
-      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 500
+      SELECT doc_id, u.band AS band, bds[u.band + 1] AS bucket, bds
+      FROM perid, UNNEST([0, 1, 2, 3]) AS u(band)
+      WHERE bds[u.band + 1] IS NOT NULL
     ), pairs AS (
-      -- FIRST-COLLISION-WINS, mirroring dedup.lsh_candidate_pairs: a pair
-      -- is emitted only from the first band whose digests agree (checked
-      -- over ALL bands, capped or not) — so a pair whose first-agreeing
-      -- band was capped counts as cap-dropped even if a later band survives
+      -- FIRST-COLLISION-WINS over surviving bands, mirroring
+      -- dedup.lsh_candidate_pairs: NULL (capped) entries never compare
+      -- equal, so a pair is emitted from its first surviving agreeing band
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id

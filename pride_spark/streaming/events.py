@@ -22,6 +22,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 #: legacy events shape — ts as TIMESTAMP(NANOS), readable only as long.
@@ -32,6 +33,24 @@ EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
         StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+#: current events shape — ts as TIMESTAMP(MICROS) isAdjustedToUTC=false,
+#: which Spark surfaces as TIMESTAMP_NTZ.  This is the empty-directory
+#: fallback for ``read_event_stream``: a stream started before its producer
+#: writes must assume the generation NEW files will have, and all current
+#: producers write micros.  Legacy nanos-long directories are never empty
+#: at stream start (they are historical archives), so they always take the
+#: probe path.
+EVENTS_SCHEMA_NTZ = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -70,8 +89,11 @@ def read_event_stream(spark: SparkSession, path: str, max_files: int = 16) -> Da
     footer read, no scan): assuming nanos-long for a micros-timestamp
     file would silently shift every event to 1970.  If the directory is
     empty or not yet created (normal for a stream whose producer hasn't
-    written), the probe fails and we fall back to ``EVENTS_SCHEMA`` so
-    the stream can still start and pick up files later.
+    written), the probe fails and we fall back to ``EVENTS_SCHEMA_NTZ`` —
+    the CURRENT generation (ts TIMESTAMP_NTZ/micros) — because files that
+    arrive later on a fresh directory come from current producers; falling
+    back to the legacy nanos-long schema would read their micros ts as
+    bigint and shift every event ~1000x toward 1970.
 
     Assumes one ts generation per directory (the probe resolves a single
     footer type); mixed nanos-long + micros files in one directory must
@@ -83,9 +105,9 @@ def read_event_stream(spark: SparkSession, path: str, max_files: int = 16) -> Da
         schema = spark.read.parquet(path).schema
     except AnalysisException:  # empty dir: 'unable to infer schema'.
         # Deliberately narrow: a corrupt footer or FS error should surface
-        # HERE, not silently fall back to the legacy nanos-long schema and
-        # misread micros files as 1970s timestamps downstream.
-        schema = EVENTS_SCHEMA
+        # HERE, not silently fall back to a guessed schema and misread
+        # timestamps downstream.
+        schema = EVENTS_SCHEMA_NTZ
     return with_event_time(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)

@@ -223,8 +223,11 @@ def test_simhash_df_matches_in_row_fold(spark):
     # the explode→vote-sum hot path must produce the exact bits of the
     # in-row fold, both variants, including short/empty docs
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
-    extra = spark.createDataFrame([(9001, ""), (9002, "one"), (9003, "a b")],
-                                  ["doc_id", "text"])
+    # None text must survive BOTH paths with a NULL simhash (the explode
+    # path restores it via the id left-join; the fold yields NULL in-row)
+    extra = spark.createDataFrame([(9001, ""), (9002, "one"), (9003, "a b"),
+                                   (9004, None)],
+                                  "doc_id long, text string")
     docs = docs.select("doc_id", "text").unionByName(extra)
     for variant, col_fn in [("md5", dedup.simhash_md5), ("xx64", dedup.simhash64)]:
         fold = {

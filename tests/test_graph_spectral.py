@@ -26,6 +26,28 @@ def test_connected_components_long_chain(spark):
     assert set(out.values()) == {0} and len(out) == 31
 
 
+def test_checkpoint_hygiene_spares_concurrent_persists(spark):
+    # superseded rounds are unpersisted by DIRECT handle; an unrelated
+    # persisted dataset (standing in for a concurrent driver thread's
+    # cache) must survive the sweep, and the loop must not leak more than
+    # base + final round into the storage pool
+    sc = spark.sparkContext
+    other = spark.range(100).persist()
+    other.count()
+    m = sc._jsc.getPersistentRDDs()
+    before = {int(i) for i in m.keySet().toArray()}
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    out = connected_components(edges)
+    out.count()
+    after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    assert before <= after, "hygiene sweep freed a concurrent persist"
+    # only base + the final round remain from the loop
+    assert len(after - before) <= 2, after - before
+    other.unpersist()
+
+
 def test_connected_components_skew_safe_agrees_on_hub_graph(spark):
     # one 400-leaf hub + a chain welded to it + a separate pair: the hub
     # shape that makes the window path a single-task straggler at scale

@@ -123,6 +123,34 @@ def test_decoder_auto_matches_probe(spark):
         assert stub == auto
 
 
+def test_decoder_auto_flags_fallback_rows(spark):
+    # a valid WAV decodes real (flag True); a corrupt/truncated RIFF falls
+    # back to the stub and MUST be flagged decoded_real=False so mixed
+    # best-effort output is distinguishable downstream
+    good = _wav_bytes([0, 1000, -1000, 500])
+    corrupt = b"RIFF" + b"\x00" * 8  # RIFF magic, unparseable body
+    rows = [
+        (1, "audio", good, "audio/wav", None, None, None),
+        (2, "audio", corrupt, "audio/wav", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.audio_features(media, decoder="auto").collect()}
+    assert out[1]["decoded_real"] is True
+    assert out[2]["decoded_real"] is False
+    # the fallback row's features are the stub arithmetic over raw bytes
+    w = [b - 256 if b > 127 else b for b in corrupt]
+    assert out[2]["n_samples"] == len(w)
+    # strict modes are uniform: real is all-True, stub all-False
+    assert all(
+        r["decoded_real"] for r in mm.audio_features(
+            spark.createDataFrame(rows[:1], mm.MEDIA_SCHEMA), decoder="real"
+        ).collect()
+    )
+    assert not any(
+        r["decoded_real"] for r in mm.audio_features(media).collect()
+    )
+
+
 @pytest.mark.skipif(not mm.codec_support()["image"], reason="PIL not installed")
 def test_image_features_real_pil_decode(spark):
     from PIL import Image

@@ -78,13 +78,36 @@ def test_with_event_time_canonical_type(spark, events_dir):
 
 def test_read_event_stream_empty_dir_falls_back(spark, tmp_path):
     # Empty source dir: schema probe fails ('unable to infer schema'), the
-    # stream must still start with EVENTS_SCHEMA and drain zero rows.
-    # (A *missing* dir is rejected by the file source itself at start.)
+    # stream must still start (fallback EVENTS_SCHEMA_NTZ) and drain zero
+    # rows.  (A *missing* dir is rejected by the file source itself.)
     path = tmp_path / "empty_events"
     path.mkdir()
     stream = ev.tumbling_counts(ev.read_event_stream(spark, str(path)))
     got = ev.run_available_now(stream, "t_empty")
     assert got == []
+
+
+def test_read_event_stream_empty_dir_then_current_gen_file(spark, tmp_path):
+    # The scenario the fallback exists for: stream starts on an empty dir,
+    # then a CURRENT-generation (TIMESTAMP_NTZ micros) file arrives.  The
+    # fallback schema must read its ts at the right epoch — a legacy
+    # nanos-long fallback would misread micros as bigint and land every
+    # window near 1970.
+    src = tmp_path / "late_events"
+    src.mkdir()
+    stream_df = ev.tumbling_counts(ev.read_event_stream(spark, str(src)))
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [(1, t0, 7, "click", 1.0, "{}"), (2, t0, 8, "view", 2.0, "{}")]
+    spark.createDataFrame(rows, ev.EVENTS_SCHEMA_NTZ).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    got = ev.run_available_now(stream_df, "t_late_gen")
+    assert len(got) == 2
+    for r in got:
+        assert r["window_start"].year == 2024, (
+            "fallback schema misread the current-generation ts: "
+            f"{r['window_start']}"
+        )
 
 
 def test_session_windows_gap_semantics(spark):
