@@ -87,6 +87,7 @@ def cluster_spectra(
     bands: int = 8,
     threshold: float = 0.5,
     method: str = "lsh",
+    hash_fn: str = "xx64",
     max_bucket: int | None = None,
 ) -> DataFrame:
     """→ ``(key, clusterId)`` — one row per input spectrum; singletons keep
@@ -96,9 +97,19 @@ def cluster_spectra(
     ``method="lsh"`` (default) generates candidates via minhash banding —
     the 100 TB path.  ``method="block"`` compares ALL pairs inside each
     precursor block: deterministic (no hash dependence, so cross-engine
-    oracle-able) and exact, at O(block²) cost — the registry/correctness
-    path and the recall baseline for the LSH path
-    (tests/test_graph_spectral.py).
+    oracle-able) and exact, at O(block²) cost — the recall baseline for
+    the LSH path (tests/test_graph_spectral.py).
+
+    ``hash_fn`` selects the minhash/banding hash family for the lsh
+    method: ``"xx64"`` (default) is Spark's xxhash64 — fastest, but
+    engine-specific; ``"md5"`` derives each minhash value as an
+    8-hex-char chunk of ``md5(f"{seed}|{bin}")`` (four values per digest,
+    same chunking as ``dedup._chunk_hash``) and each band digest as the
+    md5 of the band slice — bit-reproducible in any engine with md5, so
+    the PRODUCTION candidate path (banding, first-collision emission,
+    Jaccard gate, connected components) gets a DuckDB oracle row
+    (registry q53) instead of only the O(block²) oracle mode.  Same plan
+    shape either way; the hash family only changes which pairs collide.
 
     ``max_bucket`` drops candidate buckets (the LSH ``(pblock, band,
     bandHash)`` key, or the block-mode ``pblock`` key) larger than the cap
@@ -125,17 +136,51 @@ def cluster_spectra(
     # NB: the per-seed lambda must be built by a factory — a two-argument
     # lambda (e.g. `lambda x, seed=s`) makes PySpark pass the ARRAY INDEX
     # as the second argument, silently shadowing the default.
-    def _minhash(seed: int) -> Column:
-        return F.array_min(
-            F.transform(F.col("bins"), lambda b: F.xxhash64(b, F.lit(seed)))
+    if hash_fn == "md5":
+        # materialize the per-bin digest array ONCE (one md5 per
+        # (bin, seed-group)), then each of the num_hashes minhash values
+        # is an 8-hex-char substring min — not num_hashes md5 passes.
+        n_digests = (num_hashes + 3) // 4
+        with_digests = binned.withColumn(
+            "_bd",
+            F.transform(
+                "bins",
+                lambda b: F.array(
+                    *[
+                        F.md5(F.concat(F.lit(f"{d}|"), b.cast("string")))
+                        for d in range(n_digests)
+                    ]
+                ),
+            ),
         )
 
-    sigs = binned.select(
-        "key",
-        "pmz",
-        "bins",
-        F.array(*[_minhash(s) for s in range(num_hashes)]).alias("sig"),
-    )
+        def _minhash(seed: int) -> Column:
+            d, c = seed // 4, seed % 4
+            return F.array_min(
+                F.transform(
+                    F.col("_bd"), lambda a: F.substring(a[d], c * 8 + 1, 8)
+                )
+            )
+
+        sigs = with_digests.select(
+            "key",
+            "pmz",
+            "bins",
+            F.array(*[_minhash(s) for s in range(num_hashes)]).alias("sig"),
+        )
+    else:
+
+        def _minhash(seed: int) -> Column:
+            return F.array_min(
+                F.transform(F.col("bins"), lambda b: F.xxhash64(b, F.lit(seed)))
+            )
+
+        sigs = binned.select(
+            "key",
+            "pmz",
+            "bins",
+            F.array(*[_minhash(s) for s in range(num_hashes)]).alias("sig"),
+        )
 
     # two overlapping precursor blocks per spectrum; every row carries the
     # FULL pbs (and, for lsh, band-digest) array so the candidate join can
@@ -187,20 +232,19 @@ def cluster_spectra(
         )
         cand = left.join(right, ["pblock"]).filter(first_block)
     else:
-        digs = F.array(
-            *[
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                )
-                for b in range(bands)
-            ]
-        )
+        # band digest over the signature slice; hash family follows the
+        # signature's (md5 digests compare as strings, same banding shape)
+        def _band_digest(b: int) -> Column:
+            joined = F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+            return F.md5(joined) if hash_fn == "md5" else F.xxhash64(joined)
+
+        digs = F.array(*[_band_digest(b) for b in range(bands)])
         buckets = _cap(
             sigs.select("key", "bins", pbs.alias("pbs"), digs.alias("digs"))
             .select("key", "bins", "pbs", "digs", F.explode("pbs").alias("pblock"))

@@ -1743,12 +1743,15 @@ def q47_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Native spectral clustering (SURVEY §2.14b) — the in-engine MaraCluster
 # substitute.  Spectra are synthesized from the embeddings table (dims →
 # quantized fragment pattern), so same-label embedding rows cluster.  The
-# registry runs the deterministic exhaustive-within-block candidate mode
-# (``method="block"``), which the oracle mirrors end-to-end: binning and
-# the Jaccard pair gate as list expressions, then connected components as
-# a recursive min-label reachability CTE.  The probabilistic LSH banding
-# mode is the scale path and keeps its recall test in
-# tests/test_graph_spectral.py.
+# query gates BOTH candidate modes in one row (a `method` column keeps
+# the driver's 50-entry budget): the deterministic exhaustive
+# within-block mode (``method="block"``, the exact baseline) AND the
+# PRODUCTION minhash-banding mode users run at scale
+# (``method="lsh"``), made oracle-able via ``hash_fn="md5"`` — 8-hex
+# chunked-md5 minhashes + md5 band digests, the q24 technique — so
+# DuckDB reproduces the exact bucket assignment, first-collision pair
+# emission, Jaccard gate, and connected components.  Ref capability:
+# /root/reference/submissions.nf:245-269 (MaraCluster boundary).
 # ---------------------------------------------------------------------------
 @register(
     "q48_spectral_cluster",
@@ -1783,8 +1786,73 @@ def q47_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT key, key FROM base
       UNION
       SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    sigd AS (
+      -- 16 chunked-md5 minhashes: value s = 8-hex chunk s%4 of
+      -- MD5((s//4) || '|' || bin), mirroring spectral_cluster hash_fn="md5"
+      SELECT key, bins,
+             [LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('0|' || CAST(x AS VARCHAR)), 1, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('0|' || CAST(x AS VARCHAR)), 9, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('0|' || CAST(x AS VARCHAR)), 17, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('0|' || CAST(x AS VARCHAR)), 25, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('1|' || CAST(x AS VARCHAR)), 1, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('1|' || CAST(x AS VARCHAR)), 9, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('1|' || CAST(x AS VARCHAR)), 17, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('1|' || CAST(x AS VARCHAR)), 25, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('2|' || CAST(x AS VARCHAR)), 1, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('2|' || CAST(x AS VARCHAR)), 9, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('2|' || CAST(x AS VARCHAR)), 17, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('2|' || CAST(x AS VARCHAR)), 25, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('3|' || CAST(x AS VARCHAR)), 1, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('3|' || CAST(x AS VARCHAR)), 9, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('3|' || CAST(x AS VARCHAR)), 17, 8))),
+              LIST_MIN(LIST_TRANSFORM(bins, x -> SUBSTR(MD5('3|' || CAST(x AS VARCHAR)), 25, 8)))
+             ] AS sig,
+             LIST_DISTINCT([CAST(FLOOR(pmz/2e0) AS BIGINT),
+                            CAST(FLOOR(pmz/2e0 + 0.5e0) AS BIGINT)]) AS pbs
+      FROM base
+    ),
+    digd AS (
+      -- 8 bands × 2 rows: band digest = md5 of the comma-joined slice
+      SELECT key, bins, pbs,
+             LIST_TRANSFORM([0, 1, 2, 3, 4, 5, 6, 7],
+               b -> MD5(ARRAY_TO_STRING(LIST_SLICE(sig, b * 2 + 1, b * 2 + 2), ','))) AS digs
+      FROM sigd
+    ),
+    lsh_blocked AS (
+      SELECT key, bins, digs, UNNEST(pbs) AS pblock FROM digd
+    ),
+    banded0 AS (
+      SELECT key, bins, pblock, digs, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS band
+      FROM lsh_blocked
+    ),
+    banded AS (
+      SELECT key, bins, pblock, band, digs[band + 1] AS bandHash FROM banded0
+    ),
+    lsh_cand AS (
+      -- DISTINCT over all bucket meetings = the engine's uncapped
+      -- first-collision pair set
+      SELECT DISTINCT a.key AS ka, b.key AS kb, a.bins AS ba, b.bins AS bb
+      FROM banded a JOIN banded b USING (pblock, band, bandHash)
+      WHERE a.key < b.key
+    ),
+    lsh_pairs AS (
+      SELECT ka, kb FROM lsh_cand
+      WHERE LEN(LIST_INTERSECT(ba, bb))
+            / (LEN(ba) + LEN(bb) - LEN(LIST_INTERSECT(ba, bb))) >= 0.5e0
+    ),
+    lsh_edges AS (SELECT ka AS src, kb AS dst FROM lsh_pairs
+                  UNION ALL SELECT kb, ka FROM lsh_pairs),
+    lsh_reach(node, lbl) AS (
+      SELECT key, key FROM base
+      UNION
+      SELECT e.dst, r.lbl FROM lsh_reach r JOIN lsh_edges e ON e.src = r.node
     )
-    SELECT node AS usi, MIN(lbl) AS clusterId FROM reach GROUP BY node
+    SELECT 'block' AS method, node AS usi, MIN(lbl) AS clusterId
+    FROM reach GROUP BY node
+    UNION ALL
+    SELECT 'lsh' AS method, node AS usi, MIN(lbl) AS clusterId
+    FROM lsh_reach GROUP BY node
     """,
 )
 def q48_spectral_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1800,8 +1868,13 @@ def q48_spectral_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("masses"),
         F.transform(dims, lambda x: F.abs(x) * 100.0 + 1.0).alias("intensities"),
     )
-    out = cluster_spectra(spectra, "usi", top_k=24, threshold=0.5, method="block")
-    return out.select(F.col("key").alias("usi"), "clusterId")
+    block = cluster_spectra(
+        spectra, "usi", top_k=24, threshold=0.5, method="block"
+    ).select(F.lit("block").alias("method"), F.col("key").alias("usi"), "clusterId")
+    lsh = cluster_spectra(
+        spectra, "usi", top_k=24, threshold=0.5, method="lsh", hash_fn="md5"
+    ).select(F.lit("lsh").alias("method"), F.col("key").alias("usi"), "clusterId")
+    return block.unionByName(lsh)
 
 
 # ---------------------------------------------------------------------------

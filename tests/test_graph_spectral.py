@@ -138,6 +138,33 @@ def test_cluster_spectra_block_mode_matches_lsh_on_clean_groups(spark):
     assert len({block[f"usi:A:{i}"] for i in range(4)}) == 1
     assert len({block[f"usi:B:{i}"] for i in range(3)}) == 1
 
+def test_cluster_spectra_md5_hash_family_matches_xx64_on_clean_groups(spark):
+    # hash_fn="md5" (the oracle-able production-path variant, registry
+    # q53) only changes which pairs collide probabilistically; on
+    # well-separated replicate groups both hash families must recover the
+    # same clustering
+    rng = random.Random(23)
+    pattern_a = [100.1 + 7 * k for k in range(30)]
+    rows = []
+    for i in range(5):
+        m, inten = _spectrum(rng, pattern_a, drop=2)
+        rows.append((f"usi:A:{i}", 450.1 + rng.uniform(-0.2, 0.2), m, inten))
+    rows.append(("usi:X:0", 700.0, [200.0 + 11 * k for k in range(30)],
+                 [1.0 + k for k in range(30)]))
+    spectra = spark.createDataFrame(
+        rows,
+        "usi string, precursorMz double, masses array<double>, intensities array<double>",
+    )
+    xx = {r["key"]: r["clusterId"]
+          for r in cluster_spectra(spectra, "usi", method="lsh").collect()}
+    md5 = {r["key"]: r["clusterId"]
+           for r in cluster_spectra(spectra, "usi", method="lsh",
+                                    hash_fn="md5").collect()}
+    assert xx == md5
+    assert len({md5[f"usi:A:{i}"] for i in range(5)}) == 1
+    assert md5["usi:X:0"] == "usi:X:0"
+
+
 def test_cluster_spectra_cap_bounds_identical_spectra(spark):
     # all-identical spectra in one precursor block: the cap drops the
     # mega-bucket, so everything stays a singleton instead of an O(n^2)
