@@ -65,6 +65,38 @@ def _mgf(n=40):
     return "".join(blocks)
 
 
+def test_zip_spectra_ingest_matches_plain(spark, tmp_path):
+    # S14: a zipped MGF must produce bit-identical canonical spectra rows
+    # to the plain file (reference decompresses .gz/.zip to an internal
+    # copy before reading, SubmissionPipelineUtils.java:385-395)
+    import zipfile
+
+    from pride_spark.plans.ingest import read_spectra_any, stage_compressed
+
+    plain = tmp_path / "run1.mgf"
+    plain.write_text(_mgf())
+    zpath = tmp_path / "run1.mgf.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(plain, "run1.mgf")
+
+    stage = tmp_path / "stage"
+    want = sorted(
+        map(repr, read_mgf(spark, str(plain)).drop("fileName").collect())
+    )
+    got_df = read_spectra_any(spark, [str(zpath)], stage_dir=str(stage))
+    got = sorted(map(repr, got_df.drop("fileName").collect()))
+    assert got == want and len(got) == 40
+
+    # multi-member archive fans out; non-zip paths pass through untouched
+    multi = tmp_path / "two.zip"
+    with zipfile.ZipFile(multi, "w") as zf:
+        zf.write(plain, "a.mgf")
+        zf.write(plain, "b.mgf")
+    staged = stage_compressed([str(multi), str(plain)], str(tmp_path / "s2"))
+    assert len(staged) == 3 and staged[-1] == str(plain)
+    assert read_spectra_any(spark, staged).count() == 120
+
+
 def test_files_to_index(spark, tmp_path):
     (tmp_path / "a.mzid").write_text(_mzid())
     (tmp_path / "run1.mgf").write_text(_mgf())

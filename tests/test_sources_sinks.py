@@ -137,6 +137,97 @@ def test_sdrf_melt(spark, tmp_path):
     assert all(t[2] is not None for t in triples)
 
 
+_EFO_OBO = """format-version: 1.2
+ontology: efo
+
+[Term]
+id: EFO:0000001
+name: experimental factor
+
+[Term]
+id: EFO:0000635
+name: organism part
+
+[Term]
+id: NCBITaxon:9606
+name: organism
+
+[Term]
+id: EFO:0000408
+name: disease
+
+[Term]
+id: EFO:9999999
+name: organism
+is_obsolete: true
+
+[Typedef]
+id: part_of
+name: part of
+"""
+
+
+def test_efo_obo_parse(spark, tmp_path):
+    from pride_spark.sources.efo import read_efo_obo
+
+    p = tmp_path / "efo.obo"
+    p.write_text(_EFO_OBO)
+    terms = {r["accession"]: r["name"] for r in read_efo_obo(spark, str(p)).collect()}
+    assert terms == {
+        "EFO:0000001": "experimental factor",
+        "EFO:0000635": "organism part",
+        "NCBITaxon:9606": "organism",
+        "EFO:0000408": "disease",
+    }  # obsolete term dropped, [Typedef] stanza ignored
+
+
+def test_sdrf_efo_enrichment_end_to_end(spark, tmp_path):
+    # the J10 shape: melted SDRF characteristics broadcast-left-joined to
+    # the EFO dim; unknown names keep NULL accession like the reference's
+    # Param (PrideAnalysisAssayService.java:342-347)
+    from pride_spark.sources.efo import read_sdrf_enriched
+
+    sdrf = tmp_path / "sample.sdrf.tsv"
+    sdrf.write_text(
+        "source name\tcharacteristics[organism]\tcharacteristics[Disease]"
+        "\tcharacteristics[strain]\tcomment[data file]\n"
+        "s1\thuman\tcancer\tc57\tf1.raw\n"
+        "s2\tmouse\t\tbalb\tf2.raw\n"
+    )
+    obo = tmp_path / "efo.obo"
+    obo.write_text(_EFO_OBO)
+    out = read_sdrf_enriched(spark, str(sdrf), str(obo))
+    rows = {(r["dataFile"], r["name"]): r["accession"] for r in out.collect()}
+    assert rows[("f1.raw", "organism")] == "NCBITaxon:9606"
+    assert rows[("f1.raw", "Disease")] == "EFO:0000408"  # case-insensitive
+    assert rows[("f1.raw", "strain")] is None  # unknown name -> null accession
+    assert rows[("f2.raw", "organism")] == "NCBITaxon:9606"
+    # the ontology side must broadcast — the fact side is never shuffled
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_efo_tsv_variant(spark, tmp_path):
+    from pride_spark.sources.efo import enrich_with_efo, read_efo_tsv
+    from pride_spark.sources.tabular import read_sdrf
+
+    tsv = tmp_path / "efo_terms.tsv"
+    tsv.write_text("accession\tname\nEFO:0000408\tdisease\n")
+    sdrf = tmp_path / "s.sdrf.tsv"
+    sdrf.write_text(
+        "characteristics[disease]\tcomment[data file]\ncancer\tf1.raw\n"
+    )
+    out = enrich_with_efo(
+        read_sdrf(spark, str(sdrf)), read_efo_tsv(spark, str(tsv))
+    ).collect()
+    assert len(out) == 1 and out[0]["accession"] == "EFO:0000408"
+
+
 def test_file_type_dispatch(spark):
     df = spark.createDataFrame(
         [("a.mzid",), ("b.MzML.gz",), ("c.mgf",), ("d.mzTab",), ("e.unknown",)], "name string"
