@@ -117,7 +117,8 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iterations: int = 50,
-    skew_safe: bool = False,
+    skew_safe: bool | str = "auto",
+    skew_threshold: int = 500_000,
 ) -> DataFrame:
     """Label every node with the MIN node id of its connected component.
 
@@ -126,8 +127,17 @@ def connected_components(
     themselves.  Returns ``(node, component)``.
 
     ``skew_safe=True`` swaps the per-key window for a map-side-combined
-    groupBy+join in each star step (see :func:`_with_min_b`) — use it
-    when components can grow past what one task should hold.
+    groupBy+join in each star step (see :func:`_with_min_b`) — needed
+    when components grow past what one window task should hold.  The
+    default ``"auto"`` SELF-TUNES: the input's max node degree is probed
+    once before the loop, and each round's convergence aggregation also
+    yields the contracted list's max in-degree (free — the signature is
+    re-aggregated from the same per-key pass), flipping to the skew-safe
+    formulation as soon as any key exceeds ``skew_threshold``.  Star
+    contraction MANUFACTURES hubs (a root's degree approaches its
+    component size at the fixpoint), so a graph that starts hub-free can
+    still need the flip mid-run — this is why the probe is per-round,
+    not just on input.
     """
     spark = edges.sparkSession
     base = (
@@ -142,6 +152,19 @@ def connected_components(
         .distinct()
     )
 
+    auto = skew_safe == "auto"
+    if auto:
+        maxd0 = (
+            base.select(F.explode(F.array("u", "v")).alias("n"))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .first()[0]
+        )
+        mode = (maxd0 or 0) > skew_threshold
+    else:
+        mode = bool(skew_safe)
+
     cur = base.filter(F.col("u") != F.col("v"))
     prev_sig = None
     # Checkpoint hygiene tracks each round's checkpoint RDD by DIRECT
@@ -154,18 +177,30 @@ def connected_components(
         sym = cur.select("u", "v").union(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("a"), F.col("v").alias("b"))
-        cur = _small_star(_large_star(sym, skew_safe), skew_safe).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(sym, mode), mode).localCheckpoint(eager=True)
         # the previous round's checkpoint fed this one and is now dead;
         # free it instead of waiting for a driver GC.
         if prev_ckpt is not None:
             _unpersist_handle(prev_ckpt)
         prev_ckpt = _checkpoint_rdd(cur)
-        # scalar-only convergence signature
-        row = cur.agg(
-            F.count(F.lit(1)).alias("n"),
+        # Scalar-only convergence signature, computed per-v first: count
+        # and bit_xor are both re-aggregable (sum / xor of the partials),
+        # and the same pass yields max in-degree of the contracted list —
+        # small-star orients edges AT the minimum, so the v side is where
+        # contraction manufactures hubs.  Map-side combine keeps the
+        # extra keyed phase cheap on the shrinking edge list.
+        per_key = cur.groupBy("v").agg(
+            F.count(F.lit(1)).alias("c"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        )
+        row = per_key.agg(
+            F.sum("c").alias("n"),
+            F.bit_xor("h").alias("h"),
+            F.max("c").alias("maxd"),
         ).first()
         sig = (row["n"], row["h"])
+        if auto and not mode and (row["maxd"] or 0) > skew_threshold:
+            mode = True
         if sig == prev_sig:
             break
         prev_sig = sig

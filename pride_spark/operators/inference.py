@@ -61,7 +61,12 @@ def peptide_protein_sets(psms: DataFrame) -> DataFrame:
     )
 
 
-def occams_razor(psms: DataFrame, max_groups: int = 2_000_000) -> DataFrame:
+def occams_razor(
+    psms: DataFrame,
+    max_groups: int = 2_000_000,
+    *,
+    max_cover_groups: int = 2_000_000,
+) -> DataFrame:
     """Full parsimony inference; returns one row per protein accession.
 
     ``category`` ∈ {'distinguishable', 'indistinguishable', 'subset'};
@@ -69,10 +74,12 @@ def occams_razor(psms: DataFrame, max_groups: int = 2_000_000) -> DataFrame:
     Deterministic: ties in the greedy step break on smallest groupId.
 
     The iterative steps run on the driver over the aggregated group table
-    (one row per distinct peptide set); ``max_groups`` guards the collect —
-    reference-scale proteomes are ~10⁴ groups, so hitting the ceiling means
-    the input is not a peptide→protein map and the blind collect would have
-    OOMed the driver.
+    (one row per distinct peptide set); ``max_groups`` bounds that collect.
+    PAST the ceiling the call no longer raises: it auto-selects the
+    distributed formulation (:func:`_occams_razor_distributed`) where
+    same-set grouping and subset absorption are joins and only the greedy
+    cover — inherently sequential — collects, bounded by
+    ``max_cover_groups`` over the (much smaller) post-absorption table.
     """
     spark = psms.sparkSession
     grouped = (
@@ -85,10 +92,8 @@ def occams_razor(psms: DataFrame, max_groups: int = 2_000_000) -> DataFrame:
     # but runs the explode+groupBy aggregation ONCE instead of twice
     rows = grouped.limit(max_groups + 1).collect()
     if len(rows) > max_groups:
-        raise ValueError(
-            f"occams_razor: distinct peptide-set groups exceed the "
-            f"driver-collect ceiling ({max_groups}); raise max_groups only if "
-            "the driver has memory for the group table"
+        return _occams_razor_distributed(
+            grouped, max_cover_groups=max_cover_groups
         )
     # Driver loop input: one row per DISTINCT peptide set — compact.
     groups = [
@@ -153,3 +158,104 @@ def occams_razor(psms: DataFrame, max_groups: int = 2_000_000) -> DataFrame:
         for acc in members:
             rows.append((acc, gid, list(members), sorted(peps), gid in leading, cat))
     return spark.createDataFrame(rows, GROUP_SCHEMA)
+
+
+def _occams_razor_distributed(
+    grouped: DataFrame, *, max_cover_groups: int
+) -> DataFrame:
+    """Parsimony past the driver ceiling: absorption as joins, cover-only
+    collect.
+
+    ``grouped`` is one row per distinct peptide set ``(peptides,
+    groupMembers, groupId)``.  Subset absorption re-derives the driver
+    algorithm's inverted-index trick distributively:
+
+    - peptide document frequency (one groupBy);
+    - each group's RAREST peptide (min (df, p) struct — choice of tie
+      doesn't affect results: every strict superset of g contains every
+      peptide of g, so the qualifying-absorber set is rarest-invariant);
+    - candidate absorbers = groups sharing that rarest peptide (equi-join
+      whose fan-out per group is df(rarest), the same bound the driver
+      index gives);
+    - absorber = MIN qualifying strict superset, matching the driver's
+      first-of-sorted pick.
+
+    Only the greedy cover — sequential by nature — collects, over the
+    post-absorption non-subset groups (bounded by ``max_cover_groups``;
+    absorption typically shrinks the table by orders of magnitude).
+    """
+    spark = grouped.sparkSession
+    grouped = grouped.localCheckpoint(eager=False)  # feeds 4 branches; cut lineage
+    ex = grouped.select("groupId", F.explode("peptides").alias("p"))
+    dfreq = ex.groupBy("p").agg(F.count("*").alias("df"))
+    rarest = (
+        ex.join(dfreq, "p")
+        .groupBy("groupId")
+        .agg(F.min(F.struct("df", "p")).alias("r"))
+        .select("groupId", F.col("r.p").alias("p"))
+    )
+    arrays = grouped.select("groupId", "peptides")
+    cand = (
+        rarest.join(ex.select(F.col("groupId").alias("g2"), "p"), "p")
+        .filter(F.col("groupId") != F.col("g2"))
+        .drop("p")
+    )
+    absorbed = (
+        cand.join(arrays, "groupId")
+        .join(
+            arrays.select(F.col("groupId").alias("g2"), F.col("peptides").alias("peps2")),
+            "g2",
+        )
+        .filter(
+            (F.size("peptides") < F.size("peps2"))
+            & (F.size(F.array_except("peptides", "peps2")) == 0)
+        )
+        .groupBy("groupId")
+        .agg(F.min("g2").alias("absorber"))
+    )
+    non_subset = grouped.join(absorbed, "groupId", "left_anti")
+
+    rows = non_subset.select("groupId", "peptides").limit(max_cover_groups + 1).collect()
+    if len(rows) > max_cover_groups:
+        raise ValueError(
+            f"occams_razor: non-subset groups exceed the greedy-cover "
+            f"collect ceiling ({max_cover_groups}) even after distributed "
+            "subset absorption; raise max_cover_groups only if the driver "
+            "has memory for the cover table"
+        )
+    import heapq
+
+    cover = [(r["groupId"], frozenset(r["peptides"])) for r in rows]
+    uncovered = set().union(*(p for _, p in cover)) if cover else set()
+    leading: set[str] = set()
+    heap = [(-len(peps), gid, peps) for gid, peps in cover]
+    heapq.heapify(heap)
+    while uncovered and heap:
+        neg_gain, gid, peps = heapq.heappop(heap)
+        gain = len(peps & uncovered)
+        if gain == 0:
+            continue
+        if -neg_gain != gain and heap and heap[0] < (-gain, gid, peps):
+            heapq.heappush(heap, (-gain, gid, peps))  # stale: refresh & retry
+            continue
+        leading.add(gid)
+        uncovered -= peps
+
+    leading_df = spark.createDataFrame(
+        [(g,) for g in sorted(leading)], "groupId string"
+    ).withColumn("__lead", F.lit(True))
+    return (
+        grouped.join(absorbed, "groupId", "left")
+        .join(leading_df, "groupId", "left")
+        .select(
+            F.explode("groupMembers").alias("proteinAccession"),
+            "groupId",
+            "groupMembers",
+            "peptides",
+            F.coalesce("__lead", F.lit(False)).alias("isLeading"),
+            F.when(F.col("absorber").isNotNull(), "subset")
+            .when(F.size("groupMembers") == 1, "distinguishable")
+            .otherwise("indistinguishable")
+            .alias("category"),
+        )
+    )

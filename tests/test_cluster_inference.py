@@ -85,15 +85,41 @@ def test_occams_razor_greedy_minimality(spark):
     assert out["P6"]["category"] == "subset" and not out["P6"]["isLeading"]
     assert out["P7"]["category"] == "subset" and not out["P7"]["isLeading"]
 
-def test_occams_razor_group_ceiling(spark):
-    from pride_spark.operators.inference import occams_razor
+def test_occams_razor_past_ceiling_uses_distributed_path(spark):
+    # past max_groups the call no longer raises: it auto-selects the
+    # join-based formulation; results must be IDENTICAL to the driver path
+    rows = (
+        [("pep1", ["P1", "P2"]), ("pep2", ["P1", "P2", "P3"]), ("pepX", ["P4"])]
+        + [("a", ["P5", "P6"]), ("b", ["P5", "P7"]), ("c", ["P5"])]
+        + [(f"PEP{i}", [f"Q{i}"]) for i in range(20)]
+    )
+    psms = spark.createDataFrame(
+        rows, "peptideSequence string, proteinAccessions array<string>"
+    )
 
+    def canon(df):
+        return sorted(
+            (r["proteinAccession"], r["groupId"], tuple(r["groupMembers"]),
+             tuple(r["peptides"]), r["isLeading"], r["category"])
+            for r in df.collect()
+        )
+
+    driver = canon(occams_razor(psms, max_groups=1000))
+    dist = canon(occams_razor(psms, max_groups=2))  # forces distributed
+    assert driver == dist
+    cats = {a: c for a, _, _, _, _, c in dist}
+    assert cats["P3"] == "subset" and cats["P1"] == "indistinguishable"
+    assert cats["P6"] == "subset" and cats["Q0"] == "distinguishable"
+
+
+def test_occams_razor_cover_ceiling_still_guards(spark):
+    # the distributed path still refuses an unbounded COVER collect
     psms = spark.createDataFrame(
         [(f"PEP{i}", [f"P{i}"]) for i in range(10)],
         "peptideSequence string, proteinAccessions array<string>",
     )
     import pytest
 
-    with pytest.raises(ValueError, match="exceed the driver-collect ceiling"):
-        occams_razor(psms, max_groups=2)
+    with pytest.raises(ValueError, match="greedy-cover collect ceiling"):
+        occams_razor(psms, max_groups=2, max_cover_groups=3)
     assert occams_razor(psms, max_groups=100).count() == 10

@@ -53,13 +53,44 @@ def test_connected_components_skew_safe_agrees_on_hub_graph(spark):
     # shape that makes the window path a single-task straggler at scale
     rows = [(0, i) for i in range(1, 401)] + [(400, 500), (500, 501), (600, 601)]
     edges = spark.createDataFrame(rows, "src long, dst long")
-    fast = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    fast = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, skew_safe=False).collect()
+    }
     safe = {
         r["node"]: r["component"]
         for r in connected_components(edges, skew_safe=True).collect()
     }
     assert fast == safe
     assert safe[501] == 0 and safe[601] == 600 and len(safe) == 405
+
+
+def test_connected_components_auto_flips_on_hub(spark):
+    # skew_safe="auto" with a low threshold: the 400-leaf hub trips the
+    # input probe, so the whole run uses the groupBy-min formulation —
+    # results must equal the explicit modes.  A chain (hub-free input
+    # but a root hub grows during contraction) exercises the MID-RUN
+    # flip via the per-round max-in-degree probe.
+    hub_rows = [(0, i) for i in range(1, 401)] + [(600, 601)]
+    hub = spark.createDataFrame(hub_rows, "src long, dst long")
+    auto = {
+        r["node"]: r["component"]
+        for r in connected_components(hub, skew_safe="auto", skew_threshold=50).collect()
+    }
+    explicit = {
+        r["node"]: r["component"]
+        for r in connected_components(hub, skew_safe=True).collect()
+    }
+    assert auto == explicit
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, skew_safe="auto", skew_threshold=20).collect()
+    }
+    assert set(out.values()) == {0} and len(out) == 201
 
 
 def _spectrum(rng, base_peaks, jitter=0.05, drop=0):

@@ -5,9 +5,6 @@ from __future__ import annotations
 import io
 import wave
 
-import pytest
-from pyspark.sql import functions as F
-
 from pride_spark.operators import multimodal as mm
 
 
@@ -151,31 +148,122 @@ def test_decoder_auto_flags_fallback_rows(spark):
     )
 
 
-@pytest.mark.skipif(not mm.codec_support()["image"], reason="PIL not installed")
-def test_image_features_real_pil_decode(spark):
-    from PIL import Image
+def _png_rgb(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Hand-rolled minimal PNG (8-bit RGB, filter 0) — no PIL needed."""
+    import struct
+    import zlib
 
-    buf = io.BytesIO()
-    Image.new("RGB", (4, 2), (10, 20, 30)).save(buf, format="PNG")
-    rows = [(1, "image", buf.getvalue(), "image/png", 4, 2, None)]
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_features_real_png_decode(spark):
+    # runs hermetically: PIL when installed, else the built-in stdlib
+    # PNG decoder — identical RGB bytes either way
+    rows = [(1, "image", _png_rgb(4, 2, (10, 20, 30)), "image/png", 4, 2, None)]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = mm.image_features(media, decoder="real").collect()
     assert out[0]["n_bytes"] == 4 * 2 * 3
     assert out[0]["byte_mean"] == 20
 
 
-@pytest.mark.skipif(not mm.codec_support()["video"], reason="ffmpeg not installed")
-def test_sample_frames_real_ffmpeg_decode(spark, tmp_path):
-    import subprocess
+def test_builtin_png_decoder_unfilters_all_filter_types(spark):
+    # round-trip a non-trivial image through every PNG scanline filter;
+    # the builtin decoder must reproduce the original pixels exactly
+    import struct
+    import zlib
 
-    src = tmp_path / "test.mp4"
-    subprocess.run(
-        ["ffmpeg", "-v", "error", "-f", "lavfi", "-i", "testsrc=duration=2:rate=5",
-         str(src)],
-        check=True,
+    w, h = 5, 5
+    pixels = [
+        bytes((x * 37 + y * 11) % 256 for x in range(w * 3)) for y in range(h)
+    ]
+
+    def filt(ftype: int, line: bytes, prev: bytes) -> bytes:
+        out = bytearray([ftype])
+        for x in range(len(line)):
+            a = line[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                v = line[x]
+            elif ftype == 1:
+                v = line[x] - a
+            elif ftype == 2:
+                v = line[x] - b
+            elif ftype == 3:
+                v = line[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] - pred
+            out.append(v & 255)
+        return bytes(out)
+
+    prev = bytes(w * 3)
+    raw = b""
+    for y in range(h):
+        raw += filt(y % 5, pixels[y], prev)
+        prev = pixels[y]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
-    rows = [(1, "video", src.read_bytes(), "video/mp4", None, None, 2000)]
+    got = mm._decode_png_builtin(png)
+    assert got == b"".join(pixels)
+
+
+def _mjpeg_avi(frames: list[bytes], usec_per_frame: int = 200_000) -> bytes:
+    """Hand-rolled minimal MJPEG AVI: avih header + movi frame chunks."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack("<I", usec_per_frame) + b"\x00" * 52
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_sample_frames_real_decode(spark):
+    # runs hermetically: ffmpeg when installed, else the built-in
+    # MJPEG-AVI RIFF parser.  5 fps source sampled at 1000ms -> one
+    # frame per 5, and every emitted frame is a JPEG (SOI marker).
+    jpeg_stub = b"\xff\xd8\xff\xe0" + bytes(32)  # JPEG SOI+APP0 prefix
+    frames = [jpeg_stub + bytes([i]) for i in range(10)]  # 10 frames @5fps
+    payload = _mjpeg_avi(frames, usec_per_frame=200_000)
+    rows = [(1, "video", payload, "video/x-msvideo", None, None, 2000)]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = mm.sample_frames(media, every_ms=1000, decoder="real").collect()
     assert len(out) >= 2
     assert all(bytes(r["frame"])[:2] == b"\xff\xd8" for r in out)  # JPEG SOI
+    if not mm.codec_support()["video"]:
+        # builtin parser: exact sampling arithmetic is deterministic
+        assert len(out) == 2
+        assert [bytes(r["frame"])[-1] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 5]

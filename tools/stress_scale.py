@@ -120,6 +120,16 @@ def main() -> int:
         help="also run dedup.lsh_bucket_stats on the scaled documents and "
         "report the volume a max_bucket cap drops",
     )
+    ap.add_argument(
+        "--star-graph",
+        type=int,
+        default=0,
+        metavar="N",
+        help="adversarial CC stress: an N-leaf single-hub star (one "
+        "component, max-degree N) through connected_components "
+        "skew_safe='auto' — the shape where the window formulation is a "
+        "single straggler task; auto must flip to groupBy-min",
+    )
     args = ap.parse_args()
 
     from pride_spark.session import get_spark
@@ -153,6 +163,33 @@ def main() -> int:
         total += dt
         print(json.dumps({name: results[name]}), file=sys.stderr)
     out = {"factor": args.factor, "total_sec": round(total, 2), "queries": results}
+    if args.star_graph:
+        from pyspark.sql import functions as F
+
+        from pride_spark.operators.graph import connected_components
+
+        n = args.star_graph
+        # hub 0 with n leaves, plus a chain welded on so the diameter>1
+        edges = (
+            spark.range(1, n + 1)
+            .select(F.lit(0).alias("src"), F.col("id").alias("dst"))
+            .union(
+                spark.range(n + 1, n + 1001).select(
+                    (F.col("id") - 1).alias("src"), F.col("id").alias("dst")
+                )
+            )
+        )
+        t0 = time.time()
+        comp = connected_components(edges, skew_safe="auto")
+        n_comp = comp.select("component").distinct().count()
+        n_nodes = comp.count()
+        out["star_graph"] = {
+            "leaves": n,
+            "nodes": int(n_nodes),
+            "components": int(n_comp),
+            "sec": round(time.time() - t0, 2),
+        }
+        print(json.dumps({"star_graph": out["star_graph"]}), file=sys.stderr)
     if args.bucket_stats:
         from pride_spark.operators import dedup
 
