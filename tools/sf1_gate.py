@@ -1,0 +1,138 @@
+"""sf1 correctness gate — hash-equality for the heaviest queries at 10×
+the bench scale.
+
+The sf0.01 oracle gate proves semantics; this gate catches
+SCALE-DEPENDENT nondeterminism the small gate can't see: float summation
+order across more partitions, round-trip drift, overflow, partition-count
+sensitivity.  It reuses the driver-fidelity pandas canonicalization
+(columns sorted by name, rows sorted by all columns, pandas object hash)
+against DuckDB running the same oracle SQL over the same scaled parquet.
+
+The scaled dataset comes from ``tools/stress_scale.py --factor 10`` (sf0.1
+unioned 10× with offset keys) — build it first:
+
+    python tools/stress_scale.py --factor 10 --out /tmp/sf1 --queries ""
+    python tools/sf1_gate.py [--sf-dir /tmp/sf1] [--out CORRECTNESS_sf1_r04.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+#: the 10 heaviest queries by BENCH_r03 wall time — the ones whose plans
+#: touch the most data and therefore the most scale-dependent risk
+HEAVY = [
+    "q47_connected_components",
+    "q33_mgf_record",
+    "q39_mod_regroup",
+    "q24_lsh_near_dup",
+    "q48_spectral_cluster",
+    "q28_protein_rollup",
+    "q41_score_denoise",
+    "q03_fdr_qvalue",
+    "q35_simhash",
+    "q43_ivf_ann",
+]
+
+
+def _canon(pdf):
+    """Driver-fidelity canonicalization (see tools/check_oracle.py)."""
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[ns]")
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/tmp/sf1")
+    ap.add_argument("--out", default="CORRECTNESS_sf1_r04.json")
+    ap.add_argument("--queries", default=",".join(HEAVY))
+    args = ap.parse_args()
+
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from pride_spark.session import get_spark
+
+    spark = get_spark("sf1-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf_dir}/{t}.parquet"
+        # stress_scale writes parquet DIRECTORIES; driver testdata is flat files
+        pattern = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pattern}'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for name in args.queries.split(","):
+        name = name.strip()
+        t0 = time.time()
+        try:
+            s_pd = _canon(qs[name](spark, args.sf_dir).toPandas())
+            t_spark = round(time.time() - t0, 2)
+            t0 = time.time()
+            d_pd = _canon(con.execute(oracles[name]).df())
+            t_duck = round(time.time() - t0, 2)
+            entry: dict = {
+                "rows_spark": int(len(s_pd)),
+                "rows_duckdb": int(len(d_pd)),
+                "sec_spark": t_spark,
+                "sec_duckdb": t_duck,
+            }
+            if len(s_pd) != len(d_pd):
+                entry["status"] = "FAIL_ROWS"
+            elif sorted(s_pd.columns) != sorted(d_pd.columns):
+                entry["status"] = "FAIL_SCHEMA"
+            else:
+                h_s = pd.util.hash_pandas_object(s_pd, index=False).sum()
+                h_d = pd.util.hash_pandas_object(d_pd, index=False).sum()
+                if h_s == h_d:
+                    entry["status"] = "PASS"
+                else:
+                    neq = [c for c in s_pd.columns if not s_pd[c].equals(d_pd[c])]
+                    entry["status"] = "FAIL_HASH"
+                    entry["unequal_cols"] = neq
+            results[name] = entry
+        except Exception as ex:
+            results[name] = {
+                "status": "ERROR",
+                "err": f"{type(ex).__name__}: {str(ex)[:300]}",
+            }
+        n_fail += results[name]["status"] != "PASS"
+        print(f"  {name:28s} {results[name]['status']}  "
+              f"{results[name].get('rows_spark', '-')} rows", flush=True)
+
+    out = {
+        "sf_dir": args.sf_dir,
+        "factor_note": "sf0.1 x10 via tools/stress_scale.py (offset keys)",
+        "queries": results,
+        "n_pass": len(results) - n_fail,
+        "n_fail": n_fail,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(f"== {out['n_pass']} pass / {n_fail} fail -> {args.out}")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
