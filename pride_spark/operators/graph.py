@@ -64,7 +64,7 @@ def _unpersist_handle(rdd) -> None:
     except Exception:
         pass
 
-def _with_min_b(df: DataFrame, skew_safe: bool) -> DataFrame:
+def _with_min_b(df: DataFrame, skew_safe: bool, with_deg: bool = False) -> DataFrame:
     """Attach ``m = min(b) over rows sharing a``.
 
     Default (window): whole-partition frame — ONE shuffle, versus the
@@ -79,36 +79,61 @@ def _with_min_b(df: DataFrame, skew_safe: bool) -> DataFrame:
     (AQE's OptimizeSkewedJoin can split a skewed probe side; it cannot
     split a window partition).  Costs one extra small exchange per step;
     flip it on for adversarial/unknown graph shapes at scale.
+
+    ``with_deg`` additionally attaches ``__deg = count over the same
+    key`` — FREE in both formulations (same window frame / same
+    aggregate), used by the auto-mode hub probe.
     """
     if skew_safe:
-        mins = df.groupBy("a").agg(F.min("b").alias("m"))
-        return df.join(mins, "a")
-    return df.withColumn("m", F.min("b").over(Window.partitionBy("a")))
+        aggs = [F.min("b").alias("m")]
+        if with_deg:
+            aggs.append(F.count(F.lit(1)).alias("__deg"))
+        return df.join(df.groupBy("a").agg(*aggs), "a")
+    w = Window.partitionBy("a")
+    out = df.withColumn("m", F.min("b").over(w))
+    if with_deg:
+        out = out.withColumn("__deg", F.count(F.lit(1)).over(w))
+    return out
 
 
-def _large_star(sym: DataFrame, skew_safe: bool = False) -> DataFrame:
-    """sym = both orientations.  Emit (v, min(N(u) ∪ {u})) for v > u."""
+def _large_star(sym: DataFrame, skew_safe: bool = False, with_deg: bool = False) -> DataFrame:
+    """sym = both orientations.  Emit (v, min(N(u) ∪ {u})) for v > u.
+
+    With ``with_deg``, every output row carries its source partition's
+    size — large-star's window over the symmetric list is exactly where
+    a hub becomes a straggler, so this IS the quantity the auto-mode
+    probe needs, computed inside the window pass that runs anyway."""
     # no distinct here: the output feeds straight into small-star's
     # per-``a`` min, where duplicate (u,v) rows can't change the min —
     # the round's edge list is deduped once, at small-star's output
+    cols = [F.col("b").alias("u"), F.col("m").alias("v")]
+    if with_deg:
+        cols.append(F.col("__deg"))
     return (
-        _with_min_b(sym, skew_safe)
+        _with_min_b(sym, skew_safe, with_deg)
         .withColumn("m", F.least(F.col("m"), F.col("a")))
         .filter(F.col("b") > F.col("a"))
-        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .select(*cols)
     )
 
 
-def _small_star(edges: DataFrame, skew_safe: bool = False) -> DataFrame:
-    """Orient toward larger endpoint; connect u ∪ smaller-neighbors to min."""
+def _small_star(edges: DataFrame, skew_safe: bool = False, with_deg: bool = False) -> DataFrame:
+    """Orient toward larger endpoint; connect u ∪ smaller-neighbors to min.
+
+    With ``with_deg``, the input's ``__deg`` column (large-star partition
+    sizes) rides through to the output rows; dedup then keys on (u, v)
+    only — which ``__deg`` survives is arbitrary, fine for a threshold
+    probe."""
+    extra = ["__deg"] if with_deg else []
     oriented = edges.select(
-        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b"), *extra
     )
     with_m = _with_min_b(oriented, skew_safe)
-    links = with_m.select(F.col("b").alias("u"), F.col("m").alias("v")).union(
-        with_m.select(F.col("a").alias("u"), F.col("m").alias("v"))
+    links = with_m.select(F.col("b").alias("u"), F.col("m").alias("v"), *extra).union(
+        with_m.select(F.col("a").alias("u"), F.col("m").alias("v"), *extra)
     )
-    return links.filter(F.col("u") != F.col("v")).distinct()
+    links = links.filter(F.col("u") != F.col("v"))
+    return links.dropDuplicates(["u", "v"]) if with_deg else links.distinct()
 
 
 def connected_components(
@@ -130,14 +155,16 @@ def connected_components(
     groupBy+join in each star step (see :func:`_with_min_b`) — needed
     when components grow past what one window task should hold.  The
     default ``"auto"`` SELF-TUNES: the input's max node degree is probed
-    once before the loop, and each round's convergence aggregation also
-    yields the contracted list's max in-degree (free — the signature is
-    re-aggregated from the same per-key pass), flipping to the skew-safe
-    formulation as soon as any key exceeds ``skew_threshold``.  Star
-    contraction MANUFACTURES hubs (a root's degree approaches its
-    component size at the fixpoint), so a graph that starts hub-free can
-    still need the flip mid-run — this is why the probe is per-round,
-    not just on input.
+    once before the loop, and while un-flipped each round's rows carry
+    ``__deg`` — the large-star window partition size, computed for free
+    inside the window pass that runs anyway — whose max rides the
+    round's single convergence aggregate; past ``skew_threshold`` the
+    star steps flip to the skew-safe formulation.  Star contraction
+    MANUFACTURES hubs (a root's degree approaches its component size at
+    the fixpoint), so a graph that starts hub-free can still need the
+    flip mid-run — this is why the probe is per-round, not just on
+    input.  Total probe cost: one extra small job on the checkpointed
+    input, plus an 8-byte column while probing; zero extra shuffles.
     """
     spark = edges.sparkSession
     base = (
@@ -146,23 +173,23 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)  # feeds every round; cut upstream lineage
     )
-    nodes = (
-        base.select(F.col("u").alias("node"))
-        .union(base.select(F.col("v").alias("node")))
-        .distinct()
-    )
-
     auto = skew_safe == "auto"
+    node_union = base.select(F.col("u").alias("node")).union(
+        base.select(F.col("v").alias("node"))
+    )
     if auto:
-        maxd0 = (
-            base.select(F.explode(F.array("u", "v")).alias("n"))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c"))
-            .first()[0]
-        )
+        # The input hub probe does double duty: the per-node degree
+        # aggregate IS the node table (groupBy ≈ the distinct the final
+        # join needs anyway), checkpointed so the final join reuses it —
+        # net extra cost is one scalar max over the checkpointed table.
+        nodes_deg = node_union.groupBy("node").agg(
+            F.count(F.lit(1)).alias("__deg")
+        ).localCheckpoint(eager=True)
+        maxd0 = nodes_deg.agg(F.max("__deg")).first()[0]
         mode = (maxd0 or 0) > skew_threshold
+        nodes = nodes_deg.select("node")
     else:
+        nodes = node_union.distinct()
         mode = bool(skew_safe)
 
     cur = base.filter(F.col("u") != F.col("v"))
@@ -174,33 +201,33 @@ def connected_components(
     # round (both feeding the returned plan) stay pinned.
     prev_ckpt = None
     for i in range(max_iterations):
+        probing = auto and not mode
         sym = cur.select("u", "v").union(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("a"), F.col("v").alias("b"))
-        cur = _small_star(_large_star(sym, mode), mode).localCheckpoint(eager=True)
+        cur = _small_star(
+            _large_star(sym, mode, probing), mode, probing
+        ).localCheckpoint(eager=True)
         # the previous round's checkpoint fed this one and is now dead;
         # free it instead of waiting for a driver GC.
         if prev_ckpt is not None:
             _unpersist_handle(prev_ckpt)
         prev_ckpt = _checkpoint_rdd(cur)
-        # Scalar-only convergence signature, computed per-v first: count
-        # and bit_xor are both re-aggregable (sum / xor of the partials),
-        # and the same pass yields max in-degree of the contracted list —
-        # small-star orients edges AT the minimum, so the v side is where
-        # contraction manufactures hubs.  Map-side combine keeps the
-        # extra keyed phase cheap on the shrinking edge list.
-        per_key = cur.groupBy("v").agg(
-            F.count(F.lit(1)).alias("c"),
+        # Scalar-only convergence signature — ONE single-phase global
+        # aggregate either way.  While auto mode is probing, the rows
+        # carry ``__deg`` (large-star partition sizes, computed for free
+        # inside the window pass that runs anyway), so max(__deg) probes
+        # this round's hub size with zero extra shuffles or jobs.
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        )
-        row = per_key.agg(
-            F.sum("c").alias("n"),
-            F.bit_xor("h").alias("h"),
-            F.max("c").alias("maxd"),
-        ).first()
-        sig = (row["n"], row["h"])
-        if auto and not mode and (row["maxd"] or 0) > skew_threshold:
+        ]
+        if probing:
+            aggs.append(F.max("__deg").alias("maxd"))
+        row = cur.agg(*aggs).first()
+        if probing and (row["maxd"] or 0) > skew_threshold:
             mode = True
+        sig = (row["n"], row["h"])
         if sig == prev_sig:
             break
         prev_sig = sig

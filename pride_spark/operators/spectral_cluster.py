@@ -132,55 +132,48 @@ def cluster_spectra(
         ),
     ).filter(F.size("bins") > 0)
 
-    # minhash signature of the bin set (one pass, vector accumulator).
-    # NB: the per-seed lambda must be built by a factory — a two-argument
-    # lambda (e.g. `lambda x, seed=s`) makes PySpark pass the ARRAY INDEX
-    # as the second argument, silently shadowing the default.
+    # Minhash signature via explode → per-row codegen hashes → groupBy-min
+    # (the minhash_signatures_df shape from operators/dedup.py).  The
+    # earlier in-row HOF formulation (array_min over a transform per seed)
+    # was a CollapseProject trap: Catalyst inlines the whole interpreted
+    # signature tree into every downstream banded row, so the 16-seed ×
+    # n_digests md5 work was recomputed PER EXPLODED ROW — measured 25 s
+    # for 16 k banded rows at sf0.1 vs ~1 s for this shape.  One shuffle
+    # of (key, bin) rows, all whole-stage codegen; the min-agg then joins
+    # back to the binned frame on its key.
+    binrows = binned.select("key", F.explode("bins").alias("b"))
     if hash_fn == "md5":
-        # materialize the per-bin digest array ONCE (one md5 per
-        # (bin, seed-group)), then each of the num_hashes minhash values
-        # is an 8-hex-char substring min — not num_hashes md5 passes.
+        # chunked md5 (dedup._chunk_hash): 4 independent 8-hex-char
+        # minhash values per digest, one md5 per (bin, seed-group)
         n_digests = (num_hashes + 3) // 4
-        with_digests = binned.withColumn(
-            "_bd",
-            F.transform(
-                "bins",
-                lambda b: F.array(
-                    *[
-                        F.md5(F.concat(F.lit(f"{d}|"), b.cast("string")))
-                        for d in range(n_digests)
-                    ]
-                ),
-            ),
-        )
-
-        def _minhash(seed: int) -> Column:
-            d, c = seed // 4, seed % 4
-            return F.array_min(
-                F.transform(
-                    F.col("_bd"), lambda a: F.substring(a[d], c * 8 + 1, 8)
-                )
-            )
-
-        sigs = with_digests.select(
+        digests = binrows.select(
             "key",
-            "pmz",
-            "bins",
-            F.array(*[_minhash(s) for s in range(num_hashes)]).alias("sig"),
+            *[
+                F.md5(F.concat(F.lit(f"{d}|"), F.col("b").cast("string"))).alias(f"d{d}")
+                for d in range(n_digests)
+            ],
+        )
+        hashed = digests.select(
+            "key",
+            *[
+                F.substring(F.col(f"d{s // 4}"), (s % 4) * 8 + 1, 8).alias(f"h{s}")
+                for s in range(num_hashes)
+            ],
         )
     else:
-
-        def _minhash(seed: int) -> Column:
-            return F.array_min(
-                F.transform(F.col("bins"), lambda b: F.xxhash64(b, F.lit(seed)))
-            )
-
-        sigs = binned.select(
+        hashed = binrows.select(
             "key",
-            "pmz",
-            "bins",
-            F.array(*[_minhash(s) for s in range(num_hashes)]).alias("sig"),
+            *[F.xxhash64("b", F.lit(s)).alias(f"h{s}") for s in range(num_hashes)],
         )
+    mins = hashed.groupBy("key").agg(
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(num_hashes)]
+    )
+    sigs = binned.join(mins, "key").select(
+        "key",
+        "pmz",
+        "bins",
+        F.array(*[F.col(f"mh{s}") for s in range(num_hashes)]).alias("sig"),
+    )
 
     # two overlapping precursor blocks per spectrum; every row carries the
     # FULL pbs (and, for lsh, band-digest) array so the candidate join can

@@ -1736,7 +1736,10 @@ def q47_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = o.select(
         F.lag("o_orderkey").over(w).alias("src"), F.col("o_orderkey").alias("dst")
     ).filter(F.col("src").isNotNull())
-    return connected_components(edges)
+    # chain-link edges bound every component by one customer's order
+    # count — a data contract that rules out hubs, so the auto-probe
+    # machinery (the library default) is pure overhead here
+    return connected_components(edges, skew_safe=False)
 
 
 # ---------------------------------------------------------------------------

@@ -43,8 +43,9 @@ def test_checkpoint_hygiene_spares_concurrent_persists(spark):
     out.count()
     after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     assert before <= after, "hygiene sweep freed a concurrent persist"
-    # only base + the final round remain from the loop
-    assert len(after - before) <= 2, after - before
+    # only base + the auto-mode nodes/degree table + the final round
+    # remain from the loop (all three feed the returned plan)
+    assert len(after - before) <= 3, after - before
     other.unpersist()
 
 
