@@ -167,11 +167,19 @@ def connected_components(
     input, plus an 8-byte column while probing; zero extra shuffles.
     """
     spark = edges.sparkSession
+    # eager=False throughout this loop: every lazy checkpoint is
+    # materialized by the NEXT action that reads it (the probe aggregate
+    # or the round's convergence aggregate), so each round costs ONE
+    # driver job instead of two (measured: ~0.25s/job fixed scheduling
+    # latency at bench scale — the loop's dominant cost on small graphs).
+    # The ordering contract that makes this safe: a checkpoint's data is
+    # unrecoverable once unpersisted (lineage is truncated), so a parent
+    # checkpoint is only freed AFTER its dependent round materializes.
     base = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)  # feeds every round; cut upstream lineage
+        .localCheckpoint(eager=False)  # feeds every round; cut upstream lineage
     )
     auto = skew_safe == "auto"
     node_union = base.select(F.col("u").alias("node")).union(
@@ -184,8 +192,8 @@ def connected_components(
         # net extra cost is one scalar max over the checkpointed table.
         nodes_deg = node_union.groupBy("node").agg(
             F.count(F.lit(1)).alias("__deg")
-        ).localCheckpoint(eager=True)
-        maxd0 = nodes_deg.agg(F.max("__deg")).first()[0]
+        ).localCheckpoint(eager=False)
+        maxd0 = nodes_deg.agg(F.max("__deg")).first()[0]  # materializes base + nodes_deg
         mode = (maxd0 or 0) > skew_threshold
         nodes = nodes_deg.select("node")
     else:
@@ -207,17 +215,14 @@ def connected_components(
         ).select(F.col("u").alias("a"), F.col("v").alias("b"))
         cur = _small_star(
             _large_star(sym, mode, probing), mode, probing
-        ).localCheckpoint(eager=True)
-        # the previous round's checkpoint fed this one and is now dead;
-        # free it instead of waiting for a driver GC.
-        if prev_ckpt is not None:
-            _unpersist_handle(prev_ckpt)
-        prev_ckpt = _checkpoint_rdd(cur)
+        ).localCheckpoint(eager=False)
         # Scalar-only convergence signature — ONE single-phase global
-        # aggregate either way.  While auto mode is probing, the rows
-        # carry ``__deg`` (large-star partition sizes, computed for free
-        # inside the window pass that runs anyway), so max(__deg) probes
-        # this round's hub size with zero extra shuffles or jobs.
+        # aggregate either way, and THE action that materializes this
+        # round's lazy checkpoint (one driver job per round total).
+        # While auto mode is probing, the rows carry ``__deg``
+        # (large-star partition sizes, computed for free inside the
+        # window pass that runs anyway), so max(__deg) probes this
+        # round's hub size with zero extra shuffles or jobs.
         aggs = [
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
@@ -225,6 +230,13 @@ def connected_components(
         if probing:
             aggs.append(F.max("__deg").alias("maxd"))
         row = cur.agg(*aggs).first()
+        # the previous round's checkpoint fed this one and is now dead;
+        # free it instead of waiting for a driver GC.  MUST happen after
+        # the aggregate above: cur's checkpoint data exists only from
+        # that materialization on, and prev's is unrecoverable.
+        if prev_ckpt is not None:
+            _unpersist_handle(prev_ckpt)
+        prev_ckpt = _checkpoint_rdd(cur)
         if probing and (row["maxd"] or 0) > skew_threshold:
             mode = True
         sig = (row["n"], row["h"])

@@ -14,7 +14,7 @@ Spark pipeline that never leaves the DataFrame layer:
    precursor-m/z window (MaraCluster compares only precursor-close
    spectra).  Each spectrum lands in its floor bin AND its half-shifted
    bin, so pairs straddling a bin edge are still co-blocked.
-3. **LSH banding** (xxhash64 minhash over the bin set): spectra sharing
+3. **LSH banding** (minhash over the bin set): spectra sharing
    (precursor bin, band, band-hash) meet in one equi-join bucket —
    no O(n²) comparison anywhere.
 4. **Jaccard gate**: candidate pairs are kept when bin-set Jaccard ≥
@@ -27,12 +27,22 @@ controlled by (bands × rows_per_band) exactly like the text-dedup LSH
 (``operators/dedup.py``), and the CC loop runs on (node, label) pairs
 only.  Output matches the S11 cluster table shape, so
 ``plans/perform_inference.py`` consumes either source unchanged.
+
+:func:`cluster_spectra_multi` runs SEVERAL methods over one corpus while
+sharing the expensive stages: peak binning (and the minhash signature
+shuffle, when any method needs it) is computed once and persisted, and
+the per-method edge sets are merged into ONE connected-components pass
+over their disjoint union — each node is tagged ``struct(t, k)`` with
+its method ordinal, so components can never bridge methods and the
+per-round fixed cost (checkpoint + convergence aggregate) is paid once
+instead of once per method.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from pride_spark.operators.graph import connected_components
 
@@ -73,6 +83,243 @@ def _jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+# ---------------------------------------------------------------------------
+# shared pipeline stages
+# ---------------------------------------------------------------------------
+
+def _binned_frame(
+    spectra: DataFrame,
+    key_col: str,
+    masses_col: str,
+    intensities_col: str,
+    precursor_col: str,
+    top_k: int,
+    bin_width: float,
+) -> DataFrame:
+    """(key, pmz, bins) — stage 1, shared by every method."""
+    return spectra.select(
+        F.col(key_col).alias("key"),
+        F.col(precursor_col).alias("pmz"),
+        bin_peaks(masses_col, intensities_col, top_k=top_k, bin_width=bin_width).alias(
+            "bins"
+        ),
+    ).filter(F.size("bins") > 0)
+
+
+def _sig_frame(binned: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
+    """(key, pmz, bins, sig) — minhash signature for the LSH method.
+
+    Explode → per-row codegen hashes → groupBy-min (the
+    minhash_signatures_df shape from operators/dedup.py).  The earlier
+    in-row HOF formulation (array_min over a transform per seed) was a
+    CollapseProject trap: Catalyst inlines the whole interpreted
+    signature tree into every downstream banded row, so the 16-seed ×
+    n_digests md5 work was recomputed PER EXPLODED ROW — measured 25 s
+    for 16 k banded rows at sf0.1 vs ~1 s for this shape.  One shuffle
+    of (key, bin) rows, all whole-stage codegen; the min-agg then joins
+    back to the binned frame on its key.
+    """
+    binrows = binned.select("key", F.explode("bins").alias("b"))
+    if hash_fn == "md5":
+        # chunked md5 (dedup._chunk_hash): 4 independent 8-hex-char
+        # minhash values per digest, one md5 per (bin, seed-group)
+        n_digests = (num_hashes + 3) // 4
+        digests = binrows.select(
+            "key",
+            *[
+                F.md5(F.concat(F.lit(f"{d}|"), F.col("b").cast("string"))).alias(f"d{d}")
+                for d in range(n_digests)
+            ],
+        )
+        hashed = digests.select(
+            "key",
+            *[
+                F.substring(F.col(f"d{s // 4}"), (s % 4) * 8 + 1, 8).alias(f"h{s}")
+                for s in range(num_hashes)
+            ],
+        )
+    else:
+        hashed = binrows.select(
+            "key",
+            *[F.xxhash64("b", F.lit(s)).alias(f"h{s}") for s in range(num_hashes)],
+        )
+    mins = hashed.groupBy("key").agg(
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(num_hashes)]
+    )
+    return binned.join(mins, "key").select(
+        "key",
+        "pmz",
+        "bins",
+        F.array(*[F.col(f"mh{s}") for s in range(num_hashes)]).alias("sig"),
+    )
+
+
+def _pbs(precursor_window: float) -> Column:
+    """Two overlapping precursor blocks per spectrum (floor + half-shift),
+    so pairs straddling a block edge are still co-blocked.  Every
+    candidate row carries the FULL array so the join can apply
+    FIRST-COLLISION-WINS on the smallest shared block."""
+    return F.array_distinct(
+        F.array(
+            F.floor(F.col("pmz") / F.lit(precursor_window)),
+            F.floor(F.col("pmz") / F.lit(precursor_window) + F.lit(0.5)),
+        )
+    )
+
+
+def _cap_frame(frame: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    if max_bucket is None:
+        return frame
+    wb = Window.partitionBy(*keys)
+    return (
+        frame.withColumn("__bsz", F.count("*").over(wb))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
+def _first_block() -> Column:
+    """The smallest shared precursor block wins — dedups the 2×2 block
+    overlap.  (A function, not a module constant: Column construction
+    needs an active SparkContext.)"""
+    return F.col("pblock") == F.array_min(
+        F.array_intersect(F.col("pbs_a"), F.col("pbs_b"))
+    )
+
+
+def _pairs_block(
+    binned: DataFrame, precursor_window: float, max_bucket: int | None, threshold: float
+) -> DataFrame:
+    """All-pairs-within-precursor-block candidates + Jaccard gate →
+    (key_a, key_b).  Deterministic and exact (the oracle/recall baseline),
+    at O(block²) cost."""
+    blocked = _cap_frame(
+        binned.select("key", "bins", _pbs(precursor_window).alias("pbs"))
+        .select("key", "bins", "pbs", F.explode("pbs").alias("pblock")),
+        ["pblock"],
+        max_bucket,
+    )
+    left = blocked.select(
+        F.col("key").alias("key_a"),
+        F.col("bins").alias("bins_a"),
+        F.col("pbs").alias("pbs_a"),
+        "pblock",
+    )
+    right = blocked.select(
+        F.col("key").alias("key_b"),
+        F.col("bins").alias("bins_b"),
+        F.col("pbs").alias("pbs_b"),
+        "pblock",
+    )
+    cand = left.join(right, ["pblock"]).filter(_first_block())
+    return (
+        cand.filter(F.col("key_a") < F.col("key_b"))
+        .filter(_jaccard(F.col("bins_a"), F.col("bins_b")) >= threshold)
+        .select("key_a", "key_b")
+    )
+
+
+def _pairs_lsh(
+    sigs: DataFrame,
+    precursor_window: float,
+    bands: int,
+    rows_per_band: int,
+    hash_fn: str,
+    max_bucket: int | None,
+    threshold: float,
+) -> DataFrame:
+    """Banded-minhash candidates + Jaccard gate → (key_a, key_b).
+
+    FIRST-COLLISION-WINS: a pair meeting in several (pblock, band)
+    buckets is emitted only where pblock is the smallest shared block and
+    band is the first agreeing band — the same pair set as
+    emit-everywhere + dropDuplicates, minus the pair-level dedup shuffle
+    over the (up to 2·bands ×) duplicated candidate explosion.  When a
+    ``max_bucket`` cap drops the first-colliding bucket, the pair counts
+    as cap-dropped even if a later bucket survives (the cap's contract:
+    over-cap members are mutually near-identical)."""
+
+    # band digest over the signature slice; hash family follows the
+    # signature's (md5 digests compare as strings, same banding shape)
+    def _band_digest(b: int) -> Column:
+        joined = F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+        return F.md5(joined) if hash_fn == "md5" else F.xxhash64(joined)
+
+    digs = F.array(*[_band_digest(b) for b in range(bands)])
+    buckets = _cap_frame(
+        sigs.select("key", "bins", _pbs(precursor_window).alias("pbs"), digs.alias("digs"))
+        .select("key", "bins", "pbs", "digs", F.explode("pbs").alias("pblock"))
+        .select(
+            "key", "bins", "pbs", "digs", "pblock",
+            F.posexplode("digs").alias("band", "bandHash"),
+        ),
+        ["pblock", "band", "bandHash"],
+        max_bucket,
+    )
+    left = buckets.select(
+        F.col("key").alias("key_a"),
+        F.col("bins").alias("bins_a"),
+        F.col("pbs").alias("pbs_a"),
+        F.col("digs").alias("digs_a"),
+        "pblock",
+        "band",
+        "bandHash",
+    )
+    right = buckets.select(
+        F.col("key").alias("key_b"),
+        F.col("bins").alias("bins_b"),
+        F.col("pbs").alias("pbs_b"),
+        F.col("digs").alias("digs_b"),
+        "pblock",
+        "band",
+        "bandHash",
+    )
+    first_band = (
+        F.array_position(
+            F.zip_with(F.col("digs_a"), F.col("digs_b"), lambda x, y: x == y), True
+        )
+        == F.col("band") + 1
+    )
+    cand = left.join(right, ["pblock", "band", "bandHash"]).filter(
+        _first_block() & first_band
+    )
+    return (
+        cand.filter(F.col("key_a") < F.col("key_b"))
+        .filter(_jaccard(F.col("bins_a"), F.col("bins_b")) >= threshold)
+        .select("key_a", "key_b")
+    )
+
+
+def _method_pairs(
+    method: str,
+    binned: DataFrame,
+    *,
+    precursor_window: float,
+    num_hashes: int,
+    bands: int,
+    hash_fn: str,
+    max_bucket: int | None,
+    threshold: float,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    if method == "block":
+        return _pairs_block(binned, precursor_window, max_bucket, threshold)
+    if method == "lsh":
+        if sigs is None:
+            sigs = _sig_frame(binned, num_hashes, hash_fn)
+        return _pairs_lsh(
+            sigs, precursor_window, bands, num_hashes // bands, hash_fn,
+            max_bucket, threshold,
+        )
+    raise ValueError(f"unknown method {method!r} (expected 'lsh' or 'block')")
+
+
 def cluster_spectra(
     spectra: DataFrame,
     key_col: str = "usi",
@@ -108,7 +355,7 @@ def cluster_spectra(
     md5 of the band slice — bit-reproducible in any engine with md5, so
     the PRODUCTION candidate path (banding, first-collision emission,
     Jaccard gate, connected components) gets a DuckDB oracle row
-    (registry q53) instead of only the O(block²) oracle mode.  Same plan
+    (registry q48) instead of only the O(block²) oracle mode.  Same plan
     shape either way; the hash family only changes which pairs collide.
 
     ``max_bucket`` drops candidate buckets (the LSH ``(pblock, band,
@@ -123,163 +370,14 @@ def cluster_spectra(
     ``max_bucket=None`` (the oracle configuration); with a cap it shares
     the LSH path's cap contract.
     """
-    rows_per_band = num_hashes // bands
-    binned = spectra.select(
-        F.col(key_col).alias("key"),
-        F.col(precursor_col).alias("pmz"),
-        bin_peaks(masses_col, intensities_col, top_k=top_k, bin_width=bin_width).alias(
-            "bins"
-        ),
-    ).filter(F.size("bins") > 0)
-
-    # Minhash signature via explode → per-row codegen hashes → groupBy-min
-    # (the minhash_signatures_df shape from operators/dedup.py).  The
-    # earlier in-row HOF formulation (array_min over a transform per seed)
-    # was a CollapseProject trap: Catalyst inlines the whole interpreted
-    # signature tree into every downstream banded row, so the 16-seed ×
-    # n_digests md5 work was recomputed PER EXPLODED ROW — measured 25 s
-    # for 16 k banded rows at sf0.1 vs ~1 s for this shape.  One shuffle
-    # of (key, bin) rows, all whole-stage codegen; the min-agg then joins
-    # back to the binned frame on its key.
-    binrows = binned.select("key", F.explode("bins").alias("b"))
-    if hash_fn == "md5":
-        # chunked md5 (dedup._chunk_hash): 4 independent 8-hex-char
-        # minhash values per digest, one md5 per (bin, seed-group)
-        n_digests = (num_hashes + 3) // 4
-        digests = binrows.select(
-            "key",
-            *[
-                F.md5(F.concat(F.lit(f"{d}|"), F.col("b").cast("string"))).alias(f"d{d}")
-                for d in range(n_digests)
-            ],
-        )
-        hashed = digests.select(
-            "key",
-            *[
-                F.substring(F.col(f"d{s // 4}"), (s % 4) * 8 + 1, 8).alias(f"h{s}")
-                for s in range(num_hashes)
-            ],
-        )
-    else:
-        hashed = binrows.select(
-            "key",
-            *[F.xxhash64("b", F.lit(s)).alias(f"h{s}") for s in range(num_hashes)],
-        )
-    mins = hashed.groupBy("key").agg(
-        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(num_hashes)]
+    binned = _binned_frame(
+        spectra, key_col, masses_col, intensities_col, precursor_col, top_k, bin_width
     )
-    sigs = binned.join(mins, "key").select(
-        "key",
-        "pmz",
-        "bins",
-        F.array(*[F.col(f"mh{s}") for s in range(num_hashes)]).alias("sig"),
+    pairs = _method_pairs(
+        method, binned,
+        precursor_window=precursor_window, num_hashes=num_hashes, bands=bands,
+        hash_fn=hash_fn, max_bucket=max_bucket, threshold=threshold,
     )
-
-    # two overlapping precursor blocks per spectrum; every row carries the
-    # FULL pbs (and, for lsh, band-digest) array so the candidate join can
-    # apply FIRST-COLLISION-WINS: a pair meeting in several (pblock, band)
-    # buckets is emitted only where pblock is the smallest shared block and
-    # band is the first agreeing band.  Same pair set as
-    # emit-everywhere + dropDuplicates, minus the pair-level dedup shuffle
-    # over the (up to 2·bands ×) duplicated candidate explosion.  When a
-    # max_bucket cap drops the first-colliding bucket, the pair counts as
-    # cap-dropped even if a later bucket survives (the cap's contract:
-    # over-cap members are mutually near-identical).
-    pbs = F.array_distinct(
-        F.array(
-            F.floor(F.col("pmz") / F.lit(precursor_window)),
-            F.floor(F.col("pmz") / F.lit(precursor_window) + F.lit(0.5)),
-        )
-    )
-
-    def _cap(frame: DataFrame, keys: list[str]) -> DataFrame:
-        if max_bucket is None:
-            return frame
-        wb = Window.partitionBy(*keys)
-        return (
-            frame.withColumn("__bsz", F.count("*").over(wb))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
-
-    first_block = F.col("pblock") == F.array_min(
-        F.array_intersect(F.col("pbs_a"), F.col("pbs_b"))
-    )
-    if method == "block":
-        blocked = _cap(
-            binned.select("key", "bins", pbs.alias("pbs"))
-            .select("key", "bins", "pbs", F.explode("pbs").alias("pblock")),
-            ["pblock"],
-        )
-        left = blocked.select(
-            F.col("key").alias("key_a"),
-            F.col("bins").alias("bins_a"),
-            F.col("pbs").alias("pbs_a"),
-            "pblock",
-        )
-        right = blocked.select(
-            F.col("key").alias("key_b"),
-            F.col("bins").alias("bins_b"),
-            F.col("pbs").alias("pbs_b"),
-            "pblock",
-        )
-        cand = left.join(right, ["pblock"]).filter(first_block)
-    else:
-        # band digest over the signature slice; hash family follows the
-        # signature's (md5 digests compare as strings, same banding shape)
-        def _band_digest(b: int) -> Column:
-            joined = F.array_join(
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            )
-            return F.md5(joined) if hash_fn == "md5" else F.xxhash64(joined)
-
-        digs = F.array(*[_band_digest(b) for b in range(bands)])
-        buckets = _cap(
-            sigs.select("key", "bins", pbs.alias("pbs"), digs.alias("digs"))
-            .select("key", "bins", "pbs", "digs", F.explode("pbs").alias("pblock"))
-            .select(
-                "key", "bins", "pbs", "digs", "pblock",
-                F.posexplode("digs").alias("band", "bandHash"),
-            ),
-            ["pblock", "band", "bandHash"],
-        )
-        left = buckets.select(
-            F.col("key").alias("key_a"),
-            F.col("bins").alias("bins_a"),
-            F.col("pbs").alias("pbs_a"),
-            F.col("digs").alias("digs_a"),
-            "pblock",
-            "band",
-            "bandHash",
-        )
-        right = buckets.select(
-            F.col("key").alias("key_b"),
-            F.col("bins").alias("bins_b"),
-            F.col("pbs").alias("pbs_b"),
-            F.col("digs").alias("digs_b"),
-            "pblock",
-            "band",
-            "bandHash",
-        )
-        first_band = (
-            F.array_position(
-                F.zip_with(F.col("digs_a"), F.col("digs_b"), lambda x, y: x == y), True
-            )
-            == F.col("band") + 1
-        )
-        cand = left.join(right, ["pblock", "band", "bandHash"]).filter(
-            first_block & first_band
-        )
-    pairs = (
-        cand.filter(F.col("key_a") < F.col("key_b"))
-        .filter(_jaccard(F.col("bins_a"), F.col("bins_b")) >= threshold)
-        .select("key_a", "key_b")
-    )
-
     comp = connected_components(pairs, "key_a", "key_b")
     return (
         binned.select("key")
@@ -287,5 +385,90 @@ def cluster_spectra(
         .select(
             binned["key"],
             F.coalesce(F.col("component"), binned["key"]).alias("clusterId"),
+        )
+    )
+
+
+def cluster_spectra_multi(
+    spectra: DataFrame,
+    key_col: str = "usi",
+    *,
+    methods: tuple[str, ...] = ("block", "lsh"),
+    masses_col: str = "masses",
+    intensities_col: str = "intensities",
+    precursor_col: str = "precursorMz",
+    precursor_window: float = 2.0,
+    top_k: int = 50,
+    bin_width: float = 1.0005,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "xx64",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """→ ``(method, key, clusterId)`` — every method's full labeling, with
+    the shared work paid ONCE.
+
+    Semantically identical to unioning one :func:`cluster_spectra` call
+    per method (asserted in ``tests/test_graph_spectral.py``), but:
+
+    - peak binning runs once and is persisted (MEMORY_AND_DISK) — it
+      feeds both methods' candidate joins AND the singleton fill;
+    - the minhash signature shuffle runs once (only if some method is
+      ``"lsh"``);
+    - connected components runs ONCE over the disjoint union of the
+      per-method edge sets: each endpoint is tagged ``struct(t:int,
+      k:key)`` with its method ordinal, so no component can bridge
+      methods, and struct ordering is field-wise — within a tag the
+      component minimum is exactly the untagged minimum, so stripping
+      the tag afterwards reproduces each method's labels.  The CC loop's
+      per-round fixed cost (localCheckpoint job + convergence aggregate,
+      the dominant cost at moderate scale) is paid once instead of
+      ``len(methods)`` times, and the round count is the max over
+      methods rather than the sum.
+
+    This is the shape the registry's q48 uses to oracle-gate the block
+    baseline and the production md5-LSH path side by side without paying
+    for two clustering runs.
+    """
+    binned = _binned_frame(
+        spectra, key_col, masses_col, intensities_col, precursor_col, top_k, bin_width
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = None
+    if "lsh" in methods:
+        sigs = _sig_frame(binned, num_hashes, hash_fn).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+    def tag(i: int, c: str) -> Column:
+        return F.struct(F.lit(i).cast("int").alias("t"), F.col(c).alias("k"))
+
+    edge_sets = []
+    for i, m in enumerate(methods):
+        pairs = _method_pairs(
+            m, binned,
+            precursor_window=precursor_window, num_hashes=num_hashes, bands=bands,
+            hash_fn=hash_fn, max_bucket=max_bucket, threshold=threshold, sigs=sigs,
+        )
+        edge_sets.append(pairs.select(tag(i, "key_a").alias("src"), tag(i, "key_b").alias("dst")))
+    edges = edge_sets[0]
+    for e in edge_sets[1:]:
+        edges = edges.unionByName(e)
+
+    comp = connected_components(edges, "src", "dst")
+
+    method_name = F.element_at(
+        F.array(*[F.lit(m) for m in methods]), F.col("node.t") + 1
+    )
+    all_keys = None
+    for i, _ in enumerate(methods):
+        tagged = binned.select(tag(i, "key").alias("node"))
+        all_keys = tagged if all_keys is None else all_keys.unionByName(tagged)
+    return (
+        all_keys.join(comp, "node", "left")
+        .select(
+            method_name.alias("method"),
+            F.col("node.k").alias("key"),
+            F.coalesce(F.col("component.k"), F.col("node.k")).alias("clusterId"),
         )
     )

@@ -1859,7 +1859,7 @@ def q47_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q48_spectral_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pride_spark.operators.spectral_cluster import cluster_spectra
+    from pride_spark.operators.spectral_cluster import cluster_spectra_multi
 
     emb = _t(spark, sf_dir, "embeddings")
     dims = F.slice(F.col("embedding"), 1, 24)
@@ -1871,13 +1871,13 @@ def q48_spectral_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("masses"),
         F.transform(dims, lambda x: F.abs(x) * 100.0 + 1.0).alias("intensities"),
     )
-    block = cluster_spectra(
-        spectra, "usi", top_k=24, threshold=0.5, method="block"
-    ).select(F.lit("block").alias("method"), F.col("key").alias("usi"), "clusterId")
-    lsh = cluster_spectra(
-        spectra, "usi", top_k=24, threshold=0.5, method="lsh", hash_fn="md5"
-    ).select(F.lit("lsh").alias("method"), F.col("key").alias("usi"), "clusterId")
-    return block.unionByName(lsh)
+    # one shared binning/signature pass + ONE connected-components run over
+    # the tagged disjoint union of both methods' edges — half the CC fixed
+    # cost of two cluster_spectra calls (bench: 8.9s -> see BENCH_r04)
+    return cluster_spectra_multi(
+        spectra, "usi", methods=("block", "lsh"), top_k=24, threshold=0.5,
+        hash_fn="md5",
+    ).select("method", F.col("key").alias("usi"), "clusterId")
 
 
 # ---------------------------------------------------------------------------

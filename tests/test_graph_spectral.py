@@ -217,3 +217,40 @@ def test_cluster_spectra_cap_bounds_identical_spectra(spark):
     # uncapped, the same corpus merges into one cluster
     merged = cluster_spectra(spectra, "usi", method="block").select("clusterId").distinct().count()
     assert merged == 1
+
+
+def test_cluster_spectra_multi_matches_per_method_runs(spark):
+    # the shared-stage multi-method path (one persisted binning pass, one
+    # tagged disjoint-union CC) must be row-identical to unioning one
+    # cluster_spectra call per method — md5 family so both runs are
+    # deterministic
+    from pride_spark.operators.spectral_cluster import cluster_spectra_multi
+
+    rng = random.Random(31)
+    pattern_a = [100.1 + 7 * k for k in range(30)]
+    pattern_b = [103.6 + 9 * k for k in range(30)]
+    rows = []
+    for i in range(4):
+        m, inten = _spectrum(rng, pattern_a, drop=2)
+        rows.append((f"usi:A:{i}", 450.1 + rng.uniform(-0.2, 0.2), m, inten))
+    for i in range(3):
+        m, inten = _spectrum(rng, pattern_b, drop=2)
+        rows.append((f"usi:B:{i}", 651.8 + rng.uniform(-0.2, 0.2), m, inten))
+    rows.append(("usi:X:0", 700.0, [200.0 + 11 * k for k in range(30)],
+                 [1.0 + k for k in range(30)]))
+    spectra = spark.createDataFrame(
+        rows,
+        "usi string, precursorMz double, masses array<double>, intensities array<double>",
+    )
+    multi = {
+        (r["method"], r["key"]): r["clusterId"]
+        for r in cluster_spectra_multi(
+            spectra, "usi", methods=("block", "lsh"), hash_fn="md5"
+        ).collect()
+    }
+    single = {}
+    for m in ("block", "lsh"):
+        for r in cluster_spectra(spectra, "usi", method=m, hash_fn="md5").collect():
+            single[(m, r["key"])] = r["clusterId"]
+    assert multi == single
+    assert len(multi) == 2 * len(rows)
