@@ -25,9 +25,20 @@ def main() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pride_spark import registry
-    from pride_spark.session import get_spark
+    from pride_spark.session import get_spark, release_cached_state
 
-    spark = get_spark("pride-spark-bench")
+    # 150 query executions in one driver: the SQL UI would retain every
+    # execution's plan graph and the listener bus every stage — pure heap
+    # pressure for a headless bench.  (A real cluster deployment keeps the
+    # UI; this is harness-only via extra_conf.)
+    spark = get_spark(
+        "pride-spark-bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.ui.retainedExecutions": "10",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up codegen/IO/shuffle paths once so the first measured query
@@ -50,6 +61,11 @@ def main() -> int:
                 print(f"# {name} FAILED: {ex}", file=sys.stderr)
                 break
         timings[name] = round(best, 3)
+        # Between queries, drop the plan pins the finished query left
+        # behind (CC round checkpoints, persisted shared frames) so query
+        # N+1 is measured against clean executor storage, the way a
+        # fresh driver would run it.
+        release_cached_state(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

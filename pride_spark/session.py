@@ -43,8 +43,14 @@ def get_spark(
     app_name: str = "pride-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with the package defaults applied."""
+    """Build (or fetch) a SparkSession with the package defaults applied.
+
+    ``extra_conf`` lets callers layer deployment-specific settings on top
+    of the package defaults (e.g. the bench harness disables the UI and
+    shrinks listener retention for long many-query sessions).
+    """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
@@ -58,8 +64,42 @@ def get_spark(
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return spark
+
+
+def release_cached_state(spark: SparkSession) -> None:
+    """Drop every cached relation AND every persisted RDD in the session.
+
+    Operators in this package pin small frames deliberately for the
+    duration of a returned plan (CC pins its final round, the multi-method
+    spectral clusterer pins its binned/signature frames); the
+    ContextCleaner only frees them on a driver GC.  A long-lived session
+    that runs MANY unrelated plans back-to-back (the bench harness, a
+    notebook, a query server) should call this between plans — executor
+    storage otherwise accumulates every prior plan's pins and evicts the
+    current plan's working set (observed: 131s vs 26s on the same CC query
+    at the tail of a stress sequence, BENCH r3/r4).
+
+    Uses the private ``_jsc.getPersistentRDDs`` accessor (same one the CC
+    checkpoint hygiene relies on) and degrades to catalog-cache-only when
+    it is unavailable.
+    """
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            try:
+                jrdd.unpersist(False)
+            except Exception:
+                pass
+    except Exception:
+        pass
 
 
 def tune(spark: SparkSession) -> SparkSession:
