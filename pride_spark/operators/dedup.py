@@ -483,10 +483,14 @@ def simhash_df(
         packed = term if packed is None else packed + term
     hashed = votes.select("id", packed.alias("simhash"))
     # NULL-text docs produced zero shingle rows; restore them with NULL
-    # simhash (the in-row fold variants also yield NULL there).  Id-keyed
-    # narrow join; row-wise a no-op on corpora without null text.
-    ids = df.select(F.col(id_col).alias("id"))
-    return ids.join(hashed, "id", "left")
+    # simhash (the in-row fold variants also yield NULL there).  Exactly
+    # the ``text IS NULL`` rows vanish (word_shingles emits ≥1 shingle for
+    # any non-null text), so a union of that predicate-pushed scan is the
+    # cheap equivalent of an id-keyed left join back.
+    nulls = df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col).alias("id"), F.lit(None).cast("long").alias("simhash")
+    )
+    return hashed.unionByName(nulls)
 
 
 def _simhash_votes(hashes: Column, n_bits: int) -> Column:
