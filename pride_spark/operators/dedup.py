@@ -209,8 +209,18 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int | None = None,
+    payload: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs ``(id_a < id_b)``.
+
+    ``payload`` (optional): an ``(id, extra...)`` frame joined onto the
+    per-id banding frame so every emitted pair carries ``{col}_a`` /
+    ``{col}_b`` for each extra column.  This is how
+    :func:`near_dedup_minhash` gets text digests onto the pairs WITHOUT a
+    post-hoc join that would re-shuffle the (potentially huge) pair set
+    by id — the payload rides the banding rows (one id-keyed join of
+    n-row frames, +payload bytes per banded row) instead.  Keep payload
+    columns narrow.
 
     Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
     docs agreeing on any full band land in one bucket.  The self-join is on
@@ -247,16 +257,15 @@ def lsh_candidate_pairs(
     # their band digest would be the md5 of "" — a CONSTANT that sweeps
     # every null doc into one bucket per band — where the oracle's NULL
     # buckets never equi-join.
-    banded = (
-        sigs.filter(F.col("mh0").isNotNull())
-        .select(F.col("id"), digs.alias("digs"))
-        .select("id", "digs", F.posexplode("digs").alias("band", "bucket"))
-    )
+    perid = sigs.filter(F.col("mh0").isNotNull()).select(F.col("id"), digs.alias("digs"))
     if max_bucket is not None:
         from pyspark.sql import Window
 
+        banded0 = perid.select(
+            "id", "digs", F.posexplode("digs").alias("band", "bucket")
+        )
         wb = Window.partitionBy("band", "bucket")
-        flagged = banded.withColumn("__surv", F.count("*").over(wb) <= max_bucket)
+        flagged = banded0.withColumn("__surv", F.count("*").over(wb) <= max_bucket)
         # Rebuild the per-id digest array with capped bands masked to NULL
         # (NULL==NULL is NULL, never TRUE, so a capped band can't be the
         # first agreement) and re-explode only the surviving bands.  One
@@ -273,13 +282,15 @@ def lsh_candidate_pairs(
                 for b in range(bands)
             ]
         )
-        banded = (
-            per_id.select(
-                "id", F.array(*[F.col(f"__b{b}") for b in range(bands)]).alias("digs")
-            )
-            .select("id", "digs", F.posexplode("digs").alias("band", "bucket"))
-            .filter(F.col("bucket").isNotNull())
+        perid = per_id.select(
+            "id", F.array(*[F.col(f"__b{b}") for b in range(bands)]).alias("digs")
         )
+    extra = [c for c in payload.columns if c != "id"] if payload is not None else []
+    if payload is not None:
+        perid = perid.join(payload, "id")
+    banded = perid.select(
+        "id", "digs", *extra, F.posexplode("digs").alias("band", "bucket")
+    ).filter(F.col("bucket").isNotNull())
     a, b = banded.alias("a"), banded.alias("b")
     first_agree = F.array_position(
         F.zip_with(F.col("a.digs"), F.col("b.digs"), lambda x, y: x == y), True
@@ -292,7 +303,12 @@ def lsh_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .filter(first_agree == F.col("a.band") + 1)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in extra],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in extra],
+        )
     )
 
 
@@ -353,49 +369,44 @@ def near_dedup_minhash(
     both texts.  ``max_bucket`` is the adversarial-skew cap (see
     :func:`lsh_candidate_pairs`).
     """
-    pairs = lsh_candidate_pairs(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, max_bucket=max_bucket,
-    )
     # Exact-duplicate short-circuit: equal text digests ⇒ identical shingle
     # sets ⇒ jaccard is exactly 1.0 — no set ops, and the (wide) shingle
     # arrays are never shipped to those pairs.  On duplicate-heavy corpora
     # (web-scale dedup, where exact copies dominate the candidate mass)
     # this removes the quadratic × per-pair array-intersect term: the 64×
-    # adversarial corpus verifies in a digest compare per pair.  Only
-    # differing-digest pairs join the shingle sets for the exact Jaccard.
-    meta = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("dg"))
-    tagged = pairs.join(
-        meta.select(F.col("id").alias("id_a"), F.col("dg").alias("dg_a")), "id_a"
-    ).join(meta.select(F.col("id").alias("id_b"), F.col("dg").alias("dg_b")), "id_b")
+    # adversarial corpus verifies in a digest compare per pair.  The
+    # digests ride the banding rows as a lsh_candidate_pairs payload, so
+    # pairs emerge with dg_a/dg_b already attached — no post-hoc join
+    # that would re-shuffle the (huge, on adversarial corpora) pair set.
+    payload = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("dg"))
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, max_bucket=max_bucket, payload=payload,
+    )
+    # The eq/neq branches below both scan ``pairs``; persist the (narrow:
+    # two ids + two 32-char digests) frame so the candidate subtree — the
+    # dominant cost — executes once.  Size is bounded by the candidate
+    # count, which the bucket cap bounds on adversarial corpora.
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     same = F.coalesce(F.col("dg_a") == F.col("dg_b"), F.lit(False))
+    eq = pairs.filter(same).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
-    # ONE plan branch: the shingle sets attach via LEFT joins whose
-    # residual condition excludes same-digest pairs, so exact-duplicate
-    # pairs never receive the (wide) arrays and score 1.0 from the digest
-    # compare alone.  An earlier eq/neq two-branch union scanned ``tagged``
-    # twice, re-executing the whole LSH candidate subtree per branch
-    # (measured ~2× the pair cost at sf0.1); a persist fixes the re-scan
-    # but blocks exchange reuse under AQE and measured slower than this
-    # single-branch shape.
-    sa = sets.select(F.col("id").alias("__ia"), F.col("sh").alias("sa"))
-    sb = sets.select(F.col("id").alias("__ib"), F.col("sh").alias("sb"))
-    return (
-        tagged
-        .join(sa, (F.col("id_a") == F.col("__ia")) & ~same, "left")
-        .join(sb, (F.col("id_b") == F.col("__ib")) & ~same, "left")
-        .withColumn(
-            "jaccard",
-            F.when(same, F.lit(1.0)).otherwise(
-                F.round(jaccard_of_sets(F.col("sa"), F.col("sb")), 6)
-            ),
-        )
+    # Only the differing-digest remainder — tiny on duplicate-heavy
+    # corpora — joins the shingle sets for the exact Jaccard.
+    neq = (
+        pairs.filter(~same)
+        .select("id_a", "id_b")
+        .join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+        .withColumn("jaccard", F.round(jaccard_of_sets(F.col("sa"), F.col("sb")), 6))
         .select("id_a", "id_b", "jaccard")
-        .filter(F.col("jaccard") >= threshold)
     )
+    return eq.unionByName(neq).filter(F.col("jaccard") >= threshold)
 
 
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
