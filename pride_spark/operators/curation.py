@@ -1,0 +1,237 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+deterministic hash splits/samples and incremental (new-batch-vs-corpus)
+deduplication.
+
+These extend the reference's capability surface the same way the dedup /
+ANN / text-analysis families do (north-star extensions, SURVEY §2
+"beyond the reference"): the operations a 100 TB data-curation pipeline
+runs between ingestion and training.
+
+Design notes (scale-first):
+
+- Splits/samples are HASH-deterministic, not ``rand()``-based: the same
+  row lands in the same split on every run, on any partitioning, after
+  any upstream re-shuffle — the property that makes train/test
+  assignment reproducible and leak-free across pipeline re-runs.  (A
+  ``rand(seed)`` column is only stable for a fixed partitioning; a
+  repartitioned re-run silently reassigns rows.)
+- Incremental dedup joins the NEW batch against the CORPUS by LSH band
+  buckets — never a self-join of the union, so cost scales with
+  |new| × bucket-collision rate, not |corpus|².  The corpus side's
+  signatures can be precomputed once and stored (they are plain
+  columns), which is how a production pipeline amortizes the corpus
+  scan across daily batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pride_spark.operators.dedup import (
+    _band_digests,
+    jaccard_of_sets,
+    minhash_signatures_df,
+    word_shingles,
+)
+
+
+def hash_fraction(id_col: Column | str, seed: str = "split") -> Column:
+    """Deterministic uniform-[0,1) value per id: the first 8 hex chars of
+    ``md5(seed || '|' || id)`` scaled by 2⁻³².  Engine-reproducible (any
+    engine with md5 derives the identical value — the same chunking trick
+    as ``dedup._chunk_hash``), so split membership can be checked
+    cross-system."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), c.cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, *, seed: str = "sample"
+) -> DataFrame:
+    """Deterministic ``fraction`` sample by id hash.  Unlike
+    ``DataFrame.sample`` this is stable across runs, partitionings, and
+    engines, and it is a pure narrow filter (predicate-pushable, no
+    sampler state)."""
+    return df.filter(hash_fraction(id_col, seed) < F.lit(float(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    *,
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label with the given weights
+    (e.g. ``{"train": 0.9, "valid": 0.05, "test": 0.05}``).
+
+    The label is a pure function of (seed, id): re-runs, re-partitions,
+    and incremental appends never move a row between splits — the
+    train/test-leak guarantee batch pipelines need.  Weights are
+    normalized; label boundaries are cumulative fractions over the
+    insertion order of ``weights``.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    frac = hash_fraction(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def incremental_near_dup_flags(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Flag docs in ``new_df`` that duplicate the EXISTING ``corpus_df``:
+    → ``(id, match_id, jaccard)`` — one row per (new doc, matching corpus
+    doc) with n-gram Jaccard ≥ ``threshold`` (exact duplicates score 1.0
+    via the digest short-circuit, no set ops).
+
+    The candidate join is new-batch × corpus on the shared (band,
+    band-digest) key — the incremental analogue of
+    :func:`dedup.lsh_candidate_pairs`'s self-join.  FIRST-COLLISION-WINS
+    applies unchanged: a (new, corpus) pair agreeing in several bands is
+    emitted only from its first agreeing band, so no pair-level dedup
+    shuffle exists.  ``max_bucket`` caps the CORPUS side's bucket size
+    (the side an adversarial duplicate mass lives on); capped corpus
+    buckets drop before the join with the same contract as the batch
+    dedup — their members are mutually near-identical and the new doc
+    still meets a survivor in a later band unless every agreeing band is
+    capped.
+
+    Scale: the corpus side is signature + digest columns only (narrow);
+    in production, persist that frame once per corpus generation and
+    reuse it across daily batches.
+    """
+
+    def _sig_side(df: DataFrame, tag: str) -> DataFrame:
+        sigs = minhash_signatures_df(
+            df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+        ).filter(F.col("mh0").isNotNull())
+        digs = F.array(*_band_digests(num_hashes, bands))
+        dg = df.select(
+            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("dg")
+        )
+        return sigs.select("id", digs.alias("digs")).join(dg, "id").select(
+            F.col("id").alias(f"id_{tag}"),
+            F.col("digs").alias(f"digs_{tag}"),
+            F.col("dg").alias(f"dg_{tag}"),
+        )
+
+    corpus = _sig_side(corpus_df, "c")
+    new = _sig_side(new_df, "n")
+
+    corpus_banded = corpus.select(
+        "id_c", "digs_c", "dg_c", F.posexplode("digs_c").alias("band", "bucket")
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket")
+        corpus_banded = (
+            corpus_banded.withColumn("__bsz", F.count("*").over(wb))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+        # mask capped bands out of the carried corpus digest arrays so
+        # first-agreement falls through to the first surviving band (the
+        # same pivoted-max gather as lsh_candidate_pairs)
+        per_id = corpus_banded.groupBy("id_c").agg(
+            F.first("dg_c").alias("dg_c"),
+            *[
+                F.max(F.when(F.col("band") == b, F.col("bucket"))).alias(f"__b{b}")
+                for b in range(bands)
+            ],
+        )
+        corpus_banded = per_id.select(
+            "id_c",
+            "dg_c",
+            F.array(*[F.col(f"__b{b}") for b in range(bands)]).alias("digs_c"),
+        ).select(
+            "id_c", "digs_c", "dg_c", F.posexplode("digs_c").alias("band", "bucket")
+        ).filter(F.col("bucket").isNotNull())
+
+    new_banded = new.select(
+        "id_n", "digs_n", "dg_n", F.posexplode("digs_n").alias("band", "bucket")
+    )
+    first_agree = F.array_position(
+        F.zip_with(F.col("digs_n"), F.col("digs_c"), lambda x, y: x == y), True
+    )
+    pairs = (
+        new_banded.join(corpus_banded, ["band", "bucket"])
+        .filter(first_agree == F.col("band") + 1)
+        .select("id_n", "id_c", "dg_n", "dg_c")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    same = F.coalesce(F.col("dg_n") == F.col("dg_c"), F.lit(False))
+    eq = pairs.filter(same).select(
+        F.col("id_n").alias("id"),
+        F.col("id_c").alias("match_id"),
+        F.lit(1.0).alias("jaccard"),
+    )
+
+    def _sets(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(alias),
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias(
+                f"sh_{alias}"
+            ),
+        )
+
+    neq = (
+        pairs.filter(~same)
+        .select("id_n", "id_c")
+        .join(_sets(new_df, "id_n"), "id_n")
+        .join(_sets(corpus_df, "id_c"), "id_c")
+        .select(
+            F.col("id_n").alias("id"),
+            F.col("id_c").alias("match_id"),
+            F.round(jaccard_of_sets(F.col("sh_id_n"), F.col("sh_id_c")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return eq.unionByName(neq).filter(F.col("jaccard") >= threshold)
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    **kwargs,
+) -> DataFrame:
+    """The filter form: rows of ``new_df`` that do NOT near-duplicate the
+    corpus (left-anti join on the flags from
+    :func:`incremental_near_dup_flags`).  This is the operator a daily
+    crawl-ingestion pipeline runs before appending to the training
+    corpus."""
+    flags = incremental_near_dup_flags(
+        new_df, corpus_df, text_col, id_col, **kwargs
+    ).select(F.col("id").alias(id_col)).distinct()
+    return new_df.join(flags, id_col, "left_anti")

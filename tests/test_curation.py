@@ -1,0 +1,122 @@
+"""Corpus-curation operators: deterministic hash splits/samples and
+incremental (new-batch-vs-corpus) dedup."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pride_spark.operators.curation import (
+    dedup_against_corpus,
+    hash_fraction,
+    hash_sample,
+    hash_split,
+    incremental_near_dup_flags,
+)
+
+
+def test_hash_fraction_matches_duckdb(spark):
+    # the split hash must be engine-reproducible: DuckDB derives the
+    # identical value from the same md5 chunk
+    ids = [f"doc{i}" for i in range(50)]
+    df = spark.createDataFrame([(i,) for i in ids], "id string")
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", hash_fraction("id", "s1").alias("f")).collect()
+    }
+    con = duckdb.connect()
+    for i in ids:
+        (want,) = con.execute(
+            "SELECT CAST(CAST('0x' || SUBSTR(MD5('s1|' || ?), 1, 8) AS BIGINT) "
+            "AS DOUBLE) / 4294967296.0",
+            [i],
+        ).fetchone()
+        assert got[i] == pytest.approx(want, abs=1e-12), i
+        assert 0.0 <= got[i] < 1.0
+
+
+def test_hash_split_deterministic_disjoint_and_weighted(spark):
+    df = spark.createDataFrame([(f"d{i}",) for i in range(4000)], "id string")
+    out = hash_split(df, "id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] == pytest.approx(3200, rel=0.08)
+    assert counts["valid"] == pytest.approx(400, rel=0.35)
+    # stability: a repartitioned re-run assigns every row identically
+    a = {r["id"]: r["split"] for r in out.collect()}
+    b = {
+        r["id"]: r["split"]
+        for r in hash_split(
+            df.repartition(7), "id", {"train": 0.8, "valid": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+
+
+def test_hash_sample_is_stable_subset(spark):
+    df = spark.createDataFrame([(f"d{i}",) for i in range(2000)], "id string")
+    s1 = {r["id"] for r in hash_sample(df, "id", 0.25).collect()}
+    s2 = {r["id"] for r in hash_sample(df.repartition(5), "id", 0.25).collect()}
+    assert s1 == s2
+    assert len(s1) == pytest.approx(500, rel=0.15)
+    # monotone: a larger fraction strictly contains the smaller
+    s3 = {r["id"] for r in hash_sample(df, "id", 0.5).collect()}
+    assert s1 < s3
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while seven wizards brew strong potions under the ancient oak tree"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_incremental_flags_exact_near_and_novel(spark):
+    corpus = _docs(spark, [("c1", BASE), ("c2", "completely different content "
+                                                "about distributed query engines and shuffle plans " * 3)])
+    near = BASE.replace("lazy dog", "sleepy dog")
+    new = _docs(
+        spark,
+        [
+            ("n1", BASE),            # exact copy of c1
+            ("n2", near),            # near-dup of c1
+            ("n3", "unrelated novel text with entirely disjoint vocabulary "
+                   "spanning orbital mechanics and tidal resonance " * 3),
+        ],
+    )
+    flags = {
+        (r["id"], r["match_id"]): r["jaccard"]
+        for r in incremental_near_dup_flags(
+            new, corpus, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert flags[("n1", "c1")] == 1.0  # digest short-circuit
+    assert 0.5 <= flags[("n2", "c1")] < 1.0
+    assert not any(k[0] == "n3" for k in flags)
+    assert not any(k[1] == "c2" for k in flags)
+
+    survivors = {r["doc_id"] for r in dedup_against_corpus(
+        new, corpus, "text", "doc_id", threshold=0.5
+    ).collect()}
+    assert survivors == {"n3"}
+
+
+def test_incremental_corpus_cap_drops_adversarial_bucket(spark):
+    # 40 identical corpus docs: every band bucket holds all 40 — a cap of
+    # 10 drops them all, so the new copy goes unmatched (the documented
+    # cap contract: the adversarial mass is handled by exact dedup
+    # upstream), while the uncapped run matches everything
+    corpus = _docs(spark, [(f"c{i}", BASE) for i in range(40)])
+    new = _docs(spark, [("n1", BASE)])
+    capped = incremental_near_dup_flags(
+        new, corpus, "text", "doc_id", threshold=0.5, max_bucket=10
+    ).count()
+    assert capped == 0
+    uncapped = incremental_near_dup_flags(
+        new, corpus, "text", "doc_id", threshold=0.5
+    ).count()
+    assert uncapped == 40

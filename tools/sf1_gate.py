@@ -32,7 +32,7 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-#: the 10 heaviest queries by BENCH_r03 wall time — the ones whose plans
+#: the 15 heaviest queries by bench wall time — the ones whose plans
 #: touch the most data and therefore the most scale-dependent risk
 HEAVY = [
     "q47_connected_components",
@@ -45,6 +45,11 @@ HEAVY = [
     "q03_fdr_qvalue",
     "q35_simhash",
     "q43_ivf_ann",
+    "q05_big_join_agg",
+    "q26_positional_join",
+    "q31_occams_razor",
+    "q45_combined_fdr",
+    "q23_minhash_signature",
 ]
 
 
