@@ -266,15 +266,24 @@ def combined_fdr_score(
         "__step",
         F.when(is_step, F.struct(F.col("__k").alias("x"), F.col("__grp_q").alias("q"))),
     )
+    # RANGE frames, not ROWS: a ROWS frame makes knot visibility depend on
+    # the intra-tie row order — a row tied with its group's step row could
+    # sit after it in the forward ordering but before it in the backward
+    # ordering (the two sorts order peers independently), yielding
+    # interpolation bounds that change across shuffles/engines (caught by
+    # the sf1 gate on a 10×-duplicated corpus: 773/1.5M rows off at ~1e-5).
+    # A RANGE frame includes ALL score-peers, and the only non-null step
+    # struct among peers is the group's single step row, so
+    # last(ignorenulls) is value-deterministic under any tie order.
     w_fwd = (
         Window.partitionBy(engine_set_col)
         .orderBy("__k")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_bwd = (
         Window.partitionBy(engine_set_col)
         .orderBy(F.col("__k").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev = F.last("__step", ignorenulls=True).over(w_fwd)   # step at or before
     nxt = F.last("__step", ignorenulls=True).over(w_bwd)    # step at or after

@@ -1648,10 +1648,13 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
              LAST_VALUE(sq IGNORE NULLS) OVER wb AS nq
       FROM stepped
       WINDOW
+        -- RANGE, not ROWS: tie-stable knot visibility (all score-peers in
+        -- frame; the one non-null step struct per group wins IGNORE NULLS
+        -- regardless of intra-tie order) — mirrors fdr.combined_fdr_score
         wf AS (PARTITION BY engineSet ORDER BY score DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         wb AS (PARTITION BY engineSet ORDER BY score ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT o_orderkey, engineSet, isDecoy,
            CASE WHEN px IS NULL OR nx IS NULL OR nx = px THEN qv

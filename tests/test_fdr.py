@@ -135,3 +135,40 @@ def test_combined_fdr_score_interpolation(spark):
         assert abs(interp[i] - v) < 1e-12, (i, interp[i], v)
     # interpolation is the distinguishing behavior on plateau rows
     assert interp[2] != stepped[2] and interp[4] != stepped[4]
+
+
+def test_combined_fdr_score_tie_stable_across_partitionings(spark):
+    # Regression (caught by the sf1 gate, not the small gates): with tied
+    # scores, ROWS-framed knot windows made interpolation bounds depend on
+    # the intra-tie row order — a different shuffle produced different
+    # values.  RANGE frames include all score-peers, so the result must be
+    # identical for any partitioning AND every tied row must agree.
+    import random
+
+    from pride_spark.operators.fdr import combined_fdr_score
+
+    rng = random.Random(5)
+    rows = []
+    rid = 0
+    for s in [50.0, 40.0, 40.0, 30.0, 20.0, 20.0, 20.0, 10.0]:  # heavy ties
+        for copy in range(25):
+            rid += 1
+            rows.append((rid, s, rng.random() < 0.4, "A+B"))
+    df = spark.createDataFrame(rows, "id long, score double, isDecoy boolean, eng string")
+
+    a = {
+        r["id"]: r["combinedFdrScore"]
+        for r in combined_fdr_score(df, "score", "isDecoy", "eng").collect()
+    }
+    b = {
+        r["id"]: r["combinedFdrScore"]
+        for r in combined_fdr_score(
+            df.repartition(13, "id"), "score", "isDecoy", "eng"
+        ).collect()
+    }
+    assert a == b
+    # all rows sharing a score must share the interpolated value
+    by_score = {}
+    for (rid_, s, _, _) in rows:
+        by_score.setdefault(s, set()).add(a[rid_])
+    assert all(len(v) == 1 for v in by_score.values()), by_score
