@@ -99,35 +99,33 @@ _ORDERED_NUMERIC = {
 }
 
 
-def positional_zip_join(
-    left: DataFrame,
-    right: DataFrame,
-    left_order: Sequence[str],
-    right_index_col: str,
+def global_row_index(
+    df: DataFrame,
+    order_cols_names: Sequence[str],
     index_name: str = "__pos",
     num_range_partitions: int | None = None,
 ) -> DataFrame:
-    """J8 — join the i-th row (in a declared order) of ``left`` to
-    ``right.right_index_col == i`` (0-based).
-
-    Ref: InferenceService.java:99-111 zips JSON-line order against the
-    MaraCluster ``spectrumIndex``.
-
-    The global row-number is the two-pass distributed form (same shape as
+    """0-based global row number in the total order of ``order_cols_names``
+    — the two-pass distributed form (same shape as
     ``fdr._global_two_pass``): value-derived range buckets from approx
     quantiles of the leading order key (ties share a bucket, so bucketing
     is a pure value function — stable under AQE), per-bucket counts
     collected to the driver, broadcast prefix offsets, then a per-bucket
     ``row_number`` window.  Nothing funnels through a single task.  The
-    left side is scanned twice plus a column-pruned quantile pass; the
-    bucket expression is deterministic, so no persist is required for
+    input is scanned twice plus a column-pruned quantile pass; the bucket
+    expression is deterministic, so no persist is required for
     correctness.
 
     Falls back to the single-partition global window only when the leading
     order column is not numeric/temporal (order-preserving bucket keys need
     a cast-to-double) — acceptable for the bounded per-file PRIDE use, and
     the caller can pre-map such keys to a numeric surrogate.
+
+    ``order_cols_names`` must be a TOTAL order (include a unique
+    tie-breaker) or the assigned indices are shuffle-dependent.
     """
+    left = df
+    left_order = order_cols_names
     spark = left.sparkSession
     n = num_range_partitions or spark.sparkContext.defaultParallelism
     lead = left_order[0]
@@ -175,6 +173,26 @@ def positional_zip_join(
     else:
         w = Window.orderBy(*order_cols)
         indexed = left.withColumn(index_name, F.row_number().over(w) - 1)
+    return indexed
+
+
+def positional_zip_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: Sequence[str],
+    right_index_col: str,
+    index_name: str = "__pos",
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """J8 — join the i-th row (in a declared order) of ``left`` to
+    ``right.right_index_col == i`` (0-based).
+
+    Ref: InferenceService.java:99-111 zips JSON-line order against the
+    MaraCluster ``spectrumIndex``.  The index comes from
+    :func:`global_row_index` (two-pass distributed row numbering — no
+    single-task sort).
+    """
+    indexed = global_row_index(left, left_order, index_name, num_range_partitions)
     return indexed.join(right, indexed[index_name] == right[right_index_col], "inner")
 
 

@@ -820,10 +820,17 @@ def q25_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q26_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.joins import global_row_index
+
     ev = _t(spark, sf_dir, "events")  # raw ns-long ts is a valid ordering key
-    w = Window.orderBy("ts", "event_id")
-    cluster_map = ev.select(
-        (F.row_number().over(w) - 1).alias("spectrumIndex"),
+    # the fixture side gets its index from the same two-pass distributed
+    # row numbering as the join's left side — an earlier plain
+    # Window.orderBy here was a single-task sort of the full events table
+    # hiding behind the operator's whitelist entry
+    cluster_map = global_row_index(
+        ev.select("ts", "event_id"), ("ts", "event_id"), "spectrumIndex"
+    ).select(
+        F.col("spectrumIndex").cast("int").alias("spectrumIndex"),
         (F.col("event_id") % 50).cast("bigint").alias("clusterId"),
     )
     joined = positional_zip_join(

@@ -54,11 +54,6 @@ WHITELIST: dict[str, dict[str, str]] = {
             "O(1) build side, any scale"
         ),
     },
-    "q26_positional_join": {
-        "Exchange SinglePartition": (
-            "two-pass row-number boundary: one row per partition, broadcast back"
-        ),
-    },
     "q45_combined_fdr": {
         "Exchange SinglePartition": (
             "per-engine-set boundary collect (bounded by #engine-sets)"
