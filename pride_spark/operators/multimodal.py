@@ -425,10 +425,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, decoder: str = "stub")
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
-            for _, row in pdf.iterrows():
-                fs = extract(row["payload"], row["duration_ms"], every_ms)
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                fs = extract(payload, dur, every_ms)
                 for i, fr in enumerate(fs):
-                    ids.append(row["media_id"])
+                    ids.append(mid)
                     idxs.append(i)
                     frames.append(fr)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
