@@ -18,6 +18,7 @@ import argparse
 import json
 import sys
 
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 
@@ -71,7 +72,12 @@ def _index_outputs(spark, args):
     from pride_spark.plans.generate_index_files import IndexConfig, generate_index_files
     from pride_spark.plans.ingest import prepare_psms, read_psms_any, read_spectra_any
 
-    psms = read_psms_any(spark, args.result_files)
+    # the parsed-PSM frame feeds two independent action chains (the F11
+    # validity gate's decoy aggregate and the FDR two-pass) — persist so
+    # the raw-file parse subtree executes once per app, not per action;
+    # canonical PSM rows are narrow (no peak arrays), MEMORY_AND_DISK
+    # spills rather than OOMs on huge submissions
+    psms = read_psms_any(spark, args.result_files).persist(StorageLevel.MEMORY_AND_DISK)
     spectra = read_spectra_any(spark, args.spectra_files)
     prepared = prepare_psms(psms, args.spectra_files[0])
     # MULTI_PEAK formats join on the per-file index; XML formats on the id

@@ -1,26 +1,63 @@
-"""mzIdentML reader (SURVEY §2.1 S3) — per-file XML parse on executors.
+"""mzIdentML reader (SURVEY §2.1 S3) — two parse strategies on executors.
 
 The reference delegates mzIdentML to the PIA compiler
 (``/root/reference/src/.../proteomics/PIAModelerService.java:162-189``).
-Here each file is parsed with the stdlib ``xml.etree`` inside an
-Arrow-batched ``mapInPandas`` stage over a file-path DataFrame: one task
-per file, so a submission with many result files parses in parallel and
-the driver never touches XML.  (mzIdentML files are per-assay and bounded
-— the reference's own unit of work — so per-file parse granularity is the
-right scale trade-off; a streaming SAX variant slots in behind the same
-schema if single files ever outgrow an executor.)
+Both strategies here keep XML off the driver:
+
+- **whole-file** (default for small files): each file is DOM-parsed with
+  the stdlib ``xml.etree`` inside an Arrow-batched ``mapInPandas`` stage
+  over a file-path DataFrame — one task per file, so a submission with
+  many result files parses in parallel.  Reference resolution
+  (peptide_ref / PeptideEvidence / DBSequence) happens in per-file
+  Python dicts, exactly like the reference's in-memory PIA model.
+
+- **split** (default past ``_SPLIT_THRESHOLD_MB``): a single large file
+  is byte-range partitioned across ALL executors with the classic
+  input-split contract (Hadoop's XmlInputFormat, re-expressed over a
+  path DataFrame): the driver plans ``(path, start, end)`` ranges, each
+  task seeks to its range and scans for record open tags, a record
+  belongs to the range containing its FIRST byte, and the task reads
+  past its range end to the record's close tag when a record straddles
+  the boundary.  Because ``<`` is illegal inside XML attribute values
+  and text, any open-tag match found mid-range is a genuine element
+  start — no handshake between neighboring ranges is needed.  One pass
+  extracts ``SpectrumIdentificationResult`` records, one the
+  ``Peptide`` dimension, one each the attribute-only
+  ``PeptideEvidence`` / ``DBSequence`` dimensions, one ``SpectraData``.
+  Records are parsed with ``ET.fromstring`` in Arrow-batched kernels
+  (XML unescaping and both quote styles for free — a pure-regex
+  formulation would mis-handle entities), and reference resolution
+  becomes three co-keyed Spark joins + one ordered regroup instead of
+  per-file dicts.  A 5 GB mzid therefore parses at cluster parallelism
+  with no single-task DOM and no task ever holding more than one
+  record plus a scan buffer — the whole-file mode's memory ceiling and
+  straggler in one.  (Unlike a ``lineSep``-delimited text read, the
+  scanner never materializes inter-record gaps — a multi-GB
+  ``SequenceCollection`` between two record types costs nothing.)
+
+  Assumptions of split mode (documented, hold for conformant
+  producers): record elements are not self-closed (``Peptide`` /
+  ``SpectrumIdentificationResult`` / ``SpectraData`` require children
+  in the schema), content is not CDATA-wrapped, and paths are
+  executor-visible POSIX files (local/NFS — the same contract slots
+  over an object-store SDK on a real cluster).  ``mode="whole"`` is
+  the bit-exact fallback for anything else.
 
 Output: canonical psms frame — one row per SpectrumIdentificationItem —
-plus the SpectraData map needed for J4/S7.
+plus the SpectraData map needed for J4/S7.  Both modes produce identical
+rows (asserted in ``tests/test_format_readers.py``).
 """
 
 from __future__ import annotations
 
+import os
+import re
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -167,8 +204,8 @@ def _paths_df(spark: SparkSession, paths: list[str]) -> DataFrame:
     )
 
 
-def read_mzid_psms(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """S3 — parse many mzIdentML files in parallel → canonical psms frame."""
+def read_mzid_psms_whole(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S3, whole-file strategy — one DOM parse task per file."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,8 +217,8 @@ def read_mzid_psms(spark: SparkSession, paths: list[str]) -> DataFrame:
     return _paths_df(spark, paths).mapInPandas(kernel, MZID_PSM_SCHEMA)
 
 
-def read_mzid_spectra_data(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """The SpectraData dimension (J4/S7 inputs)."""
+def read_mzid_spectra_data_whole(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """The SpectraData dimension (J4/S7 inputs), whole-file strategy."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -191,3 +228,383 @@ def read_mzid_spectra_data(spark: SparkSession, paths: list[str]) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in SPECTRA_DATA_SCHEMA.fields])
 
     return _paths_df(spark, paths).mapInPandas(kernel, SPECTRA_DATA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Split strategy: byte-range input splits + record-scan kernels + joins.
+# ---------------------------------------------------------------------------
+
+#: files larger than this parse in split mode under mode="auto"
+_SPLIT_THRESHOLD_MB = float(os.environ.get("PRIDE_SPARK_MZID_SPLIT_MB", "32"))
+#: planned range size — ~4 MB keeps 32 cores busy from ~128 MB of input up
+_SPLIT_RANGE_MB = float(os.environ.get("PRIDE_SPARK_MZID_SPLIT_RANGE_MB", "4"))
+_SCAN_CHUNK = 1 << 20  # streaming read granularity inside a range task
+_SCAN_OVERLAP = 128  # > longest open tag incl. namespace prefix
+
+
+def _localname(tag: str) -> str:
+    return tag.rpartition("}")[2]
+
+
+def _fromstring(frag: str):
+    """``ET.fromstring`` tolerant of namespace-prefixed fragments: a
+    prefix used without its (root-level) declaration gets a dummy
+    binding so the parse succeeds; all matching is by local name."""
+    try:
+        return ET.fromstring(frag)
+    except ET.ParseError:
+        prefixes = set(re.findall(r"</?([A-Za-z_][\w.-]*):", frag))
+        if not prefixes:
+            raise
+        decls = " ".join(f'xmlns:{p}="urn:x-{p}"' for p in sorted(prefixes))
+        return ET.fromstring(f"<__r {decls}>{frag}</__r>")[0]
+
+
+def _ranges_df(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Driver-planned ``(path, start, end)`` byte ranges, one task each."""
+    step = int(_SPLIT_RANGE_MB * (1 << 20))
+    rows = []
+    for p in paths:
+        local = p.removeprefix("file:")
+        size = os.path.getsize(local)
+        rows.append((local, list(range(0, max(size, 1), step)), size))
+    flat = [
+        (local, s, min(s + step, size)) for local, starts, size in rows for s in starts
+    ]
+    return spark.createDataFrame(
+        flat, "path string, start bigint, end bigint"
+    ).repartition(len(flat))
+
+
+def _scan_records(path: str, start: int, end: int, name: bytes, attr_only: bool):
+    """Yield complete record byte-slices of element ``name`` whose open
+    tag STARTS in ``[start, end)`` — the input-split ownership contract.
+    Streams the file in ``_SCAN_CHUNK`` pieces; memory held is one scan
+    buffer plus at most one in-flight record.
+
+    ``attr_only``: capture just the open tag (to its first ``>``) —
+    for attribute-only dimension elements.  Otherwise the close tag is
+    built from the open match's own namespace prefix, so ``<m:Peptide>``
+    records close on ``</m:Peptide>``."""
+    open_re = re.compile(rb"<((?:[\w.-]+:)?)" + name + rb"[\s/>]")
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        buf = b""
+        buf_start = start
+        eof = False
+        while True:
+            m = open_re.search(buf)
+            if m is None:
+                if eof or buf_start + len(buf) > end + _SCAN_OVERLAP:
+                    return
+                keep = buf[-_SCAN_OVERLAP:]
+                buf_start += len(buf) - len(keep)
+                chunk = fh.read(_SCAN_CHUNK)
+                eof = not chunk
+                buf = keep + chunk
+                continue
+            abs_off = buf_start + m.start()
+            if abs_off >= end:
+                return
+            close = b">" if attr_only else b"</" + m.group(1) + name + b">"
+            # capture: extend until the close sequence appears
+            buf_start += m.start()
+            buf = buf[m.start():]
+            while True:
+                j = buf.find(close, 1)
+                if j >= 0:
+                    break
+                chunk = fh.read(_SCAN_CHUNK)
+                if not chunk:  # malformed tail: drop the partial record
+                    return
+                buf += chunk
+            rec_end = j + len(close)
+            yield buf[:rec_end]
+            buf_start += rec_end
+            buf = buf[rec_end:]
+
+
+def _scan_df(
+    spark: SparkSession,
+    paths: list[str],
+    name: bytes,
+    attr_only: bool,
+    kernel_rows,
+    schema: StructType,
+) -> DataFrame:
+    """Range-parallel record scan → ``mapInPandas`` parse.
+
+    ``kernel_rows(fileName, record_text) -> iterable[tuple]`` maps one
+    record to output rows."""
+    cols = [f.name for f in schema.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+                fn = path.rsplit("/", 1)[-1]
+                for rec in _scan_records(path, int(s), int(e), name, attr_only):
+                    rows.extend(kernel_rows(fn, rec.decode("utf-8", "replace")))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _ranges_df(spark, paths).mapInPandas(kernel, schema)
+
+
+_SIR_RAW_SCHEMA = StructType(
+    [
+        StructField("fileName", StringType()),
+        StructField("psmId", StringType()),
+        StructField("sourceId", StringType()),
+        StructField("spectraDataRef", StringType()),
+        StructField("peptideRef", StringType()),
+        StructField("evidenceRefs", ArrayType(StringType())),
+        StructField("precursorCharge", IntegerType()),
+        StructField("massToCharge", DoubleType()),
+        StructField("score", DoubleType()),
+        StructField("scoreAccession", StringType()),
+        StructField("scoreName", StringType()),
+        StructField("rank", IntegerType()),
+    ]
+)
+
+_PEPTIDE_DIM_SCHEMA = StructType(
+    [
+        StructField("fileName", StringType()),
+        StructField("pepId", StringType()),
+        StructField("peptideSequence", StringType()),
+        StructField("modifications", MZID_PSM_SCHEMA["modifications"].dataType),
+    ]
+)
+
+_EV_DB_DIM_SCHEMA = StructType(
+    [
+        StructField("fileName", StringType()),
+        StructField("kind", StringType()),  # 'ev' | 'db'
+        StructField("elemId", StringType()),
+        StructField("ref", StringType()),  # ev: dBSequence_ref; db: accession
+        StructField("isDecoy", BooleanType()),
+    ]
+)
+
+def _sir_rows(fn: str, rec: str):
+    res = _fromstring(rec)
+    source_id = res.get("spectrumID")
+    sd_ref = res.get("spectraData_ref")
+    for item in res.iter():
+        if _localname(item.tag) != "SpectrumIdentificationItem":
+            continue
+        ev_refs, cvs = [], {}
+        for c in item.iter():
+            ln = _localname(c.tag)
+            if ln == "PeptideEvidenceRef":
+                ev_refs.append(c.get("peptideEvidence_ref"))
+            elif ln == "cvParam":
+                cvs[c.get("accession")] = (c.get("value"), c.get("name"))
+        score = score_acc = score_name = None
+        for acc in _SCORE_ACCESSIONS:
+            if acc in cvs:
+                score = float(cvs[acc][0])
+                score_acc, score_name = acc, cvs[acc][1]
+                break
+        yield (
+            fn,
+            item.get("id"),
+            source_id,
+            sd_ref,
+            item.get("peptide_ref"),
+            ev_refs,
+            int(item.get("chargeState")) if item.get("chargeState") else None,
+            float(item.get("experimentalMassToCharge"))
+            if item.get("experimentalMassToCharge")
+            else None,
+            score,
+            score_acc,
+            score_name,
+            int(item.get("rank")) if item.get("rank") else None,
+        )
+
+
+def _pep_rows(fn: str, rec: str):
+    pep = _fromstring(rec)
+    seq, mods = "", []
+    for c in pep.iter():
+        ln = _localname(c.tag)
+        if ln == "PeptideSequence":
+            seq = c.text or ""
+        elif ln == "Modification":
+            pos = int(c.get("location", "0"))
+            cv = next((x for x in c.iter() if _localname(x.tag) == "cvParam"), None)
+            mods.append(
+                (pos, cv.get("accession") if cv is not None else None,
+                 cv.get("name") if cv is not None else None)
+            )
+    yield (fn, pep.get("id"), seq, mods)
+
+
+def _attr_tag(rec: str):
+    """Re-close a bare ``<Elem attr=... [/]>`` capture as an empty element
+    and let ET unescape the attributes (both quote styles)."""
+    return _fromstring(rec.rstrip().rstrip(">").rstrip("/") + "/>")
+
+
+def _ev_rows(fn: str, rec: str):
+    tag = _attr_tag(rec)
+    yield (fn, "ev", tag.get("id"), tag.get("dBSequence_ref"),
+           tag.get("isDecoy", "false") == "true")
+
+
+def _db_rows(fn: str, rec: str):
+    tag = _attr_tag(rec)
+    yield (fn, "db", tag.get("id"), tag.get("accession"), None)
+
+
+def _sd_rows(fn: str, rec: str):
+    sd = _fromstring(rec)
+    fmt = None
+    for c in sd.iter():
+        if _localname(c.tag) == "SpectrumIDFormat":
+            cv = next((x for x in c.iter() if _localname(x.tag) == "cvParam"), None)
+            fmt = cv.get("accession") if cv is not None else None
+            break
+    yield (fn, sd.get("id"), sd.get("location"), fmt)
+
+
+def read_mzid_psms_split(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S3, split strategy — byte-range parallel parse of (possibly one
+    giant) mzIdentML via four delimiter-splittable scans + co-keyed joins.
+
+    Reference resolution as a Spark plan:
+
+    - PSM rows join the peptide dimension on ``(fileName, peptide_ref)``;
+    - ``posexplode_outer`` of the ordered PeptideEvidenceRef list → left
+      joins to PeptideEvidence then DBSequence → regrouped per PSM with
+      ``sort_array`` on the carried position, so ``proteinAccessions``
+      keeps document order and ``isDecoy`` is the OR over evidences —
+      exactly the whole-file parser's dict-lookup semantics (nulls for
+      dangling refs included);
+    - empty evidence lists survive via the outer explode (pos -1 row
+      aggregates to ``[]`` / ``false``).
+
+    Every join keys on (fileName, id) — high-cardinality, co-partitioned
+    by the same shuffle, no broadcast assumption about dimension size.
+    """
+    sirs = _scan_df(
+        spark, paths, b"SpectrumIdentificationResult", False, _sir_rows, _SIR_RAW_SCHEMA
+    )
+    peps = _scan_df(spark, paths, b"Peptide", False, _pep_rows, _PEPTIDE_DIM_SCHEMA)
+    dims = _scan_df(
+        spark, paths, b"PeptideEvidence", True, _ev_rows, _EV_DB_DIM_SCHEMA
+    ).unionByName(_scan_df(spark, paths, b"DBSequence", True, _db_rows, _EV_DB_DIM_SCHEMA))
+    evs = dims.filter(F.col("kind") == "ev").select(
+        F.col("fileName").alias("evFile"), F.col("elemId").alias("evRef"),
+        F.col("ref").alias("dbRef"), "isDecoy",
+    )
+    dbs = dims.filter(F.col("kind") == "db").select(
+        F.col("fileName").alias("dbFile"), F.col("elemId").alias("dbId"),
+        F.col("ref").alias("accession"),
+    )
+
+    ev_flat = sirs.select(
+        "fileName", "psmId", F.posexplode_outer("evidenceRefs").alias("pos", "evRef")
+    )
+    ev_agg = (
+        ev_flat.join(
+            evs,
+            (F.col("fileName") == F.col("evFile")) & (ev_flat["evRef"] == evs["evRef"]),
+            "left",
+        )
+        .drop("evFile")
+        .join(
+            dbs,
+            (F.col("fileName") == F.col("dbFile")) & (F.col("dbRef") == F.col("dbId")),
+            "left",
+        )
+        .drop("dbFile")
+        .groupBy("fileName", "psmId")
+        .agg(
+            F.max(F.coalesce(F.col("isDecoy"), F.lit(False))).alias("isDecoy"),
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("accession").isNotNull(),
+                                F.struct(F.col("pos"), F.col("accession")),
+                            )
+                        )
+                    ),
+                    lambda s: s["accession"] != "",
+                ),
+                lambda s: s["accession"],
+            ).alias("proteinAccessions"),
+        )
+    )
+
+    peps_r = peps.select(
+        F.col("fileName").alias("pepFile"), "pepId", "peptideSequence", "modifications"
+    )
+    out = (
+        sirs.join(ev_agg, ["fileName", "psmId"], "left")
+        .join(
+            peps_r,
+            (F.col("fileName") == F.col("pepFile"))
+            & (F.col("peptideRef") == F.col("pepId")),
+            "left",
+        )
+        .drop("pepFile")
+    )
+    empty_mods = F.array().cast(MZID_PSM_SCHEMA["modifications"].dataType)
+    return out.select(
+        "fileName",
+        "psmId",
+        "sourceId",
+        "spectraDataRef",
+        F.coalesce(F.col("peptideSequence"), F.lit("")).alias("peptideSequence"),
+        F.coalesce(F.col("modifications"), empty_mods).alias("modifications"),
+        "precursorCharge",
+        "massToCharge",
+        "score",
+        "scoreAccession",
+        "scoreName",
+        F.coalesce(F.col("isDecoy"), F.lit(False)).alias("isDecoy"),
+        F.coalesce(F.col("proteinAccessions"), F.array().cast("array<string>")).alias(
+            "proteinAccessions"
+        ),
+        "rank",
+    )
+
+
+def read_mzid_spectra_data_split(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """SpectraData dimension via one range-parallel scan — no DOM of the
+    full file for a handful of dimension rows."""
+    return _scan_df(spark, paths, b"SpectraData", False, _sd_rows, SPECTRA_DATA_SCHEMA)
+
+
+def _pick_mode(paths: list[str], mode: str) -> str:
+    if mode != "auto":
+        return mode
+    try:
+        biggest = max(os.path.getsize(p.removeprefix("file:")) for p in paths)
+    except OSError:  # non-POSIX paths: range planning needs sizes — whole mode
+        return "whole"
+    return "split" if biggest > _SPLIT_THRESHOLD_MB * (1 << 20) else "whole"
+
+
+def read_mzid_psms(spark: SparkSession, paths: list[str], mode: str = "auto") -> DataFrame:
+    """S3 — parse many mzIdentML files in parallel → canonical psms frame.
+
+    ``mode``: ``"whole"`` (per-file DOM), ``"split"`` (byte-range
+    parallel), or ``"auto"`` — split when any file exceeds
+    ``PRIDE_SPARK_MZID_SPLIT_MB`` (default 32)."""
+    if _pick_mode(paths, mode) == "split":
+        return read_mzid_psms_split(spark, paths)
+    return read_mzid_psms_whole(spark, paths)
+
+
+def read_mzid_spectra_data(
+    spark: SparkSession, paths: list[str], mode: str = "auto"
+) -> DataFrame:
+    """The SpectraData dimension (J4/S7 inputs)."""
+    if _pick_mode(paths, mode) == "split":
+        return read_mzid_spectra_data_split(spark, paths)
+    return read_mzid_spectra_data_whole(spark, paths)

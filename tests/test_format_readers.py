@@ -289,3 +289,144 @@ def test_read_spectra_any_dispatches_and_sniffs_xml(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mzIdentML"):
         read_spectra_any(spark, [str(mzid)])
+
+
+# ---------------------------------------------------------------------------
+# S3 split strategy: byte-range parallel mzIdentML parse (sources/mzid.py)
+# ---------------------------------------------------------------------------
+
+#: adversarial mzid: namespace prefix, single-quoted attrs, XML entities,
+#: multi-evidence items, empty evidence lists, dangling refs, two SIRs
+MZID_NASTY = textwrap.dedent("""\
+    <?xml version="1.0" encoding="UTF-8"?>
+    <m:MzIdentML xmlns:m="http://psidev.info/psi/pi/mzIdentML/1.1">
+      <m:SequenceCollection>
+        <m:DBSequence id='DBSeq_1' accession='P1&amp;2'/>
+        <m:DBSequence id="DBSeq_2" accession="DECOY_P12"/>
+        <m:DBSequence id="DBSeq_empty" accession=""/>
+        <m:Peptide id="Pep_1">
+          <m:PeptideSequence>PEPTIDEK</m:PeptideSequence>
+          <m:Modification location="3" monoisotopicMassDelta="79.96633">
+            <m:cvParam accession="UNIMOD:21" name="Phospho" cvRef="UNIMOD"/>
+          </m:Modification>
+          <m:Modification location="5">
+            <m:cvParam accession="UNIMOD:4" name="Carbamidomethyl" cvRef="UNIMOD"/>
+          </m:Modification>
+        </m:Peptide>
+        <m:Peptide id='Pep_2'><m:PeptideSequence>LNGVK</m:PeptideSequence></m:Peptide>
+        <m:PeptideEvidence id="PE_1" peptide_ref="Pep_1" dBSequence_ref="DBSeq_1" isDecoy="false"/>
+        <m:PeptideEvidence id="PE_2" peptide_ref="Pep_1" dBSequence_ref="DBSeq_2" isDecoy="true"/>
+        <m:PeptideEvidence id="PE_3" peptide_ref="Pep_2" dBSequence_ref="DBSeq_missing"/>
+        <m:PeptideEvidence id="PE_4" peptide_ref="Pep_2" dBSequence_ref="DBSeq_empty" isDecoy="false"/>
+      </m:SequenceCollection>
+      <m:DataCollection>
+        <m:Inputs>
+          <m:SpectraData id="SD_1" location="file:///data/a&amp;b.mgf">
+            <m:SpectrumIDFormat><m:cvParam accession="MS:1000774" name="multiple peak list nativeID format"/></m:SpectrumIDFormat>
+          </m:SpectraData>
+        </m:Inputs>
+        <m:AnalysisData>
+          <m:SpectrumIdentificationList id="SIL_1">
+            <m:SpectrumIdentificationResult id="SIR_1" spectrumID="index=0" spectraData_ref="SD_1">
+              <m:SpectrumIdentificationItem id="SII_1" rank="1" chargeState="2"
+                  experimentalMassToCharge="445.12" peptide_ref="Pep_1">
+                <m:PeptideEvidenceRef peptideEvidence_ref="PE_2"/>
+                <m:PeptideEvidenceRef peptideEvidence_ref="PE_1"/>
+                <m:cvParam accession="MS:1002257" name="Comet:expectation value" value="0.001"/>
+              </m:SpectrumIdentificationItem>
+              <m:SpectrumIdentificationItem id="SII_2" rank="2" peptide_ref="Pep_2">
+                <m:PeptideEvidenceRef peptideEvidence_ref="PE_3"/>
+                <m:PeptideEvidenceRef peptideEvidence_ref="PE_4"/>
+              </m:SpectrumIdentificationItem>
+            </m:SpectrumIdentificationResult>
+            <m:SpectrumIdentificationResult id="SIR_2" spectrumID="index=1" spectraData_ref="SD_1">
+              <m:SpectrumIdentificationItem id="SII_3" rank="1" peptide_ref="Pep_missing">
+              </m:SpectrumIdentificationItem>
+            </m:SpectrumIdentificationResult>
+          </m:SpectrumIdentificationList>
+        </m:AnalysisData>
+      </m:DataCollection>
+    </m:MzIdentML>
+""")
+
+
+def _canon_psms(df):
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    for r in rows:
+        r["modifications"] = tuple(tuple(m.values()) for m in r["modifications"])
+        r["proteinAccessions"] = tuple(r["proteinAccessions"])
+    return sorted(rows, key=lambda r: (r["fileName"], r["psmId"]))
+
+
+def test_mzid_split_matches_whole(spark, tmp_path):
+    """Both parse strategies produce identical canonical rows — including
+    entities, quote styles, namespace prefixes, evidence-order, dangling
+    refs, and empty-evidence items — across multiple files."""
+    from pride_spark.sources.mzid import (
+        read_mzid_psms_split,
+        read_mzid_psms_whole,
+        read_mzid_spectra_data_split,
+        read_mzid_spectra_data_whole,
+    )
+
+    pa, pb = tmp_path / "a.mzid", tmp_path / "b.mzid"
+    pa.write_text(MZID)
+    pb.write_text(MZID_NASTY)
+    paths = [str(pa), str(pb)]
+    whole = _canon_psms(read_mzid_psms_whole(spark, paths))
+    split = _canon_psms(read_mzid_psms_split(spark, paths))
+    assert whole == split
+    assert len(whole) == 5
+
+    by_id = {r["psmId"]: r for r in split}
+    # document-order accessions survive the distributed regroup (PE_2 first)
+    assert by_id["SII_1"]["proteinAccessions"] == ("DECOY_P12", "P1&2")
+    assert by_id["SII_1"]["isDecoy"] is True
+    assert [m[0] for m in by_id["SII_1"]["modifications"]] == [3, 5]
+    # dangling dbseq ref + empty accession: dropped from accs, decoy=False
+    assert by_id["SII_2"]["proteinAccessions"] == ()
+    assert by_id["SII_2"]["isDecoy"] is False
+    # dangling peptide ref: empty sequence, no mods (whole-mode default)
+    assert by_id["SII_3"]["peptideSequence"] == ""
+    assert by_id["SII_3"]["modifications"] == ()
+
+    sd_w = sorted(map(tuple, read_mzid_spectra_data_whole(spark, paths).collect()))
+    sd_s = sorted(map(tuple, read_mzid_spectra_data_split(spark, paths).collect()))
+    assert sd_w == sd_s
+    assert ("b.mzid", "SD_1", "file:///data/a&b.mgf", "MS:1000774") in sd_s
+
+
+def test_mzid_scan_range_ownership(tmp_path):
+    """A record belongs to the byte range containing its first byte; a
+    record straddling a boundary is read past the end by its owner and
+    never duplicated — regardless of where the boundary falls."""
+    from pride_spark.sources.mzid import _scan_records
+
+    recs = [
+        f'<Peptide id="P{i}"><PeptideSequence>SEQ{i}</PeptideSequence></Peptide>'
+        for i in range(20)
+    ]
+    blob = "JUNKHEADER" + "x" * 57 + "".join(recs) + "TRAILING"
+    p = tmp_path / "scan.xml"
+    p.write_text(blob)
+    size = len(blob)
+    for step in (7, 64, 100, size):
+        got = []
+        for start in range(0, size, step):
+            got.extend(
+                r.decode()
+                for r in _scan_records(str(p), start, min(start + step, size), b"Peptide", False)
+            )
+        assert got == recs, f"step={step}: {len(got)} records"
+
+
+def test_mzid_auto_mode_threshold(tmp_path, monkeypatch):
+    from pride_spark.sources import mzid as M
+
+    small = tmp_path / "s.mzid"
+    small.write_text(MZID)
+    assert M._pick_mode([str(small)], "auto") == "whole"
+    monkeypatch.setattr(M, "_SPLIT_THRESHOLD_MB", 1e-6)
+    assert M._pick_mode([str(small)], "auto") == "split"
+    assert M._pick_mode(["http://host/x.mzid"], "auto") == "whole"
+    assert M._pick_mode([str(small)], "whole") == "whole"
