@@ -11,7 +11,7 @@ Both strategies here keep XML off the driver:
   (peptide_ref / PeptideEvidence / DBSequence) happens in per-file
   Python dicts, exactly like the reference's in-memory PIA model.
 
-- **split** (default past ``_SPLIT_THRESHOLD_MB``): a single large file
+- **split** (default past ``xmlsplit.SPLIT_THRESHOLD_MB``): a single large file
   is byte-range partitioned across ALL executors with the classic
   input-split contract (Hadoop's XmlInputFormat, re-expressed over a
   path DataFrame): the driver plans ``(path, start, end)`` ranges, each
@@ -117,7 +117,8 @@ _SCORE_ACCESSIONS = (
 
 
 def _parse_one(path: str) -> tuple[list, list]:
-    root = ET.parse(path.removeprefix("file:")).getroot()
+    with _open_xml(path) as fh:
+        root = ET.parse(fh).getroot()
     base = path.rsplit("/", 1)[-1]
 
     peptides: dict[str, tuple[str, list]] = {}
@@ -232,122 +233,17 @@ def read_mzid_spectra_data_whole(spark: SparkSession, paths: list[str]) -> DataF
 
 # ---------------------------------------------------------------------------
 # Split strategy: byte-range input splits + record-scan kernels + joins.
+# Scan machinery shared with sources/mzml.py lives in sources/xmlsplit.py.
 # ---------------------------------------------------------------------------
 
-#: files larger than this parse in split mode under mode="auto"
-_SPLIT_THRESHOLD_MB = float(os.environ.get("PRIDE_SPARK_MZID_SPLIT_MB", "32"))
-#: planned range size — ~4 MB keeps 32 cores busy from ~128 MB of input up
-_SPLIT_RANGE_MB = float(os.environ.get("PRIDE_SPARK_MZID_SPLIT_RANGE_MB", "4"))
-_SCAN_CHUNK = 1 << 20  # streaming read granularity inside a range task
-_SCAN_OVERLAP = 128  # > longest open tag incl. namespace prefix
-
-
-def _localname(tag: str) -> str:
-    return tag.rpartition("}")[2]
-
-
-def _fromstring(frag: str):
-    """``ET.fromstring`` tolerant of namespace-prefixed fragments: a
-    prefix used without its (root-level) declaration gets a dummy
-    binding so the parse succeeds; all matching is by local name."""
-    try:
-        return ET.fromstring(frag)
-    except ET.ParseError:
-        prefixes = set(re.findall(r"</?([A-Za-z_][\w.-]*):", frag))
-        if not prefixes:
-            raise
-        decls = " ".join(f'xmlns:{p}="urn:x-{p}"' for p in sorted(prefixes))
-        return ET.fromstring(f"<__r {decls}>{frag}</__r>")[0]
-
-
-def _ranges_df(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Driver-planned ``(path, start, end)`` byte ranges, one task each."""
-    step = int(_SPLIT_RANGE_MB * (1 << 20))
-    rows = []
-    for p in paths:
-        local = p.removeprefix("file:")
-        size = os.path.getsize(local)
-        rows.append((local, list(range(0, max(size, 1), step)), size))
-    flat = [
-        (local, s, min(s + step, size)) for local, starts, size in rows for s in starts
-    ]
-    return spark.createDataFrame(
-        flat, "path string, start bigint, end bigint"
-    ).repartition(len(flat))
-
-
-def _scan_records(path: str, start: int, end: int, name: bytes, attr_only: bool):
-    """Yield complete record byte-slices of element ``name`` whose open
-    tag STARTS in ``[start, end)`` — the input-split ownership contract.
-    Streams the file in ``_SCAN_CHUNK`` pieces; memory held is one scan
-    buffer plus at most one in-flight record.
-
-    ``attr_only``: capture just the open tag (to its first ``>``) —
-    for attribute-only dimension elements.  Otherwise the close tag is
-    built from the open match's own namespace prefix, so ``<m:Peptide>``
-    records close on ``</m:Peptide>``."""
-    open_re = re.compile(rb"<((?:[\w.-]+:)?)" + name + rb"[\s/>]")
-    with open(path, "rb") as fh:
-        fh.seek(start)
-        buf = b""
-        buf_start = start
-        eof = False
-        while True:
-            m = open_re.search(buf)
-            if m is None:
-                if eof or buf_start + len(buf) > end + _SCAN_OVERLAP:
-                    return
-                keep = buf[-_SCAN_OVERLAP:]
-                buf_start += len(buf) - len(keep)
-                chunk = fh.read(_SCAN_CHUNK)
-                eof = not chunk
-                buf = keep + chunk
-                continue
-            abs_off = buf_start + m.start()
-            if abs_off >= end:
-                return
-            close = b">" if attr_only else b"</" + m.group(1) + name + b">"
-            # capture: extend until the close sequence appears
-            buf_start += m.start()
-            buf = buf[m.start():]
-            while True:
-                j = buf.find(close, 1)
-                if j >= 0:
-                    break
-                chunk = fh.read(_SCAN_CHUNK)
-                if not chunk:  # malformed tail: drop the partial record
-                    return
-                buf += chunk
-            rec_end = j + len(close)
-            yield buf[:rec_end]
-            buf_start += rec_end
-            buf = buf[rec_end:]
-
-
-def _scan_df(
-    spark: SparkSession,
-    paths: list[str],
-    name: bytes,
-    attr_only: bool,
-    kernel_rows,
-    schema: StructType,
-) -> DataFrame:
-    """Range-parallel record scan → ``mapInPandas`` parse.
-
-    ``kernel_rows(fileName, record_text) -> iterable[tuple]`` maps one
-    record to output rows."""
-    cols = [f.name for f in schema.fields]
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for path, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
-                fn = path.rsplit("/", 1)[-1]
-                for rec in _scan_records(path, int(s), int(e), name, attr_only):
-                    rows.extend(kernel_rows(fn, rec.decode("utf-8", "replace")))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return _ranges_df(spark, paths).mapInPandas(kernel, schema)
+from pride_spark.sources.xmlsplit import (  # noqa: E402
+    fromstring as _fromstring,
+    localname as _localname,
+    open_xml as _open_xml,
+    pick_mode as _pick_mode,
+    scan_df as _scan_df,
+    scan_records as _scan_records,  # re-export for tests
+)
 
 
 _SIR_RAW_SCHEMA = StructType(
@@ -578,16 +474,6 @@ def read_mzid_spectra_data_split(spark: SparkSession, paths: list[str]) -> DataF
     """SpectraData dimension via one range-parallel scan — no DOM of the
     full file for a handful of dimension rows."""
     return _scan_df(spark, paths, b"SpectraData", False, _sd_rows, SPECTRA_DATA_SCHEMA)
-
-
-def _pick_mode(paths: list[str], mode: str) -> str:
-    if mode != "auto":
-        return mode
-    try:
-        biggest = max(os.path.getsize(p.removeprefix("file:")) for p in paths)
-    except OSError:  # non-POSIX paths: range planning needs sizes — whole mode
-        return "whole"
-    return "split" if biggest > _SPLIT_THRESHOLD_MB * (1 << 20) else "whole"
 
 
 def read_mzid_psms(spark: SparkSession, paths: list[str], mode: str = "auto") -> DataFrame:

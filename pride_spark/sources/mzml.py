@@ -31,6 +31,8 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+
+from pride_spark.sources import xmlsplit
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -77,50 +79,63 @@ def _decode_array(text: str | None, *, bits: int, zlib_compressed: bool,
     return arr.astype(np.float64)
 
 
+def _iterparse_end(path: str):
+    """End-event element stream over an (optionally gzipped) XML file;
+    owns and closes the file handle."""
+    with xmlsplit.open_xml(path) as fh:
+        for _event, elem in ET.iterparse(fh, events=("end",)):
+            yield elem
+
+
 # ---------------------------------------------------------------------------
 # mzML
 # ---------------------------------------------------------------------------
 
+def _mzml_spectrum_row(elem, base: str, idx: int) -> tuple:
+    """One parsed ``<spectrum>`` element → canonical spectra row."""
+    cv = {}          # accession -> (value, unitName) at spectrum/scan level
+    precursor_mz = precursor_z = None
+    arrays: dict[str, np.ndarray] = {}
+    for child in elem.iter():
+        name = _local(child.tag)
+        if name == "cvParam":
+            cv.setdefault(child.get("accession"),
+                          (child.get("value"), child.get("unitName")))
+        elif name == "selectedIon":
+            for p in child:
+                acc = p.get("accession")
+                if acc == "MS:1000744":
+                    precursor_mz = float(p.get("value"))
+                elif acc == "MS:1000041":
+                    precursor_z = int(float(p.get("value")))
+        elif name == "binaryDataArray":
+            accs = {p.get("accession") for p in child if _local(p.tag) == "cvParam"}
+            bits = 32 if "MS:1000521" in accs else 64
+            compressed = "MS:1000574" in accs
+            kind = ("masses" if "MS:1000514" in accs
+                    else "intensities" if "MS:1000515" in accs else None)
+            if kind:
+                binary = next((b for b in child if _local(b.tag) == "binary"), None)
+                arrays[kind] = _decode_array(
+                    binary.text if binary is not None else None,
+                    bits=bits, zlib_compressed=compressed)
+    ms_level = int(cv["MS:1000511"][0]) if "MS:1000511" in cv else None
+    rt = None
+    if "MS:1000016" in cv:
+        val, unit = cv["MS:1000016"]
+        rt = float(val) * (60.0 if unit == "minute" else 1.0)
+    masses = arrays.get("masses", np.empty(0))
+    intens = arrays.get("intensities", np.empty(0))
+    return (base, idx, elem.get("id"), ms_level, precursor_mz, precursor_z,
+            rt, masses.tolist(), intens.tolist(), int(masses.size))
+
+
 def _mzml_spectra(path: str, base: str) -> Iterator[tuple]:
     idx = 0
-    for _event, elem in ET.iterparse(path.removeprefix("file:"), events=("end",)):
+    for elem in _iterparse_end(path):
         if _local(elem.tag) != "spectrum":
             continue
-        cv = {}          # accession -> (value, unitName) at spectrum/scan level
-        precursor_mz = precursor_z = None
-        arrays: dict[str, np.ndarray] = {}
-        for child in elem.iter():
-            name = _local(child.tag)
-            if name == "cvParam":
-                cv.setdefault(child.get("accession"),
-                              (child.get("value"), child.get("unitName")))
-            elif name == "selectedIon":
-                for p in child:
-                    acc = p.get("accession")
-                    if acc == "MS:1000744":
-                        precursor_mz = float(p.get("value"))
-                    elif acc == "MS:1000041":
-                        precursor_z = int(float(p.get("value")))
-            elif name == "binaryDataArray":
-                accs = {p.get("accession") for p in child if _local(p.tag) == "cvParam"}
-                bits = 32 if "MS:1000521" in accs else 64
-                compressed = "MS:1000574" in accs
-                kind = ("masses" if "MS:1000514" in accs
-                        else "intensities" if "MS:1000515" in accs else None)
-                if kind:
-                    binary = next((b for b in child if _local(b.tag) == "binary"), None)
-                    arrays[kind] = _decode_array(
-                        binary.text if binary is not None else None,
-                        bits=bits, zlib_compressed=compressed)
-        ms_level = int(cv["MS:1000511"][0]) if "MS:1000511" in cv else None
-        rt = None
-        if "MS:1000016" in cv:
-            val, unit = cv["MS:1000016"]
-            rt = float(val) * (60.0 if unit == "minute" else 1.0)
-        masses = arrays.get("masses", np.empty(0))
-        intens = arrays.get("intensities", np.empty(0))
-        yield (base, idx, elem.get("id"), ms_level, precursor_mz, precursor_z,
-               rt, masses.tolist(), intens.tolist(), int(masses.size))
+        yield _mzml_spectrum_row(elem, base, idx)
         idx += 1
         elem.clear()
 
@@ -143,7 +158,7 @@ def _mzxml_rt(text: str | None) -> float | None:
 
 def _mzxml_spectra(path: str, base: str) -> Iterator[tuple]:
     idx = 0
-    for _event, elem in ET.iterparse(path.removeprefix("file:"), events=("end",)):
+    for elem in _iterparse_end(path):
         if _local(elem.tag) != "scan":
             continue
         precursor_mz = precursor_z = None
@@ -183,7 +198,7 @@ def _mzxml_spectra(path: str, base: str) -> Iterator[tuple]:
 
 def _pridexml_spectra(path: str, base: str) -> Iterator[tuple]:
     idx = 0
-    for _event, elem in ET.iterparse(path.removeprefix("file:"), events=("end",)):
+    for elem in _iterparse_end(path):
         if _local(elem.tag) != "spectrum":
             continue
         ms_level = precursor_mz = precursor_z = rt = None
@@ -249,8 +264,42 @@ def _reader(parse) -> "callable":
     return read
 
 
-read_mzml = _reader(_mzml_spectra)
-read_mzml.__doc__ = "S6 — parse mzML files in parallel → canonical spectra frame."
+_read_mzml_whole = _reader(_mzml_spectra)
+
+
+def _mzml_split_rows(fn: str, rec: str):
+    """One ``<spectrum>`` record fragment → canonical row.  The row index
+    is mzML's spec-REQUIRED 0-based ``index`` attribute (identical to the
+    whole-file parser's document-order counter for conformant files —
+    asserted in tests), which is what makes the parse order-free and
+    therefore range-parallel."""
+    elem = xmlsplit.fromstring(rec)
+    idx = elem.get("index")
+    if idx is None:
+        raise ValueError(
+            "mzML split mode needs the spectrum 'index' attribute; "
+            "re-read with mode='whole' for non-conformant files"
+        )
+    yield _mzml_spectrum_row(elem, fn, int(idx))
+
+
+def read_mzml(spark: SparkSession, paths: str | list[str], mode: str = "auto") -> DataFrame:
+    """S6 — parse mzML files in parallel → canonical spectra frame.
+
+    ``mode="whole"``: one streaming-iterparse task per file (memory is
+    one-spectrum-bounded, but a single huge run parses serially).
+    ``mode="split"``: byte-range parallel — ``<spectrum>`` records are
+    self-contained (id, msLevel, precursor, base64 peak arrays all
+    inside the element), so a single 20 GB mzML parses across the whole
+    cluster with no joins and no single-task scan.  ``auto`` switches on
+    file size (``xmlsplit.pick_mode``)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    if xmlsplit.pick_mode(paths, mode) == "split":
+        return xmlsplit.scan_df(
+            spark, paths, b"spectrum", False, _mzml_split_rows, SPECTRA_SCHEMA
+        )
+    return _read_mzml_whole(spark, paths)
 read_mzxml = _reader(_mzxml_spectra)
 read_mzxml.__doc__ = "S6 — parse mzXML files in parallel → canonical spectra frame."
 read_pridexml = _reader(_pridexml_spectra)

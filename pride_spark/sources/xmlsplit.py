@@ -1,0 +1,180 @@
+"""Byte-range input-split scanning for record-oriented XML sources.
+
+The classic Hadoop XmlInputFormat contract re-expressed over a path
+DataFrame (used by ``sources/mzid.py`` split mode and ``sources/mzml.py``
+split mode): the driver plans ``(path, start, end)`` ranges, each task
+seeks to its range and scans for record open tags, a record belongs to
+the range containing its FIRST byte, and the task reads past its range
+end to the record's close tag when a record straddles the boundary.
+Because ``<`` is illegal inside XML attribute values and text content,
+any open-tag match found mid-range is a genuine element start — no
+handshake between neighboring ranges is needed.
+
+Memory per task is one scan buffer plus at most one in-flight record —
+there is no per-file DOM and inter-record gaps are never materialized
+(unlike a ``lineSep``-delimited text read, where a multi-GB section
+between two record types becomes one giant row).
+
+Assumptions (hold for conformant producers, asserted against whole-file
+parses in tests): content is not CDATA-wrapped, and paths are
+executor-visible POSIX files (local/NFS — the same contract slots over
+an object-store SDK on a real cluster).  Self-closed record elements
+are handled (capture stops at the open tag's own ``/>``), and close
+tags are matched with the open tag's own namespace prefix.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import re
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: files larger than this parse in split mode under mode="auto"
+SPLIT_THRESHOLD_MB = float(os.environ.get("PRIDE_SPARK_MZID_SPLIT_MB", "32"))
+#: planned range size — ~4 MB keeps 32 cores busy from ~128 MB of input up
+SPLIT_RANGE_MB = float(os.environ.get("PRIDE_SPARK_MZID_SPLIT_RANGE_MB", "4"))
+_SCAN_CHUNK = 1 << 20  # streaming read granularity inside a range task
+_SCAN_OVERLAP = 128  # > longest open tag incl. namespace prefix
+
+
+def localname(tag: str) -> str:
+    return tag.rpartition("}")[2]
+
+
+def open_xml(path: str):
+    """Binary handle for an (optionally gzipped) XML file — the Python
+    kernels' analogue of Spark's native codec layer on text reads."""
+    local = path.removeprefix("file:")
+    if local.endswith(".gz"):
+        return gzip.open(local, "rb")
+    return open(local, "rb")
+
+
+def fromstring(frag: str):
+    """``ET.fromstring`` tolerant of namespace-prefixed fragments: a
+    prefix used without its (root-level) declaration gets a dummy
+    binding so the parse succeeds; all matching is by local name."""
+    try:
+        return ET.fromstring(frag)
+    except ET.ParseError:
+        prefixes = set(re.findall(r"</?([A-Za-z_][\w.-]*):", frag))
+        if not prefixes:
+            raise
+        decls = " ".join(f'xmlns:{p}="urn:x-{p}"' for p in sorted(prefixes))
+        return ET.fromstring(f"<__r {decls}>{frag}</__r>")[0]
+
+
+def pick_mode(paths: list[str], mode: str) -> str:
+    """``auto`` → split when any file exceeds the threshold; compressed
+    and non-POSIX paths always parse whole (ranges need seekable bytes)."""
+    if mode != "auto":
+        return mode
+    if any(p.endswith((".gz", ".zip")) for p in paths):
+        return "whole"
+    try:
+        biggest = max(os.path.getsize(p.removeprefix("file:")) for p in paths)
+    except OSError:  # non-POSIX paths: range planning needs sizes — whole mode
+        return "whole"
+    return "split" if biggest > SPLIT_THRESHOLD_MB * (1 << 20) else "whole"
+
+
+def ranges_df(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Driver-planned ``(path, start, end)`` byte ranges, one task each."""
+    step = int(SPLIT_RANGE_MB * (1 << 20))
+    rows = []
+    for p in paths:
+        local = p.removeprefix("file:")
+        size = os.path.getsize(local)
+        rows.append((local, list(range(0, max(size, 1), step)), size))
+    flat = [
+        (local, s, min(s + step, size)) for local, starts, size in rows for s in starts
+    ]
+    return spark.createDataFrame(
+        flat, "path string, start bigint, end bigint"
+    ).repartition(len(flat))
+
+
+def scan_records(path: str, start: int, end: int, name: bytes, attr_only: bool):
+    """Yield complete record byte-slices of element ``name`` whose open
+    tag STARTS in ``[start, end)`` — the input-split ownership contract.
+
+    ``attr_only``: capture just the open tag (to its first ``>``) — for
+    attribute-only dimension elements.  Otherwise the close tag is built
+    from the open match's own namespace prefix, so ``<m:Peptide>``
+    records close on ``</m:Peptide>``; a self-closed record is complete
+    at its own ``/>``."""
+    open_re = re.compile(rb"<((?:[\w.-]+:)?)" + name + rb"[\s/>]")
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        buf = b""
+        buf_start = start
+        eof = False
+        while True:
+            m = open_re.search(buf)
+            if m is None:
+                if eof or buf_start + len(buf) > end + _SCAN_OVERLAP:
+                    return
+                keep = buf[-_SCAN_OVERLAP:]
+                buf_start += len(buf) - len(keep)
+                chunk = fh.read(_SCAN_CHUNK)
+                eof = not chunk
+                buf = keep + chunk
+                continue
+            abs_off = buf_start + m.start()
+            if abs_off >= end:
+                return
+            close = b">" if attr_only else b"</" + m.group(1) + name + b">"
+            # capture: extend until the close sequence appears
+            buf_start += m.start()
+            buf = buf[m.start():]
+            rec_end = None
+            while True:
+                # a self-closed record (`<spectrum .../>`) is complete at
+                # its own open tag — never scan into the next record
+                k = buf.find(b">", 1)
+                if k > 0 and buf[k - 1:k] == b"/":
+                    rec_end = k + 1
+                    break
+                j = buf.find(close, 1)
+                if j >= 0:
+                    rec_end = j + len(close)
+                    break
+                chunk = fh.read(_SCAN_CHUNK)
+                if not chunk:  # malformed tail: drop the partial record
+                    return
+                buf += chunk
+            yield buf[:rec_end]
+            buf_start += rec_end
+            buf = buf[rec_end:]
+
+
+def scan_df(
+    spark: SparkSession,
+    paths: list[str],
+    name: bytes,
+    attr_only: bool,
+    kernel_rows,
+    schema: StructType,
+) -> DataFrame:
+    """Range-parallel record scan → ``mapInPandas`` parse.
+
+    ``kernel_rows(fileName, record_text) -> iterable[tuple]`` maps one
+    record to output rows."""
+    cols = [f.name for f in schema.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+                fn = path.rsplit("/", 1)[-1]
+                for rec in scan_records(path, int(s), int(e), name, attr_only):
+                    rows.extend(kernel_rows(fn, rec.decode("utf-8", "replace")))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return ranges_df(spark, paths).mapInPandas(kernel, schema)

@@ -116,10 +116,9 @@ def _b64(arr, dtype, *, compress=False, big_endian=False):
     return b64.b64encode(buf).decode()
 
 
-def test_mzml_reader(spark, tmp_path):
+def _mzml_fixture():
+    """(xml, mz, inten) — two-spectrum mzML with empty + compressed arrays."""
     import numpy as np
-
-    from pride_spark.sources.mzml import read_mzml
 
     mz = [100.25, 200.5, 300.75]
     inten = [10.0, 20.0, 30.0]
@@ -156,6 +155,13 @@ def test_mzml_reader(spark, tmp_path):
   </spectrum>
  </spectrumList></run>
 </mzML>"""
+    return xml, mz, inten
+
+
+def test_mzml_reader(spark, tmp_path):
+    from pride_spark.sources.mzml import read_mzml
+
+    xml, mz, inten = _mzml_fixture()
     p = tmp_path / "run1.mzML"
     p.write_text(xml)
     rows = {r["spectrumId"]: r for r in read_mzml(spark, [str(p)]).collect()}
@@ -421,12 +427,59 @@ def test_mzid_scan_range_ownership(tmp_path):
 
 
 def test_mzid_auto_mode_threshold(tmp_path, monkeypatch):
-    from pride_spark.sources import mzid as M
+    from pride_spark.sources import xmlsplit as X
 
     small = tmp_path / "s.mzid"
     small.write_text(MZID)
-    assert M._pick_mode([str(small)], "auto") == "whole"
-    monkeypatch.setattr(M, "_SPLIT_THRESHOLD_MB", 1e-6)
-    assert M._pick_mode([str(small)], "auto") == "split"
-    assert M._pick_mode(["http://host/x.mzid"], "auto") == "whole"
-    assert M._pick_mode([str(small)], "whole") == "whole"
+    assert X.pick_mode([str(small)], "auto") == "whole"
+    monkeypatch.setattr(X, "SPLIT_THRESHOLD_MB", 1e-6)
+    assert X.pick_mode([str(small)], "auto") == "split"
+    assert X.pick_mode(["http://host/x.mzid"], "auto") == "whole"
+    assert X.pick_mode(["/any/x.mzid.gz"], "auto") == "whole"  # not seekable
+    assert X.pick_mode([str(small)], "whole") == "whole"
+
+
+def test_mzml_split_matches_whole(spark, tmp_path):
+    """Split (byte-range parallel) and whole (iterparse) mzML strategies
+    produce identical canonical rows; split uses the spec-required
+    ``index`` attribute in place of the document-order counter."""
+    from pride_spark.sources.mzml import read_mzml
+
+    xml, _mz, _inten = _mzml_fixture()
+    p = tmp_path / "run1.mzML"
+    p.write_text(xml)
+
+    def canon(df):
+        return sorted(
+            (tuple(r) for r in df.collect()), key=lambda t: (t[0], t[1])
+        )
+
+    whole = canon(read_mzml(spark, [str(p)], mode="whole"))
+    split = canon(read_mzml(spark, [str(p)], mode="split"))
+    assert whole == split
+    assert len(split) == 2
+
+
+def test_mzml_reader_gzipped(spark, tmp_path):
+    """The Python XML kernels decompress .gz inputs themselves (the
+    codec layer only covers JVM text reads)."""
+    import gzip
+
+    from pride_spark.sources.mzml import read_mzml
+
+    xml, mz, _inten = _mzml_fixture()
+    p = tmp_path / "run1.mzML.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(xml)
+    rows = {r["spectrumId"]: r for r in read_mzml(spark, [str(p)]).collect()}
+    assert len(rows) == 2 and rows["scan=2"]["masses"] == mz
+
+
+def test_mzid_reader_gzipped(spark, tmp_path):
+    import gzip
+
+    p = tmp_path / "a.mzid.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(MZID)
+    psms = {r["psmId"]: r for r in read_mzid_psms(spark, [str(p)]).collect()}
+    assert len(psms) == 2 and psms["SII_1"]["peptideSequence"] == "PEPTIDEK"
