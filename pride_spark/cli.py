@@ -113,6 +113,10 @@ def _inference_outputs(spark, archive, clusters_tsv: str | None):
     from pride_spark.plans.perform_inference import perform_inference
     from pride_spark.sources.tabular import read_maracluster
 
+    # the archive frame feeds the clustering pass plus every inference
+    # output's join chain — persist so the JSON-lines (re-)read and
+    # record decode run once per app
+    archive = archive.persist(StorageLevel.MEMORY_AND_DISK)
     if clusters_tsv:
         clusters = read_maracluster(spark, clusters_tsv)
         clusters_by = "index"

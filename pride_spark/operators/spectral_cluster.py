@@ -370,9 +370,13 @@ def cluster_spectra(
     ``max_bucket=None`` (the oracle configuration); with a cap it shares
     the LSH path's cap contract.
     """
+    # persisted for the same reason as cluster_spectra_multi: the binning
+    # pass feeds BOTH the candidate subtree (materialized once into the CC
+    # loop's base checkpoint) and the final singleton-fill join — without
+    # the persist, bin_peaks over the source runs twice
     binned = _binned_frame(
         spectra, key_col, masses_col, intensities_col, precursor_col, top_k, bin_width
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = _method_pairs(
         method, binned,
         precursor_window=precursor_window, num_hashes=num_hashes, bands=bands,

@@ -10,6 +10,7 @@ tiers; here it is three joins + two groupBys + one window — a single DAG.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,13 +53,17 @@ def perform_inference(
         with_cluster = archive.join(clusters.select("usi", "clusterId"), "usi")
     else:
         with_cluster = assign_clusters(archive, clusters)
+    # one row per cluster (bounded by #clusters); persisted because every
+    # returned output consumes it — cluster_best directly, winner_spectra
+    # through the semi join, protein_evidence through winners — and each
+    # sink action would otherwise re-run the clustering join + window
     best = best_psm_per_cluster(
         with_cluster.select(
             "clusterId", "usi", "peptideSequence", "peptidoform", F.col(score_col).alias("score")
         ),
         score_col="score",
         better="lower",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # J9 — re-attach the full archive record for the winning USIs.
     winners = archive.join(F.broadcast(best.select("usi")), "usi", "left_semi")
     slim = winners.select(

@@ -72,12 +72,19 @@ def build_fixture(n: int, out: str) -> tuple[str, str]:
                 f"</SpectrumIdentificationItem></SpectrumIdentificationResult>"
             )
         f.write("</SpectrumIdentificationList></AnalysisData></DataCollection></MzIdentML>\n")
+    # peak m/z values are spread by a prime stride so the corpus is
+    # DIVERSE (like real data): the earlier `i % 500` pattern produced
+    # only 500 distinct peak sets, which manufactures adversarial
+    # all-identical LSH buckets and turns the clustering stage into a
+    # 20M-candidate-pair graph no real 200k-spectrum corpus produces
+    # (that shape is stress-tested separately — STRESS factor64 entries)
     with open(mgf, "w") as f:
         for i in range(n):
+            v = (i * 7919) % 50000
             f.write(
-                f"BEGIN IONS\nTITLE=spec{i}\nPEPMASS={400.0 + i % 1000}\nCHARGE=2+\n"
-                f"{100.0 + i % 500}\t10.0\n{200.0 + i % 500}\t20.0\n"
-                f"{300.0 + i % 500}\t15.0\nEND IONS\n"
+                f"BEGIN IONS\nTITLE=spec{i}\nPEPMASS={400.0 + (i % 10000) / 10.0}\nCHARGE=2+\n"
+                f"{100.0 + v / 100.0}\t10.0\n{200.0 + (v * 3 % 50000) / 100.0}\t20.0\n"
+                f"{300.0 + (v * 7 % 50000) / 100.0}\t15.0\nEND IONS\n"
             )
     return mzid, mgf
 
