@@ -343,15 +343,15 @@ def _attr_tag(rec: str):
     return _fromstring(rec.rstrip().rstrip(">").rstrip("/") + "/>")
 
 
-def _ev_rows(fn: str, rec: str):
+def _ev_db_rows(fn: str, rec: str):
+    """Both attribute-only dims from ONE scan (the open pattern is an
+    alternation), dispatched on the parsed local name."""
     tag = _attr_tag(rec)
-    yield (fn, "ev", tag.get("id"), tag.get("dBSequence_ref"),
-           tag.get("isDecoy", "false") == "true")
-
-
-def _db_rows(fn: str, rec: str):
-    tag = _attr_tag(rec)
-    yield (fn, "db", tag.get("id"), tag.get("accession"), None)
+    if _localname(tag.tag) == "PeptideEvidence":
+        yield (fn, "ev", tag.get("id"), tag.get("dBSequence_ref"),
+               tag.get("isDecoy", "false") == "true")
+    else:
+        yield (fn, "db", tag.get("id"), tag.get("accession"), None)
 
 
 def _sd_rows(fn: str, rec: str):
@@ -389,8 +389,9 @@ def read_mzid_psms_split(spark: SparkSession, paths: list[str]) -> DataFrame:
     )
     peps = _scan_df(spark, paths, b"Peptide", False, _pep_rows, _PEPTIDE_DIM_SCHEMA)
     dims = _scan_df(
-        spark, paths, b"PeptideEvidence", True, _ev_rows, _EV_DB_DIM_SCHEMA
-    ).unionByName(_scan_df(spark, paths, b"DBSequence", True, _db_rows, _EV_DB_DIM_SCHEMA))
+        spark, paths, b"(?:PeptideEvidence|DBSequence)", True, _ev_db_rows,
+        _EV_DB_DIM_SCHEMA,
+    )
     evs = dims.filter(F.col("kind") == "ev").select(
         F.col("fileName").alias("evFile"), F.col("elemId").alias("evRef"),
         F.col("ref").alias("dbRef"), "isDecoy",

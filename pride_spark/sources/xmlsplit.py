@@ -105,10 +105,13 @@ def scan_records(path: str, start: int, end: int, name: bytes, attr_only: bool):
     tag STARTS in ``[start, end)`` — the input-split ownership contract.
 
     ``attr_only``: capture just the open tag (to its first ``>``) — for
-    attribute-only dimension elements.  Otherwise the close tag is built
-    from the open match's own namespace prefix, so ``<m:Peptide>``
-    records close on ``</m:Peptide>``; a self-closed record is complete
-    at its own ``/>``."""
+    attribute-only dimension elements; ``name`` may then be a
+    non-capturing regex alternation (several element names in one scan),
+    since the close tag is never built from it.  Otherwise ``name`` must
+    be a literal and the close tag is built from the open match's own
+    namespace prefix, so ``<m:Peptide>`` records close on
+    ``</m:Peptide>``; a self-closed record is complete at its own
+    ``/>``."""
     open_re = re.compile(rb"<((?:[\w.-]+:)?)" + name + rb"[\s/>]")
     with open(path, "rb") as fh:
         fh.seek(start)
