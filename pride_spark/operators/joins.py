@@ -13,6 +13,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 
 def contains_first_match(
@@ -263,3 +264,229 @@ def relate_spectra_files(
         missing = ", ".join(r["__key"] for r in bad)
         raise SpectraRelationError(f"SpectraData refs with no matching spectra file: {missing}")
     return joined.drop("__key")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] | None = None,
+    *,
+    tolerance: float | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+    num_range_partitions: int | None = None,
+    right_order_col: str | None = None,
+    _tie_desc: bool = False,
+) -> DataFrame:
+    """As-of join — for each left row, attach the single right row whose
+    ``on`` key is nearest under ``direction`` (pandas ``merge_asof``
+    semantics, asserted against it in ``tests/test_joins_rollup.py``).
+
+    An operator Spark lacks natively, expressed as a composition of
+    built-ins (no UDFs, no per-row Python):
+
+    - **tagged union + carry window**: right rows are unioned under the
+      left schema with their payload packed into one struct; a
+      ``last(payload, ignorenulls=True)`` running window over the
+      ``on`` order (right sorting BEFORE left at equal keys → matches
+      are inclusive) attaches the latest right payload to every left
+      row.  ONE shuffle total — the same exchange sorts and joins.
+      ``direction="nearest"`` adds a ``first`` window over the SAME
+      sorted exchange (no second shuffle, no self-join) and picks the
+      smaller distance, ties → backward, as pandas.
+    - ``by`` keys partition the window — the co-partitioned form.
+      WITHOUT ``by``, a global window would funnel through one task, so
+      the operator switches to the FDR/positional-join two-pass shape:
+      value-derived range buckets from quantiles of ``on``, per-bucket
+      windows, and a driver-side prefix/suffix scan over ONE row per
+      bucket (each bucket's edge payloads) broadcast back as carry-in
+      seeds for buckets the window cannot see past.
+    - ``direction="forward"`` delegates to backward on the negated key.
+    - ``tolerance`` nulls the attached columns when the |distance|
+      exceeds it; left rows are always preserved (left-outer shape).
+
+    ``on`` must be numeric (cast temporal keys to epoch first — the
+    events fixtures carry raw ns longs).  Right payload columns are
+    appended, renamed with ``suffix`` on collision; ``__asof_<on>``
+    carries the matched right key (NULL = no match).
+
+    Duplicate right keys: a DataFrame has no input order, so
+    ``right_order_col`` names the column giving the right rows' total
+    order — backward keeps the greatest, forward the least, matching
+    pandas' input-order tie rules when the column is the input position.
+    Without it, ties break deterministically on the packed payload
+    struct's ordering.
+    """
+    by = list(by or [])
+    if direction == "forward":
+        # backward on the negated key; the tie direction flips with it
+        # (pandas forward keeps the FIRST duplicate, and under negation
+        # the running last() sees ties reversed)
+        out = asof_join(
+            left.withColumn(on, -F.col(on)),
+            right.withColumn(on, -F.col(on)),
+            on, by, tolerance=tolerance, direction="backward", suffix=suffix,
+            num_range_partitions=num_range_partitions,
+            right_order_col=right_order_col, _tie_desc=not _tie_desc,
+        )
+        return out.withColumn(on, -F.col(on)).withColumn(
+            f"__asof_{on}", -F.col(f"__asof_{on}")
+        )
+    if direction not in ("backward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    nearest = direction == "nearest"
+
+    rcols = [c for c in right.columns if c != on and c not in by]
+    out_names = [c + suffix if c in left.columns else c for c in rcols]
+    payload = F.struct(F.col(on).alias("__t"), *[F.col(c) for c in rcols])
+    tie_src = F.col(right_order_col) if right_order_col else payload
+    r_tag = right.select(
+        *by, F.col(on), F.lit(0).alias("__side"), payload.alias("__p"),
+        tie_src.alias("__tie"),
+    )
+    l_tag = left.select(
+        *by, F.col(on), F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tag.schema["__p"].dataType).alias("__p"),
+        F.lit(None).cast(r_tag.schema["__tie"].dataType).alias("__tie"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    r_tag = r_tag.withColumn("__l", F.lit(None).cast(l_tag.schema["__l"].dataType))
+    unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
+    ptype = r_tag.schema["__p"].dataType
+
+    # `__side` ordering places right (0) before left (1) ascending, so the
+    # backward running frame is inclusive; duplicate right keys are ordered
+    # by the tie column so last()/first() resolve them deterministically
+    # (asc for backward/nearest, desc when forward delegated through the
+    # key negation).
+    order = [
+        F.col(on).asc_nulls_first(),
+        F.col("__side").asc(),
+        F.col("__tie").desc() if _tie_desc else F.col("__tie").asc(),
+    ]
+    back_frame = lambda w: w.rowsBetween(Window.unboundedPreceding, Window.currentRow)  # noqa: E731
+    fwd_frame = lambda w: w.rowsBetween(Window.currentRow, Window.unboundedFollowing)  # noqa: E731
+
+    spark = left.sparkSession
+    if by:
+        base_w = Window.partitionBy(*by).orderBy(*order)
+        carried = unioned.withColumn(
+            "__cb", F.last("__p", ignorenulls=True).over(back_frame(base_w))
+        )
+        if nearest:
+            carried = carried.withColumn(
+                "__cf", F.first("__p", ignorenulls=True).over(fwd_frame(base_w))
+            )
+    else:
+        n = num_range_partitions or spark.sparkContext.defaultParallelism
+        qs = [i / n for i in range(1, n)]
+        bounds = sorted(set(unioned.stat.approxQuantile(on, qs, 0.05))) if qs else []
+        if bounds:
+            nonnull = sum(
+                ((F.col(on) > F.lit(b)).cast("int") for b in bounds), F.lit(0)
+            )
+            bucket = F.when(F.col(on).isNull(), F.lit(-1)).otherwise(nonnull)
+        else:
+            bucket = F.lit(0)
+        part = unioned.withColumn("__zb", bucket)
+        # one row per bucket: the bucket's last and first right payloads,
+        # under the SAME order as the in-bucket window (numeric order col
+        # flips by negation; the default struct tie is engine-defined on
+        # the desc path, as documented)
+        if right_order_col:
+            tie_key = (-F.col("__tie")) if _tie_desc else F.col("__tie")
+        else:
+            tie_key = F.col("__p")
+        edge_key = F.struct(F.col(on), tie_key)
+        edge = {
+            r["__zb"]: (r["lp"], r["fp"])
+            for r in part.filter(F.col("__p").isNotNull())
+            .groupBy("__zb")
+            .agg(
+                F.max_by("__p", edge_key).alias("lp"),
+                F.min_by("__p", edge_key).alias("fp"),
+            )
+            .collect()
+        }
+        all_buckets = sorted(set([-1] + list(range(len(bounds) + 1)) + list(edge)))
+        seeds_b, carry = {}, None
+        for b in all_buckets:  # prefix scan: latest right payload BEFORE bucket b
+            seeds_b[b] = carry
+            if b in edge:
+                carry = edge[b][0]
+        seeds_f, carry = {}, None
+        for b in reversed(all_buckets):  # suffix scan: first right AFTER bucket b
+            seeds_f[b] = carry
+            if b in edge:
+                carry = edge[b][1]
+        seed_rows = [
+            (int(b), seeds_b.get(b), seeds_f.get(b))
+            for b in all_buckets
+            if seeds_b.get(b) is not None or seeds_f.get(b) is not None
+        ]
+        base_w = Window.partitionBy("__zb").orderBy(*order)
+        carried = part.withColumn(
+            "__cb", F.last("__p", ignorenulls=True).over(back_frame(base_w))
+        )
+        if nearest:
+            carried = carried.withColumn(
+                "__cf", F.first("__p", ignorenulls=True).over(fwd_frame(base_w))
+            )
+        if seed_rows:
+            seed_df = spark.createDataFrame(
+                seed_rows,
+                StructType(
+                    [
+                        StructField("__zb", IntegerType()),
+                        StructField("__sb", ptype),
+                        StructField("__sf", ptype),
+                    ]
+                ),
+            )
+            carried = carried.join(F.broadcast(seed_df), "__zb", "left").withColumn(
+                "__cb", F.coalesce(F.col("__cb"), F.col("__sb"))
+            )
+            if nearest:
+                carried = carried.withColumn(
+                    "__cf", F.coalesce(F.col("__cf"), F.col("__sf"))
+                )
+            carried = carried.drop("__sb", "__sf")
+        carried = carried.drop("__zb")
+
+    matched = carried.filter(F.col("__side") == 1)
+    if nearest:
+        # pandas picks the nearest row WITHIN tolerance, so the tolerance
+        # mask applies per direction BEFORE the distance comparison
+        if tolerance is not None:
+            matched = matched.withColumn(
+                "__cb",
+                F.when(
+                    (F.col(on) - F.col("__cb.__t")) <= F.lit(tolerance), F.col("__cb")
+                ),
+            ).withColumn(
+                "__cf",
+                F.when(
+                    (F.col("__cf.__t") - F.col(on)) <= F.lit(tolerance), F.col("__cf")
+                ),
+            )
+        b_t, f_t = F.col("__cb.__t"), F.col("__cf.__t")
+        prefer_b = f_t.isNull() | (
+            b_t.isNotNull() & ((F.col(on) - b_t) <= (f_t - F.col(on)))
+        )
+        matched = matched.withColumn(
+            "__c", F.when(prefer_b, F.col("__cb")).otherwise(F.col("__cf"))
+        )
+        keep = F.col("__c").isNotNull()
+    else:
+        matched = matched.withColumn("__c", F.col("__cb"))
+        dist = F.col(on) - F.col("__c.__t")
+        in_tol = F.lit(True) if tolerance is None else (dist <= F.lit(tolerance))
+        keep = F.col("__c").isNotNull() & in_tol
+    sel = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    sel += [
+        F.when(keep, F.col(f"__c.{src}")).alias(dst)
+        for src, dst in zip(rcols, out_names)
+    ]
+    sel.append(F.when(keep, F.col("__c.__t")).alias(f"__asof_{on}"))
+    return matched.select(*sel)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pride_spark.operators.joins import (
@@ -160,3 +162,88 @@ def test_explode_protein_accessions(spark):
     )
     got = explode_protein_accessions(df).groupBy("proteinAccession").count().collect()
     assert {(r["proteinAccession"], r["count"]) for r in got} == {("P1", 2), ("P2", 1)}
+
+
+# ---------------------------------------------------------------------------
+# As-of join (north-star custom operator; pandas merge_asof is the oracle)
+# ---------------------------------------------------------------------------
+
+def _asof_case(seed, n_left=120, n_right=80, n_keys=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    left = [
+        (int(rng.integers(0, 10_000)), f"g{int(rng.integers(0, n_keys))}", i)
+        for i in range(n_left)
+    ]
+    right = [
+        (int(rng.integers(0, 10_000)), f"g{int(rng.integers(0, n_keys))}", float(i) * 1.5)
+        for i in range(n_right)
+    ]
+    return left, right
+
+
+def _asof_expected(left, right, by, tolerance, direction):
+    import pandas as pd
+
+    lp = pd.DataFrame(left, columns=["ts", "g", "lid"]).sort_values("ts", kind="mergesort")
+    rp = pd.DataFrame(right, columns=["ts", "g", "rv"]).sort_values("ts", kind="mergesort")
+    out = pd.merge_asof(
+        lp, rp, on="ts", by=("g" if by else None),
+        tolerance=tolerance, direction=direction, suffixes=("", "_right"),
+    )
+    cols = ["ts", "g", "lid", "rv"] + (["g_right"] if not by else [])
+    rows = set()
+    for t in out[cols].itertuples(index=False):
+        d = t._asdict()
+        rows.add((d["ts"], d["g"], d["lid"],
+                  None if pd.isna(d["rv"]) else d["rv"]))
+    return rows
+
+
+def _asof_actual(spark, left, right, by, tolerance, direction):
+    from pride_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(left, "ts long, g string, lid long")
+    rdf = spark.createDataFrame(right, "ts long, g string, rv double")
+    if not by:
+        rdf = rdf.withColumnRenamed("g", "g_right_src").drop("g_right_src")
+    # rv is monotone in input order, so it doubles as the pandas
+    # input-position tie-breaker for duplicate right keys
+    out = asof_join(
+        ldf, rdf, "ts", by=(["g"] if by else None),
+        tolerance=tolerance, direction=direction, right_order_col="rv",
+    )
+    return {
+        (r["ts"], r["g"], r["lid"], r["rv"]) for r in out.collect()
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("by", [True, False])
+def test_asof_join_matches_pandas(spark, direction, by):
+    for seed in (7, 41):
+        left, right = _asof_case(seed)
+        if not by:
+            right = [(ts, g, rv) for ts, g, rv in right]
+        exp = _asof_expected(left, right, by, None, direction)
+        act = _asof_actual(spark, left, right, by, None, direction)
+        assert act == exp, f"dir={direction} by={by} seed={seed}"
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_tolerance_matches_pandas(spark, direction):
+    left, right = _asof_case(11)
+    exp = _asof_expected(left, right, True, 500, direction)
+    act = _asof_actual(spark, left, right, True, 500, direction)
+    assert act == exp
+
+
+def test_asof_join_equal_ts_inclusive_and_matched_key(spark):
+    from pride_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame([(10, 1), (5, 2)], "ts long, lid long")
+    rdf = spark.createDataFrame([(10, 1.0), (4, 2.0)], "ts long, rv double")
+    rows = {r["lid"]: r for r in asof_join(ldf, rdf, "ts").collect()}
+    assert rows[1]["rv"] == 1.0 and rows[1]["__asof_ts"] == 10  # inclusive
+    assert rows[2]["rv"] == 2.0 and rows[2]["__asof_ts"] == 4
