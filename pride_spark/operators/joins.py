@@ -184,6 +184,7 @@ def positional_zip_join(
     right_index_col: str,
     index_name: str = "__pos",
     num_range_partitions: int | None = None,
+    left_index_col: str | None = None,
 ) -> DataFrame:
     """J8 — join the i-th row (in a declared order) of ``left`` to
     ``right.right_index_col == i`` (0-based).
@@ -191,9 +192,16 @@ def positional_zip_join(
     Ref: InferenceService.java:99-111 zips JSON-line order against the
     MaraCluster ``spectrumIndex``.  The index comes from
     :func:`global_row_index` (two-pass distributed row numbering — no
-    single-task sort).
+    single-task sort); pass ``left_index_col`` when ``left`` already
+    carries a positional index (e.g. the caller derived BOTH sides from
+    one ``global_row_index`` pass and should not pay the quantile/count
+    stats jobs twice).
     """
-    indexed = global_row_index(left, left_order, index_name, num_range_partitions)
+    if left_index_col is not None:
+        index_name = left_index_col
+        indexed = left
+    else:
+        indexed = global_row_index(left, left_order, index_name, num_range_partitions)
     return indexed.join(right, indexed[index_name] == right[right_index_col], "inner")
 
 

@@ -823,19 +823,23 @@ def q26_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pride_spark.operators.joins import global_row_index
 
     ev = _t(spark, sf_dir, "events")  # raw ns-long ts is a valid ordering key
-    # the fixture side gets its index from the same two-pass distributed
-    # row numbering as the join's left side — an earlier plain
-    # Window.orderBy here was a single-task sort of the full events table
-    # hiding behind the operator's whitelist entry
-    cluster_map = global_row_index(
-        ev.select("ts", "event_id"), ("ts", "event_id"), "spectrumIndex"
-    ).select(
-        F.col("spectrumIndex").cast("int").alias("spectrumIndex"),
+    # ONE two-pass distributed row numbering feeds BOTH sides (the oracle's
+    # two ROW_NUMBER CTEs are over the same ordering): the quantile/count
+    # stats jobs run once, and the two window subtrees share an exchange
+    # the physical plan can reuse.  An earlier plain Window.orderBy here was
+    # a single-task sort of the full events table hiding behind the
+    # operator's whitelist entry.
+    indexed = global_row_index(
+        ev.select("event_id", "value", "ts"), ("ts", "event_id"), "__pos"
+    ).localCheckpoint(eager=False)
+    cluster_map = indexed.select(
+        F.col("__pos").cast("int").alias("spectrumIndex"),
         (F.col("event_id") % 50).cast("bigint").alias("clusterId"),
     )
     joined = positional_zip_join(
-        ev.select("event_id", "value", "ts"), cluster_map,
+        indexed, cluster_map,
         left_order=("ts", "event_id"), right_index_col="spectrumIndex",
+        left_index_col="__pos",
     )
     return joined.groupBy("clusterId").agg(
         F.count("*").alias("n"),

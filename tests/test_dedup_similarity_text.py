@@ -322,3 +322,68 @@ def test_lsh_gemm_skewed_bucket_and_zero_vectors(spark):
     # zero vectors: cosine 0.0, never NaN
     for r in out:
         assert r["cosine"] == r["cosine"], "NaN cosine"
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index (operators/ann_index.py)
+# ---------------------------------------------------------------------------
+
+def test_ivf_index_full_probe_matches_ivf_topk(spark, tmp_path):
+    """build+search under full probe == the in-memory ivf_topk (which is
+    itself brute-force-equal at full probe)."""
+    from pride_spark.operators.ann_index import build_ivf_index, search_ivf_index
+    from pride_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb, path, n_centroids=8)
+    assert meta["n_centroids"] == 8
+
+    got = search_ivf_index(spark, path, emb, k=3).collect()
+    want = ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=8).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, want), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """A partial probe must PRUNE unprobed posting lists at the scan:
+    the parquet scan's partition filters carry the static isin, and the
+    matched partition count is below the total."""
+    from pride_spark.operators.ann_index import build_ivf_index, search_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+
+    import contextlib
+    import io
+
+    one_query = emb.limit(1)
+    out = search_ivf_index(spark, path, one_query, k=3, n_probe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    idx_scan = next(b for b in plan.split("\n\n") if "assignments" in b)
+    assert "PartitionFilters" in idx_scan
+    assert "centroid_id" in idx_scan.split("PartitionFilters")[1].split("\n")[0]
+    # and the result is still a valid top-k for the probed buckets
+    rows = out.collect()
+    assert 0 < len(rows) <= 3
+
+
+def test_ivf_index_replicas_roundtrip(spark, tmp_path):
+    from pride_spark.operators.ann_index import build_ivf_index, search_ivf_index
+    from pride_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf2")
+    build_ivf_index(emb, path, n_centroids=8, assign_replicas=2)
+    got = search_ivf_index(spark, path, emb, k=3, n_probe=4)
+    # recall@3 vs brute force stays high with half-probe + replicas
+    want = brute_force_topk(emb, "vec_id", "embedding", k=3)
+    g = {(r["query_id"], r["nbr_id"]) for r in got.collect()}
+    w = {(r["query_id"], r["nbr_id"]) for r in want.collect()}
+    assert len(g & w) / len(w) > 0.85
