@@ -196,50 +196,55 @@ def _mzxml_spectra(path: str, base: str) -> Iterator[tuple]:
 # <data> element.
 # ---------------------------------------------------------------------------
 
+def _pridexml_spectrum_row(elem, base: str, idx: int) -> tuple:
+    """One parsed PRIDE-XML/mzData ``<spectrum>`` element → canonical row."""
+    ms_level = precursor_mz = precursor_z = rt = None
+    masses = intens = np.empty(0)
+    for child in elem.iter():
+        name = _local(child.tag)
+        if name == "spectrumInstrument":
+            lvl = child.get("msLevel")
+            ms_level = int(lvl) if lvl else None
+            for p in child:
+                if _local(p.tag) != "cvParam" or not p.get("value"):
+                    continue
+                acc = p.get("accession")
+                if acc == "PSI:1000038":
+                    rt = float(p.get("value")) * 60.0
+                elif acc == "PSI:1000039":
+                    rt = float(p.get("value"))
+        elif name == "ionSelection":
+            for p in child:
+                if not p.get("value"):  # value-less cvParam, like above
+                    continue
+                acc = p.get("accession")
+                if acc in ("PSI:1000040", "MS:1000744"):
+                    precursor_mz = float(p.get("value"))
+                elif acc in ("PSI:1000041", "MS:1000041"):
+                    precursor_z = int(float(p.get("value")))
+        elif name in ("mzArrayBinary", "intenArrayBinary"):
+            data = next((d for d in child if _local(d.tag) == "data"), None)
+            if data is not None:
+                arr = _decode_array(
+                    data.text,
+                    bits=int(data.get("precision", "32")),
+                    zlib_compressed=False,
+                    big_endian=data.get("endian") == "big",
+                )
+                if name == "mzArrayBinary":
+                    masses = arr
+                else:
+                    intens = arr
+    return (base, idx, elem.get("id"), ms_level, precursor_mz, precursor_z,
+            rt, masses.tolist(), intens.tolist(), int(masses.size))
+
+
 def _pridexml_spectra(path: str, base: str) -> Iterator[tuple]:
     idx = 0
     for elem in _iterparse_end(path):
         if _local(elem.tag) != "spectrum":
             continue
-        ms_level = precursor_mz = precursor_z = rt = None
-        masses = intens = np.empty(0)
-        for child in elem.iter():
-            name = _local(child.tag)
-            if name == "spectrumInstrument":
-                lvl = child.get("msLevel")
-                ms_level = int(lvl) if lvl else None
-                for p in child:
-                    if _local(p.tag) != "cvParam" or not p.get("value"):
-                        continue
-                    acc = p.get("accession")
-                    if acc == "PSI:1000038":
-                        rt = float(p.get("value")) * 60.0
-                    elif acc == "PSI:1000039":
-                        rt = float(p.get("value"))
-            elif name == "ionSelection":
-                for p in child:
-                    if not p.get("value"):  # value-less cvParam, like above
-                        continue
-                    acc = p.get("accession")
-                    if acc in ("PSI:1000040", "MS:1000744"):
-                        precursor_mz = float(p.get("value"))
-                    elif acc in ("PSI:1000041", "MS:1000041"):
-                        precursor_z = int(float(p.get("value")))
-            elif name in ("mzArrayBinary", "intenArrayBinary"):
-                data = next((d for d in child if _local(d.tag) == "data"), None)
-                if data is not None:
-                    arr = _decode_array(
-                        data.text,
-                        bits=int(data.get("precision", "32")),
-                        zlib_compressed=False,
-                        big_endian=data.get("endian") == "big",
-                    )
-                    if name == "mzArrayBinary":
-                        masses = arr
-                    else:
-                        intens = arr
-        yield (base, idx, elem.get("id"), ms_level, precursor_mz, precursor_z,
-               rt, masses.tolist(), intens.tolist(), int(masses.size))
+        yield _pridexml_spectrum_row(elem, base, idx)
         idx += 1
         elem.clear()
 
@@ -300,14 +305,62 @@ def read_mzml(spark: SparkSession, paths: str | list[str], mode: str = "auto") -
             spark, paths, b"spectrum", False, _mzml_split_rows, SPECTRA_SCHEMA
         )
     return _read_mzml_whole(spark, paths)
+
+
+# mzXML stays whole-file only: <scan> elements NEST (ms2 scans inside
+# their ms1 parent), which breaks the input-split ownership contract —
+# a range-owner scanning for "<scan" would claim nested children.
 read_mzxml = _reader(_mzxml_spectra)
 read_mzxml.__doc__ = "S6 — parse mzXML files in parallel → canonical spectra frame."
-read_pridexml = _reader(_pridexml_spectra)
-read_pridexml.__doc__ = (
-    "S6 — parse legacy PRIDE XML (embedded mzData spectra) in parallel → "
-    "canonical spectra frame (ref PRIDEXmlWrapper, "
-    "JmzReaderSpectrumService.java:43-45)."
+
+_read_pridexml_whole = _reader(_pridexml_spectra)
+
+
+from pyspark.sql.types import LongType, StructField  # noqa: E402
+
+_PRIDEXML_SPLIT_SCHEMA = StructType(
+    [StructField("__off", LongType())] + list(SPECTRA_SCHEMA.fields)
 )
+
+
+def _pridexml_split_rows(fn: str, off: int, rec: str):
+    row = _pridexml_spectrum_row(xmlsplit.fromstring(rec), fn, -1)
+    yield (off, *row)
+
+
+def read_pridexml(
+    spark: SparkSession, paths: str | list[str], mode: str = "auto"
+) -> DataFrame:
+    """S6 — parse legacy PRIDE XML (embedded mzData spectra) in parallel →
+    canonical spectra frame (ref PRIDEXmlWrapper,
+    JmzReaderSpectrumService.java:43-45).
+
+    ``mode="split"``: mzData ``<spectrum>`` records are self-contained
+    like mzML's, but carry NO index attribute — the scanner's byte
+    offsets stand in for document order (strictly increasing), and a
+    per-file two-pass row numbering over them
+    (``operators.joins.global_row_index``) recovers the sequential
+    ``index`` with no single-task sort.  One giant legacy submission
+    file therefore parses at cluster parallelism."""
+    if isinstance(paths, str):
+        paths = [paths]
+    if xmlsplit.pick_mode(paths, mode) != "split":
+        return _read_pridexml_whole(spark, paths)
+    from pride_spark.operators.joins import global_row_index
+
+    out = None
+    for p in paths:  # offsets order WITHIN one file; index files separately
+        recs = xmlsplit.scan_df(
+            spark, [p], b"spectrum", False, _pridexml_split_rows,
+            _PRIDEXML_SPLIT_SCHEMA, with_offset=True,
+        )
+        indexed = global_row_index(recs, ("__off",), "__idx").select(
+            "fileName",
+            F.col("__idx").cast("int").alias("index"),
+            *[f.name for f in SPECTRA_SCHEMA.fields if f.name not in ("fileName", "index")],
+        )
+        out = indexed if out is None else out.unionByName(indexed)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -101,8 +101,9 @@ def ranges_df(spark: SparkSession, paths: list[str]) -> DataFrame:
 
 
 def scan_records(path: str, start: int, end: int, name: bytes, attr_only: bool):
-    """Yield complete record byte-slices of element ``name`` whose open
-    tag STARTS in ``[start, end)`` — the input-split ownership contract.
+    """Yield ``(absolute_offset, record_bytes)`` for every complete record
+    of element ``name`` whose open tag STARTS in ``[start, end)`` — the
+    input-split ownership contract.
 
     ``attr_only``: capture just the open tag (to its first ``>``) — for
     attribute-only dimension elements; ``name`` may then be a
@@ -152,7 +153,7 @@ def scan_records(path: str, start: int, end: int, name: bytes, attr_only: bool):
                 if not chunk:  # malformed tail: drop the partial record
                     return
                 buf += chunk
-            yield buf[:rec_end]
+            yield buf_start, buf[:rec_end]
             buf_start += rec_end
             buf = buf[rec_end:]
 
@@ -164,11 +165,17 @@ def scan_df(
     attr_only: bool,
     kernel_rows,
     schema: StructType,
+    with_offset: bool = False,
 ) -> DataFrame:
     """Range-parallel record scan → ``mapInPandas`` parse.
 
     ``kernel_rows(fileName, record_text) -> iterable[tuple]`` maps one
-    record to output rows."""
+    record to output rows.  With ``with_offset`` the callback receives
+    ``(fileName, byte_offset, record_text)`` — the record's absolute
+    file offset, which is a distributed stand-in for document order
+    (offsets are strictly increasing in document order, so a two-pass
+    row numbering over them recovers sequential indices for formats
+    whose records don't self-identify their position)."""
     cols = [f.name for f in schema.fields]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -176,8 +183,11 @@ def scan_df(
             rows = []
             for path, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
                 fn = path.rsplit("/", 1)[-1]
-                for rec in scan_records(path, int(s), int(e), name, attr_only):
-                    rows.extend(kernel_rows(fn, rec.decode("utf-8", "replace")))
+                for off, rec in scan_records(path, int(s), int(e), name, attr_only):
+                    text = rec.decode("utf-8", "replace")
+                    rows.extend(
+                        kernel_rows(fn, off, text) if with_offset else kernel_rows(fn, text)
+                    )
             yield pd.DataFrame(rows, columns=cols)
 
     return ranges_df(spark, paths).mapInPandas(kernel, schema)

@@ -219,10 +219,8 @@ def test_pkl_reader(spark, tmp_path):
     assert rows[1]["precursorMz"] == 512.9 and rows[1]["numPeaks"] == 1
     assert rows[0]["msLevel"] == 2 and rows[0]["spectrumId"] == "0"
 
-def test_pridexml_reader(spark, tmp_path):
+def _pridexml_fixture():
     import numpy as np
-
-    from pride_spark.sources.mzml import read_pridexml
 
     mz = [100.25, 200.5, 300.75]
     inten = [10.0, 20.0, 30.0]
@@ -260,6 +258,13 @@ def test_pridexml_reader(spark, tmp_path):
   </mzData>
  </Experiment>
 </ExperimentCollection>"""
+    return xml, mz, inten
+
+
+def test_pridexml_reader(spark, tmp_path):
+    from pride_spark.sources.mzml import read_pridexml
+
+    xml, mz, inten = _pridexml_fixture()
     p = tmp_path / "PRD000001.xml"
     p.write_text(xml)
     rows = {r["spectrumId"]: r for r in read_pridexml(spark, [str(p)]).collect()}
@@ -421,7 +426,7 @@ def test_mzid_scan_range_ownership(tmp_path):
         for start in range(0, size, step):
             got.extend(
                 r.decode()
-                for r in _scan_records(str(p), start, min(start + step, size), b"Peptide", False)
+                for _off, r in _scan_records(str(p), start, min(start + step, size), b"Peptide", False)
             )
         assert got == recs, f"step={step}: {len(got)} records"
 
@@ -483,3 +488,16 @@ def test_mzid_reader_gzipped(spark, tmp_path):
         fh.write(MZID)
     psms = {r["psmId"]: r for r in read_mzid_psms(spark, [str(p)]).collect()}
     assert len(psms) == 2 and psms["SII_1"]["peptideSequence"] == "PEPTIDEK"
+
+
+def test_pridexml_split_matches_whole(spark, tmp_path):
+    """PRIDE XML split mode (byte-offset order → two-pass indexing)
+    matches the whole-file iterparse counter exactly."""
+    from pride_spark.sources.mzml import _read_pridexml_whole, read_pridexml
+
+    xml, _mz, _inten = _pridexml_fixture()
+    p = tmp_path / "legacy.xml"
+    p.write_text(xml)
+    whole = sorted(map(tuple, _read_pridexml_whole(spark, [str(p)]).collect()))
+    split = sorted(map(tuple, read_pridexml(spark, [str(p)], mode="split").collect()))
+    assert whole == split and len(split) > 0

@@ -290,6 +290,6 @@ def test_scan_records_ownership_any_boundary(tmp_path_factory, parts, step):
     for start in range(0, size, step):
         got.extend(
             r.decode()
-            for r in scan_records(str(path), start, min(start + step, size), b"Rec", False)
+            for _off, r in scan_records(str(path), start, min(start + step, size), b"Rec", False)
         )
     assert got == recs
