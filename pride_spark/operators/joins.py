@@ -285,7 +285,6 @@ def asof_join(
     suffix: str = "_right",
     num_range_partitions: int | None = None,
     right_order_col: str | None = None,
-    _tie_desc: bool = False,
 ) -> DataFrame:
     """As-of join — for each left row, attach the single right row whose
     ``on`` key is nearest under ``direction`` (pandas ``merge_asof``
@@ -296,12 +295,15 @@ def asof_join(
 
     - **tagged union + carry window**: right rows are unioned under the
       left schema with their payload packed into one struct; a
-      ``last(payload, ignorenulls=True)`` running window over the
-      ``on`` order (right sorting BEFORE left at equal keys → matches
-      are inclusive) attaches the latest right payload to every left
-      row.  ONE shuffle total — the same exchange sorts and joins.
-      ``direction="nearest"`` adds a ``first`` window over the SAME
-      sorted exchange (no second shuffle, no self-join) and picks the
+      ``last(payload, ignorenulls=True)`` RUNNING window over the ``on``
+      order (right sorting BEFORE left at equal keys → matches are
+      inclusive) attaches the latest right payload to every left row.
+      ONE shuffle total — the same exchange sorts and joins.  The
+      forward direction is the SAME running frame over the descending
+      sort — never a ``currentRow → unboundedFollowing`` frame, which
+      Spark evaluates by rescanning the partition tail per row (O(n²):
+      measured minutes vs seconds at 10M rows).  ``nearest`` computes
+      both carries over the one exchange (two sorts) and picks the
       smaller distance, ties → backward, as pandas.
     - ``by`` keys partition the window — the co-partitioned form.
       WITHOUT ``by``, a global window would funnel through one task, so
@@ -310,9 +312,9 @@ def asof_join(
       windows, and a driver-side prefix/suffix scan over ONE row per
       bucket (each bucket's edge payloads) broadcast back as carry-in
       seeds for buckets the window cannot see past.
-    - ``direction="forward"`` delegates to backward on the negated key.
-    - ``tolerance`` nulls the attached columns when the |distance|
-      exceeds it; left rows are always preserved (left-outer shape).
+    - ``tolerance`` nulls the attached columns when the distance
+      exceeds it — per direction BEFORE the nearest pick, as pandas;
+      left rows are always preserved (left-outer shape).
 
     ``on`` must be numeric (cast temporal keys to epoch first — the
     events fixtures carry raw ns longs).  Right payload columns are
@@ -322,28 +324,15 @@ def asof_join(
     Duplicate right keys: a DataFrame has no input order, so
     ``right_order_col`` names the column giving the right rows' total
     order — backward keeps the greatest, forward the least, matching
-    pandas' input-order tie rules when the column is the input position.
-    Without it, ties break deterministically on the packed payload
-    struct's ordering.
+    pandas' input-order tie rules when the column is the input
+    position.  Without it, ties break deterministically on the packed
+    payload struct's ordering.
     """
     by = list(by or [])
-    if direction == "forward":
-        # backward on the negated key; the tie direction flips with it
-        # (pandas forward keeps the FIRST duplicate, and under negation
-        # the running last() sees ties reversed)
-        out = asof_join(
-            left.withColumn(on, -F.col(on)),
-            right.withColumn(on, -F.col(on)),
-            on, by, tolerance=tolerance, direction="backward", suffix=suffix,
-            num_range_partitions=num_range_partitions,
-            right_order_col=right_order_col, _tie_desc=not _tie_desc,
-        )
-        return out.withColumn(on, -F.col(on)).withColumn(
-            f"__asof_{on}", -F.col(f"__asof_{on}")
-        )
-    if direction not in ("backward", "nearest"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
-    nearest = direction == "nearest"
+    want_back = direction in ("backward", "nearest")
+    want_fwd = direction in ("forward", "nearest")
 
     rcols = [c for c in right.columns if c != on and c not in by]
     out_names = [c + suffix if c in left.columns else c for c in rcols]
@@ -363,28 +352,35 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
     ptype = r_tag.schema["__p"].dataType
 
-    # `__side` ordering places right (0) before left (1) ascending, so the
-    # backward running frame is inclusive; duplicate right keys are ordered
-    # by the tie column so last()/first() resolve them deterministically
-    # (asc for backward/nearest, desc when forward delegated through the
-    # key negation).
-    order = [
-        F.col(on).asc_nulls_first(),
-        F.col("__side").asc(),
-        F.col("__tie").desc() if _tie_desc else F.col("__tie").asc(),
+    # ascending order: equal-key rights precede the left row (inclusive
+    # backward), duplicates resolve to the greatest tie via last().
+    # descending order: strictly-later rights AND equal-key rights precede
+    # the left row (inclusive forward), duplicates resolve to the least
+    # tie via last() over (tie desc).
+    asc_order = [
+        F.col(on).asc_nulls_first(), F.col("__side").asc(), F.col("__tie").asc(),
     ]
-    back_frame = lambda w: w.rowsBetween(Window.unboundedPreceding, Window.currentRow)  # noqa: E731
-    fwd_frame = lambda w: w.rowsBetween(Window.currentRow, Window.unboundedFollowing)  # noqa: E731
+    desc_order = [
+        F.col(on).desc_nulls_last(), F.col("__side").asc(), F.col("__tie").desc(),
+    ]
+    running = lambda w: w.rowsBetween(Window.unboundedPreceding, Window.currentRow)  # noqa: E731
 
     spark = left.sparkSession
     if by:
-        base_w = Window.partitionBy(*by).orderBy(*order)
-        carried = unioned.withColumn(
-            "__cb", F.last("__p", ignorenulls=True).over(back_frame(base_w))
-        )
-        if nearest:
+        carried = unioned
+        if want_back:
             carried = carried.withColumn(
-                "__cf", F.first("__p", ignorenulls=True).over(fwd_frame(base_w))
+                "__cb",
+                F.last("__p", ignorenulls=True).over(
+                    running(Window.partitionBy(*by).orderBy(*asc_order))
+                ),
+            )
+        if want_fwd:
+            carried = carried.withColumn(
+                "__cf",
+                F.last("__p", ignorenulls=True).over(
+                    running(Window.partitionBy(*by).orderBy(*desc_order))
+                ),
             )
     else:
         n = num_range_partitions or spark.sparkContext.defaultParallelism
@@ -398,15 +394,10 @@ def asof_join(
         else:
             bucket = F.lit(0)
         part = unioned.withColumn("__zb", bucket)
-        # one row per bucket: the bucket's last and first right payloads,
-        # under the SAME order as the in-bucket window (numeric order col
-        # flips by negation; the default struct tie is engine-defined on
-        # the desc path, as documented)
-        if right_order_col:
-            tie_key = (-F.col("__tie")) if _tie_desc else F.col("__tie")
-        else:
-            tie_key = F.col("__p")
-        edge_key = F.struct(F.col(on), tie_key)
+        # one row per bucket: the bucket's last and first right payloads
+        # under the same tie order as the windows (numeric order col only;
+        # the default struct tie is engine-defined, as documented)
+        edge_key = F.struct(F.col(on), F.col("__tie"))
         edge = {
             r["__zb"]: (r["lp"], r["fp"])
             for r in part.filter(F.col("__p").isNotNull())
@@ -433,13 +424,20 @@ def asof_join(
             for b in all_buckets
             if seeds_b.get(b) is not None or seeds_f.get(b) is not None
         ]
-        base_w = Window.partitionBy("__zb").orderBy(*order)
-        carried = part.withColumn(
-            "__cb", F.last("__p", ignorenulls=True).over(back_frame(base_w))
-        )
-        if nearest:
+        carried = part
+        if want_back:
             carried = carried.withColumn(
-                "__cf", F.first("__p", ignorenulls=True).over(fwd_frame(base_w))
+                "__cb",
+                F.last("__p", ignorenulls=True).over(
+                    running(Window.partitionBy("__zb").orderBy(*asc_order))
+                ),
+            )
+        if want_fwd:
+            carried = carried.withColumn(
+                "__cf",
+                F.last("__p", ignorenulls=True).over(
+                    running(Window.partitionBy("__zb").orderBy(*desc_order))
+                ),
             )
         if seed_rows:
             seed_df = spark.createDataFrame(
@@ -452,10 +450,12 @@ def asof_join(
                     ]
                 ),
             )
-            carried = carried.join(F.broadcast(seed_df), "__zb", "left").withColumn(
-                "__cb", F.coalesce(F.col("__cb"), F.col("__sb"))
-            )
-            if nearest:
+            carried = carried.join(F.broadcast(seed_df), "__zb", "left")
+            if want_back:
+                carried = carried.withColumn(
+                    "__cb", F.coalesce(F.col("__cb"), F.col("__sb"))
+                )
+            if want_fwd:
                 carried = carried.withColumn(
                     "__cf", F.coalesce(F.col("__cf"), F.col("__sf"))
                 )
@@ -463,21 +463,28 @@ def asof_join(
         carried = carried.drop("__zb")
 
     matched = carried.filter(F.col("__side") == 1)
-    if nearest:
-        # pandas picks the nearest row WITHIN tolerance, so the tolerance
-        # mask applies per direction BEFORE the distance comparison
-        if tolerance is not None:
+    if tolerance is not None:
+        # per-direction mask BEFORE the nearest pick (pandas: nearest row
+        # WITHIN tolerance, not tolerance applied to the nearest row)
+        if want_back:
             matched = matched.withColumn(
                 "__cb",
                 F.when(
                     (F.col(on) - F.col("__cb.__t")) <= F.lit(tolerance), F.col("__cb")
                 ),
-            ).withColumn(
+            )
+        if want_fwd:
+            matched = matched.withColumn(
                 "__cf",
                 F.when(
                     (F.col("__cf.__t") - F.col(on)) <= F.lit(tolerance), F.col("__cf")
                 ),
             )
+    if direction == "backward":
+        matched = matched.withColumn("__c", F.col("__cb"))
+    elif direction == "forward":
+        matched = matched.withColumn("__c", F.col("__cf"))
+    else:
         b_t, f_t = F.col("__cb.__t"), F.col("__cf.__t")
         prefer_b = f_t.isNull() | (
             b_t.isNotNull() & ((F.col(on) - b_t) <= (f_t - F.col(on)))
@@ -485,12 +492,7 @@ def asof_join(
         matched = matched.withColumn(
             "__c", F.when(prefer_b, F.col("__cb")).otherwise(F.col("__cf"))
         )
-        keep = F.col("__c").isNotNull()
-    else:
-        matched = matched.withColumn("__c", F.col("__cb"))
-        dist = F.col(on) - F.col("__c.__t")
-        in_tol = F.lit(True) if tolerance is None else (dist <= F.lit(tolerance))
-        keep = F.col("__c").isNotNull() & in_tol
+    keep = F.col("__c").isNotNull()
     sel = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     sel += [
         F.when(keep, F.col(f"__c.{src}")).alias(dst)
