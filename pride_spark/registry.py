@@ -407,20 +407,101 @@ def q12_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exact dedup by content digest (north-star; SURVEY "dedup" extension).
+# Deduplication gate row, union-shaped (q50 fold pattern, 50-entry cap):
+#
+# - kind='exact'   — exact dedup by content digest (north-star; SURVEY
+#   "dedup" extension): one survivor per md5(text).
+# - kind='inc_dup' — INCREMENTAL near-dup (operators.curation.
+#   incremental_near_dup_flags): a deterministic hash-sampled 25% "new
+#   batch" LSH-banded against the remaining 75% "corpus" — the
+#   new-batch×corpus join a daily ingestion pipeline runs (never a
+#   self-join of the union).  The oracle mirrors the chunked-md5 minhash
+#   banding exactly as q24's does, split by the same md5 hash fraction
+#   the engine samples with (seed 'batch', boundary 0.25 = exact binary).
 # ---------------------------------------------------------------------------
 @register(
     "q13_dedup_exact",
-    """
-    SELECT MIN(doc_id) AS doc_id, MD5(text) AS digest
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(CAST(CONCAT('0x', SUBSTR(MD5('batch|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.25 AS is_new,
+             STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id, is_new, MD5(text) AS dg,
+             LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 2, 1) + 1),
+                            i -> ARRAY_TO_STRING(LIST_SLICE(w, i, i + 2), ' ')) AS sh
+      FROM t
+    ), sig AS (
+      SELECT doc_id, is_new, dg, sh,
+             [LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 1, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 9, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 17, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('0|' || x), 25, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('1|' || x), 1, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('1|' || x), 9, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('1|' || x), 17, 8))),
+              LIST_MIN(LIST_TRANSFORM(sh, x -> SUBSTR(MD5('1|' || x), 25, 8)))] AS sg
+      FROM s
+    ), bd AS (
+      SELECT doc_id, is_new, dg,
+             LIST_TRANSFORM([0, 1, 2, 3],
+               b -> MD5(ARRAY_TO_STRING(LIST_SLICE(sg, b * 2 + 1, b * 2 + 2), '|'))) AS bds
+      FROM sig
+    ), banded AS (
+      SELECT doc_id, is_new, dg, u.band AS band, bds[u.band + 1] AS bucket, bds
+      FROM bd, UNNEST([0, 1, 2, 3]) AS u(band)
+    ), pairs AS (
+      -- FIRST-COLLISION-WINS new-batch x corpus band join, mirroring
+      -- curation.incremental_near_dup_flags
+      SELECT n.doc_id AS id, n.dg AS dg_n, c.doc_id AS match_id, c.dg AS dg_c
+      FROM banded n JOIN banded c
+        ON n.band = c.band AND n.bucket = c.bucket AND n.is_new AND NOT c.is_new
+      WHERE LIST_POSITION(LIST_TRANSFORM(RANGE(1, 5), i -> n.bds[i] = c.bds[i]), TRUE)
+            = n.band + 1
+    ), ver AS (
+      SELECT id, match_id,
+             CASE WHEN dg_n = dg_c THEN 1.0
+                  ELSE ROUND(
+                    CAST(LEN(LIST_FILTER(LIST_DISTINCT(sa.sh), x -> LIST_CONTAINS(sb.sh, x))) AS DOUBLE)
+                    / LEN(LIST_DISTINCT(LIST_CONCAT(sa.sh, sb.sh))), 6) END AS jaccard
+      FROM pairs JOIN sig sa ON pairs.id = sa.doc_id
+                 JOIN sig sb ON pairs.match_id = sb.doc_id
+    )
+    SELECT 'exact' AS kind, MIN(doc_id) AS doc_id, CAST(NULL AS BIGINT) AS match_id,
+           MD5(text) AS digest, CAST(NULL AS DOUBLE) AS jaccard
     FROM documents GROUP BY MD5(text)
+    UNION ALL
+    SELECT 'inc_dup' AS kind, id AS doc_id, match_id,
+           CAST(NULL AS VARCHAR) AS digest, jaccard
+    FROM ver WHERE jaccard >= 0.1
     """,
 )
 def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.curation import hash_fraction, incremental_near_dup_flags
+
     docs = _t(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs, "text", "doc_id").select(
-        "doc_id", F.md5("text").alias("digest")
+    exact = dedup.exact_dedup(docs, "text", "doc_id").select(
+        F.lit("exact").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("long").alias("match_id"),
+        F.md5("text").alias("digest"),
+        F.lit(None).cast("double").alias("jaccard"),
     )
+    is_new = hash_fraction("doc_id", "batch") < 0.25
+    flags = incremental_near_dup_flags(
+        docs.filter(is_new), docs.filter(~is_new), "text", "doc_id",
+        num_hashes=8, bands=4, shingle_n=3, threshold=0.1,
+    )
+    inc = flags.select(
+        F.lit("inc_dup").alias("kind"),
+        F.col("id").alias("doc_id"),
+        "match_id",
+        F.lit(None).cast("string").alias("digest"),
+        "jaccard",
+    )
+    return exact.unionByName(inc)
 
 
 # ---------------------------------------------------------------------------
@@ -576,7 +657,14 @@ def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Quality scoring (north-star text analysis).
+# Quality scoring (north-star text analysis) + deterministic hash split
+# (operators.curation.hash_split — the "score, then split" curation step a
+# training pipeline runs; folded into one gate row under the 50-entry
+# driver cap, q50/q14 pattern).  The split label is a pure function of
+# (seed, doc_id) via the first 8 hex chars of md5 — engine-reproducible,
+# so DuckDB derives the identical assignment; weights are exact binary
+# fractions (0.75/0.125/0.125) so the cumulative boundaries carry no
+# float-accumulation ambiguity between engines.
 # ---------------------------------------------------------------------------
 @register(
     "q20_quality_score",
@@ -586,7 +674,9 @@ def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tok,
              LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS n_nospace,
              LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-             LENGTH(text) AS n_char
+             LENGTH(text) AS n_char,
+             CAST(CAST(CONCAT('0x', SUBSTR(MD5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS DOUBLE) / 4294967296.0 AS frac
       FROM documents
     )
     SELECT doc_id,
@@ -595,13 +685,23 @@ def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CASE WHEN n_tok > 0 AND (CAST(n_nospace AS DOUBLE)/n_tok) >= 2.0
                         AND (CAST(n_nospace AS DOUBLE)/n_tok) <= 12.0 THEN 1.0 ELSE 0.0 END) +
              (CASE WHEN n_char > 0 THEN CAST(n_alpha AS DOUBLE)/n_char ELSE 0.0 END)
-           ) / 3.0, 6) AS quality
+           ) / 3.0, 6) AS quality,
+           CASE WHEN frac < 0.75 THEN 'train'
+                WHEN frac < 0.875 THEN 'valid'
+                ELSE 'test' END AS split
     FROM t
     """,
 )
 def q20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.curation import hash_split
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+    split = hash_split(
+        docs, "doc_id", {"train": 0.75, "valid": 0.125, "test": 0.125}, seed="split"
+    )
+    return split.select(
+        "doc_id", text.quality_score(F.col("text")).alias("quality"), "split"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2056,31 +2156,130 @@ def q50_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Stream-stream time-range join — streaming surface, batch-checked
-# (pride_spark.streaming.joins.correlate_event_pairs; SURVEY §2.12
-# extension).  Same body serves readStream (watermark-bounded state) and
-# the batch oracle below (equi-key sort-merge join + range post-filter).
+# Temporal joins over events, one union-shaped gate row (the q50 fold
+# pattern, keeping the 50-entry driver cap):
+#
+# - kind='range'       — stream-stream time-range join (SURVEY §2.12
+#   extension; pride_spark.streaming.joins.correlate_event_pairs).  Same
+#   body serves readStream (watermark-bounded state) and this batch oracle
+#   (equi-key sort-merge join + range post-filter).
+# - kind='asof_back'   — operators.joins.asof_join backward with ``by``
+#   keys AND ``tolerance`` (pandas merge_asof semantics); DuckDB's native
+#   ASOF LEFT JOIN (>= , backward-inclusive) is the oracle, tolerance as a
+#   post-CASE.  Right keys are pre-aggregated unique per (user_id, ts) so
+#   tie rules cannot diverge between engines.
+# - kind='asof_fwd'    — the forward carry (the descending running frame —
+#   the path that replaced the O(n²) currentRow→unboundedFollowing frame);
+#   oracled as backward ASOF over the NEGATED key.
+# - kind='asof_global' — NO ``by`` keys: the two-pass range-bucket path
+#   (quantile buckets + driver edge-seed prefix scan, no single-task
+#   window); oracled as an ASOF join with no equi condition.
 # ---------------------------------------------------------------------------
 @register(
     "q52_stream_stream_join",
     """
-    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
-               FROM events)
-    SELECT a.user_id AS user_id,
-           a.event_id AS trigger_id,
-           b.event_id AS outcome_id,
-           EPOCH_US(b.ts) - EPOCH_US(a.ts) AS latency_us
-    FROM e a JOIN e b
-      ON a.user_id = b.user_id
-     AND a.event_type = 'click' AND b.event_type = 'purchase'
-     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type
+               FROM events),
+    rngj AS (
+      SELECT a.user_id AS user_id,
+             a.event_id AS trigger_id,
+             b.event_id AS outcome_id,
+             EPOCH_US(b.ts) - EPOCH_US(a.ts) AS latency_us
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    ),
+    clicks AS (SELECT user_id, event_id AS trigger_id, ts_us
+               FROM e WHERE event_type = 'click'),
+    errs AS (SELECT user_id, ts_us, MAX(event_id) AS outcome_id
+             FROM e WHERE event_type = 'error' GROUP BY user_id, ts_us),
+    backj AS (
+      SELECT c.user_id, c.trigger_id,
+             CASE WHEN c.ts_us - r.ts_us <= 1800000000 THEN r.outcome_id END AS outcome_id,
+             CASE WHEN c.ts_us - r.ts_us <= 1800000000 THEN c.ts_us - r.ts_us END AS latency_us
+      FROM clicks c ASOF LEFT JOIN errs r
+        ON c.user_id = r.user_id AND c.ts_us >= r.ts_us
+    ),
+    fwdj AS (
+      SELECT c.user_id, c.trigger_id, r.outcome_id,
+             (-r.nts) - c.ts_us AS latency_us
+      FROM (SELECT user_id, trigger_id, ts_us, -ts_us AS nts FROM clicks) c
+      ASOF LEFT JOIN (SELECT user_id, -ts_us AS nts, outcome_id FROM errs) r
+        ON c.user_id = r.user_id AND c.nts >= r.nts
+    ),
+    sgn AS (SELECT ts_us, MAX(event_id) AS outcome_id
+            FROM e WHERE event_type = 'signup' GROUP BY ts_us),
+    glbj AS (
+      SELECT c.user_id, c.trigger_id, r.outcome_id,
+             c.ts_us - r.ts_us AS latency_us
+      FROM clicks c ASOF LEFT JOIN sgn r ON c.ts_us >= r.ts_us
+    )
+    SELECT 'range' AS kind, user_id, trigger_id, outcome_id, latency_us FROM rngj
+    UNION ALL
+    SELECT 'asof_back', user_id, trigger_id, outcome_id, latency_us FROM backj
+    UNION ALL
+    SELECT 'asof_fwd', user_id, trigger_id, outcome_id, latency_us FROM fwdj
+    UNION ALL
+    SELECT 'asof_global', user_id, trigger_id, outcome_id, latency_us FROM glbj
     """,
 )
 def q52_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.joins import asof_join
     from pride_spark.streaming.joins import correlate_event_pairs
 
     ev = _events(spark, sf_dir)
-    return correlate_event_pairs(ev, ev, streaming=False)
+    # epoch micros regardless of whether ts surfaced as TIMESTAMP (legacy
+    # nanos bigint, converted by _events) or TIMESTAMP_NTZ (current
+    # micros parquet) — unix_micros rejects NTZ, timestampdiff takes both.
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)"
+        )
+    else:
+        ts_us = F.unix_micros(F.col("ts"))
+    evu = ev.withColumn("ts_us", ts_us)
+
+    out_cols = ["kind", "user_id", "trigger_id", "outcome_id", "latency_us"]
+
+    rng = correlate_event_pairs(ev, ev, streaming=False).select(
+        F.lit("range").alias("kind"), "user_id", "trigger_id", "outcome_id", "latency_us"
+    )
+
+    clicks = evu.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("trigger_id"), "ts_us"
+    )
+    errs = evu.filter(F.col("event_type") == "error").groupBy("user_id", "ts_us").agg(
+        F.max("event_id").alias("outcome_id")
+    )
+
+    back = asof_join(
+        clicks, errs, on="ts_us", by=["user_id"],
+        direction="backward", tolerance=1_800_000_000,
+    ).select(
+        F.lit("asof_back").alias("kind"), "user_id", "trigger_id", "outcome_id",
+        (F.col("ts_us") - F.col("__asof_ts_us")).alias("latency_us"),
+    )
+    fwd = asof_join(
+        clicks, errs, on="ts_us", by=["user_id"], direction="forward",
+    ).select(
+        F.lit("asof_fwd").alias("kind"), "user_id", "trigger_id", "outcome_id",
+        (F.col("__asof_ts_us") - F.col("ts_us")).alias("latency_us"),
+    )
+    sgn = evu.filter(F.col("event_type") == "signup").groupBy("ts_us").agg(
+        F.max("event_id").alias("outcome_id")
+    )
+    glb = asof_join(clicks, sgn, on="ts_us", direction="backward").select(
+        F.lit("asof_global").alias("kind"), "user_id", "trigger_id", "outcome_id",
+        (F.col("ts_us") - F.col("__asof_ts_us")).alias("latency_us"),
+    )
+    return (
+        rng.select(out_cols)
+        .unionByName(back.select(out_cols))
+        .unionByName(fwd.select(out_cols))
+        .unionByName(glb.select(out_cols))
+    )
 
 
 # NOTE: the GEMM-scored LSH variant (formerly q53_lsh_ann_gemm, same oracle
