@@ -128,16 +128,16 @@ def incremental_near_dup_flags(
     """
 
     def _sig_side(df: DataFrame, tag: str) -> DataFrame:
+        # the text digest rides minhash_signatures_df's id frame (carry=) —
+        # no per-side digest join
         sigs = minhash_signatures_df(
-            df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+            df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
+            carry={"dg": F.md5(F.col(text_col))},
         ).filter(F.col("mh0").isNotNull())
         digs = F.array(*_band_digests(num_hashes, bands))
-        dg = df.select(
-            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("dg")
-        )
-        return sigs.select("id", digs.alias("digs")).join(dg, "id").select(
+        return sigs.select(
             F.col("id").alias(f"id_{tag}"),
-            F.col("digs").alias(f"digs_{tag}"),
+            digs.alias(f"digs_{tag}"),
             F.col("dg").alias(f"dg_{tag}"),
         )
 

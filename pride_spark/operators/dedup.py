@@ -129,6 +129,7 @@ def minhash_signatures_df(
     *,
     num_hashes: int = 8,
     shingle_n: int = 3,
+    carry: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature via shingle rows + groupBy-min.
 
@@ -139,6 +140,12 @@ def minhash_signatures_df(
     is never recomputed per chunk), and the signature is a single ``min``
     aggregation that reuses the window's id-partitioning — no second
     exchange.  Output: (id, mh0..mh{k-1}).
+
+    ``carry`` (optional): extra per-row Columns evaluated on the INPUT
+    frame (e.g. a text digest) and attached to the output by name.  They
+    ride the id frame of the null-preservation join that already exists,
+    so consumers needing (signature, digest) per id — incremental dedup's
+    sides, the streaming corpus index — pay ZERO additional joins.
     """
     n_digests = (num_hashes + 3) // 4
     sh = shingle_rows(df, text_col, id_col, shingle_n)
@@ -163,7 +170,10 @@ def minhash_signatures_df(
     # oracle's LIST_MIN aggregate keeps them with NULL signature values —
     # preserve every input id the same way.  The join is id-keyed and
     # narrow; on corpora without null text it is a no-op row-wise.
-    ids = df.select(F.col(id_col).alias("id"))
+    ids = df.select(
+        F.col(id_col).alias("id"),
+        *[c.alias(n) for n, c in (carry or {}).items()],
+    )
     return ids.join(aggs, "id", "left")
 
 
