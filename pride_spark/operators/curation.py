@@ -93,6 +93,40 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def corpus_signatures(
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The reusable corpus side of :func:`incremental_near_dup_flags`:
+    ``(id_c, digs_c, dg_c)`` — per corpus doc, its band-digest array and
+    text digest.  Narrow (one 32-char digest per band + one per text),
+    independent of any future batch, and a pure function of the corpus —
+    so a production pipeline computes it ONCE per corpus generation,
+    writes it to parquet (plain ``df.write.parquet``; it is an ordinary
+    frame), and every daily batch reads it back instead of re-scanning
+    the 100 TB corpus text.  Pass it to
+    :func:`incremental_near_dup_flags` via ``corpus_signatures_df=``.
+
+    NOTE: the verify step of a flags run still reads the TEXT of the few
+    corpus docs that band-collide with differing digests (it joins
+    ``corpus_df`` shingle sets) — the index spares the corpus-wide
+    signature scan, which is the dominant term.
+    """
+    sigs = minhash_signatures_df(
+        corpus_df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
+        carry={"dg": F.md5(F.col(text_col))},
+    ).filter(F.col("mh0").isNotNull())
+    digs = F.array(*_band_digests(num_hashes, bands))
+    return sigs.select(
+        F.col("id").alias("id_c"), digs.alias("digs_c"), F.col("dg").alias("dg_c")
+    )
+
+
 def incremental_near_dup_flags(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -104,6 +138,7 @@ def incremental_near_dup_flags(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_bucket: int | None = None,
+    corpus_signatures_df: DataFrame | None = None,
 ) -> DataFrame:
     """Flag docs in ``new_df`` that duplicate the EXISTING ``corpus_df``:
     → ``(id, match_id, jaccard)`` — one row per (new doc, matching corpus
@@ -122,9 +157,11 @@ def incremental_near_dup_flags(
     still meets a survivor in a later band unless every agreeing band is
     capped.
 
-    Scale: the corpus side is signature + digest columns only (narrow);
-    in production, persist that frame once per corpus generation and
-    reuse it across daily batches.
+    Scale: pass ``corpus_signatures_df`` (a persisted
+    :func:`corpus_signatures` frame, same hash parameters) to skip the
+    corpus-wide signature scan — the amortization a daily-batch pipeline
+    lives on.  ``corpus_df`` is still required: the verify step joins its
+    text for the (few) differing-digest collisions.
     """
 
     def _sig_side(df: DataFrame, tag: str) -> DataFrame:
@@ -141,7 +178,13 @@ def incremental_near_dup_flags(
             F.col("dg").alias(f"dg_{tag}"),
         )
 
-    corpus = _sig_side(corpus_df, "c")
+    if corpus_signatures_df is not None:
+        corpus = corpus_signatures_df
+    else:
+        corpus = corpus_signatures(
+            corpus_df, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        )
     new = _sig_side(new_df, "n")
 
     corpus_banded = corpus.select(

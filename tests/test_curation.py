@@ -120,3 +120,34 @@ def test_incremental_corpus_cap_drops_adversarial_bucket(spark):
         new, corpus, "text", "doc_id", threshold=0.5
     ).count()
     assert uncapped == 40
+
+
+def test_persisted_corpus_signatures_reproduce_flags(spark, tmp_path):
+    # the daily-batch amortization: corpus signatures built once, written
+    # to parquet, read back — flags computed from the persisted index must
+    # equal a from-scratch run (including the capped variant: the cap is
+    # applied to the index rows, not at build time)
+    from pride_spark.operators.curation import corpus_signatures
+
+    near = BASE.replace("lazy dog", "sleepy dog")
+    corpus = _docs(spark, [("c1", BASE), ("c2", near), ("c3", "novel words " * 20)])
+    new = _docs(spark, [("n1", BASE), ("n2", "other novel vocabulary " * 20)])
+
+    idx_path = str(tmp_path / "corpus_sigs")
+    corpus_signatures(corpus, "text", "doc_id").write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    for cap in (None, 1):
+        fresh = sorted(
+            map(tuple, incremental_near_dup_flags(
+                new, corpus, "text", "doc_id", threshold=0.5, max_bucket=cap
+            ).collect())
+        )
+        indexed = sorted(
+            map(tuple, incremental_near_dup_flags(
+                new, corpus, "text", "doc_id", threshold=0.5, max_bucket=cap,
+                corpus_signatures_df=idx,
+            ).collect())
+        )
+        assert indexed == fresh, f"cap={cap}"
+    assert any(r[0] == "n1" for r in fresh)
