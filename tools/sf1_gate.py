@@ -50,6 +50,13 @@ HEAVY = [
     "q31_occams_razor",
     "q45_combined_fdr",
     "q23_minhash_signature",
+    # round-4 fold rows — scale-sensitive by construction: q52's un-keyed
+    # asof path derives its range buckets from approxQuantile (different
+    # bucketing at 10×, same results required); q13's incremental banding
+    # joins a 10×-skewed corpus side
+    "q13_dedup_exact",
+    "q52_stream_stream_join",
+    "q20_quality_score",
 ]
 
 
