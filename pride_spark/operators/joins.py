@@ -500,3 +500,101 @@ def asof_join(
     ]
     sel.append(F.when(keep, F.col("__c.__t")).alias(f"__asof_{on}"))
     return matched.select(*sel)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bin_width: int,
+    how: str = "inner",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Range (point-in-interval) join — each point row meets every
+    interval row with ``start <= point <= end``.
+
+    An operator Spark lacks natively: expressed as a non-equi condition,
+    Catalyst can only plan it as a broadcast-nested-loop (O(points ×
+    intervals) comparisons — the plan that dies first at scale).  This
+    is the standard BINNED formulation instead, a composition of
+    built-ins with no UDFs:
+
+    - points get one bin key: ``floor(point / bin_width)`` (narrow);
+    - intervals explode to EVERY bin they overlap:
+      ``sequence(floor(start/w), floor(end/w))`` — replication factor
+      ``len/w + 1`` per interval, so pick ``bin_width`` near the typical
+      interval length to keep it ~2×;
+    - hash equi-join on the bin + residual ``BETWEEN`` filter.
+
+    Each qualifying (point, interval) pair meets in EXACTLY one bin (the
+    point's own), so no pair-level distinct is needed — the join output
+    is the answer.  The shuffle is a plain hash exchange on the bin key:
+    AQE's skew-join splitting handles hot bins (a dense time range), and
+    both sides prune columns/filters into the scan as usual.  Cost is
+    O(points + intervals·(len/w) + matches), versus the nested-loop's
+    O(points·intervals).
+
+    Intervals with ``end < start`` match nothing and are dropped before
+    the explode (``sequence`` would otherwise descend).  ``how="left"``
+    preserves unmatched point rows with NULL interval columns.
+
+    ``point_col``/``start_col``/``end_col`` must be mutually comparable
+    and integer-like (cast temporal columns to epoch days/seconds/micros
+    first; ``bin_width`` is in the same unit).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r}")
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+
+    icols = [c for c in intervals.columns]
+    out_names = [c + suffix if c in points.columns else c for c in icols]
+    iv = intervals.select(
+        *[F.col(c).alias(f"__i_{j}") for j, c in enumerate(icols)],
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    ).filter(F.col("__e") >= F.col("__s"))
+    iv = iv.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__s") / F.lit(w)), F.floor(F.col("__e") / F.lit(w))
+            )
+        ),
+    ).drop("__s", "__e")
+
+    pt = points
+    if how == "left":
+        # row id (not the point columns) keys the unmatched add-back, so
+        # NULL payload values cannot re-admit a matched row
+        pt = pt.withColumn("__pid", F.monotonically_increasing_id())
+    pt = pt.withColumn("__bin", F.floor(F.col(point_col) / F.lit(w)))
+    start_i = next(F.col(f"__i_{j}") for j, c in enumerate(icols) if c == start_col)
+    end_i = next(F.col(f"__i_{j}") for j, c in enumerate(icols) if c == end_col)
+    cond = (F.col(point_col) >= start_i) & (F.col(point_col) <= end_i)
+
+    matched = pt.join(iv, "__bin").filter(cond).drop("__bin")
+    if how == "inner":
+        return matched.select(
+            *points.columns,
+            *[F.col(f"__i_{j}").alias(dst) for j, dst in enumerate(out_names)],
+        )
+    # left: add back points with no qualifying interval
+    probe = matched.select("__pid").distinct()
+    missing = pt.drop("__bin").join(probe, "__pid", "left_anti").select(
+        "__pid",
+        *points.columns,
+        *[
+            F.lit(None).cast(t.dataType).alias(f"__i_{j}")
+            for j, t in enumerate(intervals.schema.fields)
+        ],
+    )
+    sel = [
+        *points.columns,
+        *[F.col(f"__i_{j}").alias(dst) for j, dst in enumerate(out_names)],
+    ]
+    return matched.select(*sel).unionByName(missing.select(*sel))

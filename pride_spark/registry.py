@@ -636,24 +636,59 @@ def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Tumbling time window (batch shape of the streaming surface, SURVEY §2.12).
+# Tumbling time window (batch shape of the streaming surface, SURVEY §2.12)
+# + hypertable rollup (operators.timeseries.hypertable_rollup — the brief's
+# named multi-resolution time-bucket operator; q50/q13 fold pattern under
+# the 50-entry driver cap).  kind='window_hour' keeps the streaming-
+# compatible F.window path; kind='ht_*' rows come from the CASCADING
+# re-aggregation (hour from raw — the only full-data shuffle — day from
+# hours, total from days; no grouping-sets Expand).  The decimal-internal
+# sums make the cascade exactly equal to the oracle's direct per-level
+# aggregates regardless of partitioning.
 # ---------------------------------------------------------------------------
 @register(
     "q19_tumbling_window",
     f"""
-    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
-           COUNT(*) AS n,
-           {_dsum_sql('value')} AS value_sum
-    FROM events GROUP BY 1
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    h AS (SELECT DATE_TRUNC('hour', ts) AS b, COUNT(*) AS n,
+                 {_dsum_sql('value')} AS s
+          FROM e GROUP BY 1),
+    d AS (SELECT DATE_TRUNC('day', ts) AS b, COUNT(*) AS n,
+                 {_dsum_sql('value')} AS s
+          FROM e GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n, {_dsum_sql('value')} AS s FROM e)
+    SELECT 'window_hour' AS kind, b AS bucket_start, n, s AS value_sum FROM h
+    UNION ALL SELECT 'ht_hour', b, n, s FROM h
+    UNION ALL SELECT 'ht_day', b, n, s FROM d
+    UNION ALL SELECT 'ht_total', NULL, n, s FROM t
     """,
 )
 def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.timeseries import AggSpec, hypertable_rollup
+
     ev = _events(spark, sf_dir)
-    return (
+    win = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"), _dsum("value").alias("value_sum"))
-        .select(F.col("w.start").alias("hour_start"), "n", "value_sum")
+        .select(
+            F.lit("window_hour").alias("kind"),
+            F.col("w.start").alias("bucket_start"),
+            "n",
+            "value_sum",
+        )
     )
+    ht = hypertable_rollup(
+        ev,
+        "ts",
+        [AggSpec("count", None, "n"), AggSpec("sum", "value", "value_sum")],
+        resolutions=("hour", "day"),
+    ).select(
+        F.concat(F.lit("ht_"), F.col("level")).alias("kind"),
+        "bucket_start",
+        "n",
+        "value_sum",
+    )
+    return win.unionByName(ht)
 
 
 # ---------------------------------------------------------------------------
@@ -1794,21 +1829,39 @@ def q45_combined_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q46_rt_fallback",
-    """
-    SELECT event_id,
+    f"""
+    SELECT 'rt' AS kind, event_id,
            COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END,
                     CASE WHEN user_id % 3 = 0 THEN CAST(user_id AS DOUBLE) END)
-             AS retentionTime
+             AS retentionTime,
+           CAST(NULL AS VARCHAR) AS day,
+           CAST(NULL AS BIGINT) AS n_transit,
+           CAST(NULL AS DOUBLE) AS qty_sum
     FROM events
+    UNION ALL
+    SELECT 'transit', NULL, NULL, STRFTIME(d.day, '%Y-%m-%d'), COUNT(*),
+           {_dsum_sql('l_quantity')}
+    FROM (SELECT DISTINCT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS day
+          FROM orders) d
+    JOIN lineitem
+      ON d.day BETWEEN l_shipdate
+                   AND l_shipdate + (1 + l_partkey % 30) * INTERVAL 1 DAY
+    GROUP BY d.day
     """,
 )
 def q46_rt_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RT fallback (C13) + range join (operators.joins.range_join — the
+    brief's named point-in-interval operator, folded under the 50-entry
+    cap).  kind='transit' counts lineitems in transit (shipped, not yet
+    received) on each month-start date via the BINNED range join — the
+    oracle states the naive BETWEEN join; only results must agree."""
     from pride_spark.functions.misc import retention_time_fallback
+    from pride_spark.operators.joins import range_join
 
     e = _t(spark, sf_dir, "events")
-    rt = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
-        F.col("value")
-    )
+    rt_expr = F.when(
+        F.col("event_type") == "error", F.lit(None).cast("double")
+    ).otherwise(F.col("value"))
     cv = F.array(
         F.struct(
             F.when(F.col("user_id") % 3 == 0, F.lit("MS:1000016"))
@@ -1817,10 +1870,52 @@ def q46_rt_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("string").alias("value"),
         )
     )
-    return e.select(
+    rt = e.select(
+        F.lit("rt").alias("kind"),
         "event_id",
-        retention_time_fallback(rt, cv, nan_default=False).alias("retentionTime"),
+        retention_time_fallback(rt_expr, cv, nan_default=False).alias("retentionTime"),
+        F.lit(None).cast("string").alias("day"),
+        F.lit(None).cast("long").alias("n_transit"),
+        F.lit(None).cast("double").alias("qty_sum"),
     )
+
+    epoch = F.to_date(F.lit("1970-01-01"))
+    pts = (
+        _t(spark, sf_dir, "orders")
+        .select(F.trunc("o_orderdate", "month").alias("day"))
+        .distinct()
+        .withColumn("x", F.datediff("day", epoch))
+    )
+    # the fixture lineitem carries no receipt date; derive one
+    # deterministically (ship + 1..30 days keyed on l_partkey)
+    iv = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_quantity",
+            F.datediff("l_shipdate", epoch).alias("s"),
+            (
+                F.datediff("l_shipdate", epoch)
+                + 1
+                + F.pmod(F.col("l_partkey"), F.lit(30))
+            ).alias("e"),
+        )
+    )
+    # TPC-H receipt dates trail ship dates by 1-30 days: bin_width=32
+    # keeps interval replication under 2x
+    transit = (
+        range_join(pts, iv, "x", "s", "e", bin_width=32)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_transit"), _dsum("l_quantity").alias("qty_sum"))
+        .select(
+            F.lit("transit").alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("retentionTime"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_transit",
+            "qty_sum",
+        )
+    )
+    return rt.unionByName(transit)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,175 @@
+"""range_join (binned point-in-interval) and hypertable_rollup (cascading
+multi-resolution time-bucket aggregation) — parity against naive
+formulations Catalyst can verify directly."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pride_spark.operators.joins import range_join
+from pride_spark.operators.timeseries import AggSpec, hypertable_rollup, time_bucket
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pts_iv(spark):
+    pts = spark.createDataFrame(
+        [(1, -7), (2, 0), (3, 5), (4, 12), (5, 99), (6, None)],
+        "pid int, x int",
+    )
+    iv = spark.createDataFrame(
+        [
+            (10, -10, -5),   # matches x=-7
+            (11, -1, 6),     # matches 0, 5
+            (12, 5, 5),      # degenerate single-point, matches 5
+            (13, 11, 30),    # matches 12
+            (14, 8, 2),      # end < start: matches nothing
+            (15, 90, 120),   # matches 99
+        ],
+        "iid int, s int, e int",
+    )
+    return pts, iv
+
+
+def _naive(pts, iv, how="inner"):
+    cond = (F.col("x") >= F.col("s")) & (F.col("x") <= F.col("e"))
+    out = pts.join(iv, cond, "left" if how == "left" else "inner")
+    return out
+
+
+@pytest.mark.parametrize("bin_width", [1, 3, 7, 100])
+def test_range_join_matches_naive(spark, pts_iv, bin_width):
+    pts, iv = pts_iv
+    got = range_join(pts, iv, "x", "s", "e", bin_width=bin_width)
+    want = _naive(pts, iv)
+    assert _rows(got, "pid", "iid") == _rows(want, "pid", "iid")
+
+
+def test_range_join_left_keeps_unmatched(spark, pts_iv):
+    pts, iv = pts_iv
+    got = range_join(pts, iv, "x", "s", "e", bin_width=4, how="left")
+    want = _naive(pts, iv, how="left")
+    assert _rows(got, "pid", "iid") == _rows(want, "pid", "iid")
+    # null-x and never-matching points survive with NULL interval cols
+    nulls = {r["pid"] for r in got.filter(F.col("iid").isNull()).collect()}
+    assert nulls == {6}
+
+
+def test_range_join_left_null_payload_not_duplicated(spark):
+    # a MATCHED point carrying a NULL payload column must not be re-added
+    # as an unmatched row (the row-id add-back, not value equality)
+    pts = spark.createDataFrame([(1, 5, None)], "pid int, x int, note string")
+    iv = spark.createDataFrame([(9, 0, 10)], "iid int, s int, e int")
+    got = range_join(pts, iv, "x", "s", "e", bin_width=4, how="left")
+    assert got.count() == 1
+    assert got.first()["iid"] == 9
+
+
+def test_range_join_name_collision_suffix(spark):
+    pts = spark.createDataFrame([(1, 5)], "pid int, x int")
+    iv = spark.createDataFrame([(2, 0, 10)], "pid int, s int, e int")
+    got = range_join(pts, iv, "x", "s", "e", bin_width=4)
+    assert "pid_right" in got.columns
+    r = got.first()
+    assert (r["pid"], r["pid_right"]) == (1, 2)
+
+
+def test_range_join_rejects_bad_args(spark, pts_iv):
+    pts, iv = pts_iv
+    with pytest.raises(ValueError):
+        range_join(pts, iv, "x", "s", "e", bin_width=0)
+    with pytest.raises(ValueError):
+        range_join(pts, iv, "x", "s", "e", bin_width=4, how="full")
+
+
+def test_range_join_plan_is_not_nested_loop(spark, pts_iv):
+    pts, iv = pts_iv
+    plan = range_join(
+        pts, iv, "x", "s", "e", bin_width=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hypertable_rollup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ts_df(spark):
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(500):
+        ts = base + datetime.timedelta(minutes=17 * i)  # spans ~6 days
+        rows.append((i, "a" if i % 3 else "b", ts, float(i % 13) / 7.0))
+    return spark.createDataFrame(rows, "id int, grp string, ts timestamp, v double")
+
+
+def _direct(df, res, by=()):
+    return (
+        df.groupBy(*by, time_bucket("ts", res).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("v_sum"),
+            F.max("v").alias("v_max"),
+        )
+    )
+
+
+AGGS = [AggSpec("count", None, "n"), AggSpec("sum", "v", "v_sum"), AggSpec("max", "v", "v_max")]
+
+
+def test_cascade_equals_direct_aggregate(spark, ts_df):
+    out = hypertable_rollup(ts_df, "ts", AGGS, resolutions=("hour", "day"))
+    for res in ("hour", "day"):
+        got = out.filter(F.col("level") == res).drop("level")
+        want = _direct(ts_df, res)
+        assert _rows(got, *sorted(got.columns)) == _rows(want, *sorted(got.columns))
+    tot = out.filter(F.col("level") == "total").collect()
+    assert len(tot) == 1
+    assert tot[0]["n"] == 500
+    assert tot[0]["bucket_start"] is None
+
+
+def test_rollup_with_by_keys(spark, ts_df):
+    out = hypertable_rollup(
+        ts_df, "ts", AGGS, resolutions=("hour", "day"), by=["grp"]
+    )
+    got = out.filter(F.col("level") == "day").drop("level")
+    want = _direct(ts_df, "day", by=["grp"])
+    assert _rows(got, *sorted(got.columns)) == _rows(want, *sorted(got.columns))
+    # per-key totals
+    tot = {r["grp"]: r["n"] for r in out.filter(F.col("level") == "total").collect()}
+    assert tot == {"a": ts_df.filter("grp='a'").count(), "b": ts_df.filter("grp='b'").count()}
+
+
+def test_rollup_resolution_order_and_validation(spark, ts_df):
+    out = hypertable_rollup(ts_df, "ts", AGGS, resolutions=("day", "hour"))
+    # ladder is sorted finest-first internally regardless of input order
+    assert set(r["level"] for r in out.select("level").distinct().collect()) == {
+        "hour", "day", "total",
+    }
+    with pytest.raises(ValueError):
+        hypertable_rollup(ts_df, "ts", AGGS, resolutions=("fortnight",))
+    with pytest.raises(ValueError):
+        AggSpec("avg", "v", "bad")  # not re-aggregatable
+
+
+def test_rollup_single_input_shuffle(spark, ts_df):
+    """The raw frame is exchanged ONCE (finest level); coarser levels
+    re-aggregate the previous level's output."""
+    out = hypertable_rollup(ts_df, "ts", AGGS, resolutions=("hour", "day"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # no grouping-sets row replication
