@@ -93,14 +93,46 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def _tagged_signatures(
+    df: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    tag: str,
+    minhash_df: DataFrame | None = None,
+) -> DataFrame:
+    """``(id_<tag>, digs_<tag>, dg_<tag>)`` from either a raw frame or a
+    precomputed :func:`dedup.minhash_signatures_df` output (``minhash_df``
+    — columns ``id, mh0.., dg`` where ``dg`` rode ``carry=``).  The
+    passthrough lets a caller that needs BOTH sides of an incremental run
+    compute the (expensive) shingle→minhash pass ONCE over the union and
+    slice it, instead of once per side."""
+    if minhash_df is None:
+        minhash_df = minhash_signatures_df(
+            df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
+            carry={"dg": F.md5(F.col(text_col))},
+        )
+    sigs = minhash_df.filter(F.col("mh0").isNotNull())
+    digs = F.array(*_band_digests(num_hashes, bands))
+    return sigs.select(
+        F.col("id").alias(f"id_{tag}"),
+        digs.alias(f"digs_{tag}"),
+        F.col("dg").alias(f"dg_{tag}"),
+    )
+
+
 def corpus_signatures(
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     text_col: str,
     id_col: str,
     *,
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    minhash_df: DataFrame | None = None,
 ) -> DataFrame:
     """The reusable corpus side of :func:`incremental_near_dup_flags`:
     ``(id_c, digs_c, dg_c)`` — per corpus doc, its band-digest array and
@@ -112,18 +144,40 @@ def corpus_signatures(
     the 100 TB corpus text.  Pass it to
     :func:`incremental_near_dup_flags` via ``corpus_signatures_df=``.
 
+    ``minhash_df`` (optional): a precomputed
+    ``minhash_signatures_df(..., carry={'dg': md5(text)})`` frame to
+    derive from instead of scanning ``corpus_df`` (which may then be
+    ``None``).
+
     NOTE: the verify step of a flags run still reads the TEXT of the few
     corpus docs that band-collide with differing digests (it joins
     ``corpus_df`` shingle sets) — the index spares the corpus-wide
     signature scan, which is the dominant term.
     """
-    sigs = minhash_signatures_df(
-        corpus_df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
-        carry={"dg": F.md5(F.col(text_col))},
-    ).filter(F.col("mh0").isNotNull())
-    digs = F.array(*_band_digests(num_hashes, bands))
-    return sigs.select(
-        F.col("id").alias("id_c"), digs.alias("digs_c"), F.col("dg").alias("dg_c")
+    return _tagged_signatures(
+        corpus_df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, tag="c", minhash_df=minhash_df,
+    )
+
+
+def batch_signatures(
+    new_df: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    minhash_df: DataFrame | None = None,
+) -> DataFrame:
+    """The NEW-batch analogue of :func:`corpus_signatures`:
+    ``(id_n, digs_n, dg_n)``.  Pass to :func:`incremental_near_dup_flags`
+    via ``new_signatures_df=`` when the batch's signatures are already
+    computed (e.g. sliced from one union-wide minhash pass, or reused
+    across several corpus generations)."""
+    return _tagged_signatures(
+        new_df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, tag="n", minhash_df=minhash_df,
     )
 
 
@@ -139,6 +193,7 @@ def incremental_near_dup_flags(
     threshold: float = 0.8,
     max_bucket: int | None = None,
     corpus_signatures_df: DataFrame | None = None,
+    new_signatures_df: DataFrame | None = None,
 ) -> DataFrame:
     """Flag docs in ``new_df`` that duplicate the EXISTING ``corpus_df``:
     → ``(id, match_id, jaccard)`` — one row per (new doc, matching corpus
@@ -160,24 +215,11 @@ def incremental_near_dup_flags(
     Scale: pass ``corpus_signatures_df`` (a persisted
     :func:`corpus_signatures` frame, same hash parameters) to skip the
     corpus-wide signature scan — the amortization a daily-batch pipeline
-    lives on.  ``corpus_df`` is still required: the verify step joins its
-    text for the (few) differing-digest collisions.
+    lives on — and/or ``new_signatures_df`` (a :func:`batch_signatures`
+    frame, e.g. both sides sliced from ONE union-wide minhash pass).
+    ``corpus_df``/``new_df`` are still required: the verify step joins
+    their text for the (few) differing-digest collisions.
     """
-
-    def _sig_side(df: DataFrame, tag: str) -> DataFrame:
-        # the text digest rides minhash_signatures_df's id frame (carry=) —
-        # no per-side digest join
-        sigs = minhash_signatures_df(
-            df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
-            carry={"dg": F.md5(F.col(text_col))},
-        ).filter(F.col("mh0").isNotNull())
-        digs = F.array(*_band_digests(num_hashes, bands))
-        return sigs.select(
-            F.col("id").alias(f"id_{tag}"),
-            digs.alias(f"digs_{tag}"),
-            F.col("dg").alias(f"dg_{tag}"),
-        )
-
     if corpus_signatures_df is not None:
         corpus = corpus_signatures_df
     else:
@@ -185,7 +227,13 @@ def incremental_near_dup_flags(
             corpus_df, text_col, id_col,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         )
-    new = _sig_side(new_df, "n")
+    if new_signatures_df is not None:
+        new = new_signatures_df
+    else:
+        new = batch_signatures(
+            new_df, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        )
 
     corpus_banded = corpus.select(
         "id_c", "digs_c", "dg_c", F.posexplode("digs_c").alias("band", "bucket")
@@ -238,8 +286,14 @@ def incremental_near_dup_flags(
         F.lit(1.0).alias("jaccard"),
     )
 
+    # semi-filter each side to the ids the differing-digest pairs need
+    # BEFORE building the (wide) shingle arrays — the same survivor-only
+    # verify shape as dedup.near_dedup_minhash
+    need = pairs.filter(~same).select("id_n", "id_c")
+
     def _sets(df: DataFrame, alias: str) -> DataFrame:
-        return df.select(
+        ids = need.select(F.col(alias).alias(id_col)).distinct()
+        return df.join(ids, id_col, "left_semi").select(
             F.col(id_col).alias(alias),
             F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias(
                 f"sh_{alias}"
@@ -247,9 +301,7 @@ def incremental_near_dup_flags(
         )
 
     neq = (
-        pairs.filter(~same)
-        .select("id_n", "id_c")
-        .join(_sets(new_df, "id_n"), "id_n")
+        need.join(_sets(new_df, "id_n"), "id_n")
         .join(_sets(corpus_df, "id_c"), "id_c")
         .select(
             F.col("id_n").alias("id"),

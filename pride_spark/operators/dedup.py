@@ -402,18 +402,28 @@ def near_dedup_minhash(
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     same = F.coalesce(F.col("dg_a") == F.col("dg_b"), F.lit(False))
     eq = pairs.filter(same).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
     # Only the differing-digest remainder — tiny on duplicate-heavy
-    # corpora — joins the shingle sets for the exact Jaccard.
+    # corpora — joins the shingle sets for the exact Jaccard.  Each side
+    # is SEMI-FILTERED to the ids those pairs actually need before the
+    # shingle arrays are built, so the (wide) set projection runs on the
+    # survivors, not the whole corpus.
+    need = pairs.filter(~same).select("id_a", "id_b")
+
+    def _sets(side: str) -> DataFrame:
+        ids = need.select(F.col(side).alias(id_col)).distinct()
+        return df.join(ids, id_col, "left_semi").select(
+            F.col(id_col).alias(side),
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias(
+                f"sh_{side}"
+            ),
+        )
+
     neq = (
-        pairs.filter(~same)
-        .select("id_a", "id_b")
-        .join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
-        .withColumn("jaccard", F.round(jaccard_of_sets(F.col("sa"), F.col("sb")), 6))
+        need.join(_sets("id_a"), "id_a")
+        .join(_sets("id_b"), "id_b")
+        .withColumn(
+            "jaccard", F.round(jaccard_of_sets(F.col("sh_id_a"), F.col("sh_id_b")), 6)
+        )
         .select("id_a", "id_b", "jaccard")
     )
     return eq.unionByName(neq).filter(F.col("jaccard") >= threshold)

@@ -479,20 +479,39 @@ def q12_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pride_spark.operators.curation import hash_fraction, incremental_near_dup_flags
+    from pride_spark.operators.curation import (
+        batch_signatures,
+        corpus_signatures,
+        hash_fraction,
+        incremental_near_dup_flags,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    exact = dedup.exact_dedup(docs, "text", "doc_id").select(
+    is_new = hash_fraction("doc_id", "batch") < 0.25
+    # ONE shingle→minhash pass over the whole corpus (carrying the text
+    # digest and the batch flag); both incremental sides AND the exact
+    # dedup derive from this persisted narrow frame — the alternative
+    # (exact_dedup + one signature pass per side) scans the text thrice.
+    mh = dedup.minhash_signatures_df(
+        docs, "text", "doc_id", num_hashes=8, shingle_n=3,
+        carry={"dg": F.md5(F.col("text")), "is_new": is_new},
+    ).persist()
+    exact = mh.groupBy("dg").agg(F.min("id").alias("doc_id")).select(
         F.lit("exact").alias("kind"),
         "doc_id",
         F.lit(None).cast("long").alias("match_id"),
-        F.md5("text").alias("digest"),
+        F.col("dg").alias("digest"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    is_new = hash_fraction("doc_id", "batch") < 0.25
     flags = incremental_near_dup_flags(
         docs.filter(is_new), docs.filter(~is_new), "text", "doc_id",
         num_hashes=8, bands=4, shingle_n=3, threshold=0.1,
+        new_signatures_df=batch_signatures(
+            None, "text", "doc_id", minhash_df=mh.filter("is_new").drop("is_new")
+        ),
+        corpus_signatures_df=corpus_signatures(
+            None, "text", "doc_id", minhash_df=mh.filter(~F.col("is_new")).drop("is_new")
+        ),
     )
     inc = flags.select(
         F.lit("inc_dup").alias("kind"),
