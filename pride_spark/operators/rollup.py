@@ -42,6 +42,14 @@ def protein_rollup(
     order = F.col(score_col).asc() if better == "lower" else F.col(score_col).desc()
     from pyspark.sql import Window
 
+    # ONE exchange for the whole rollup: hash-partitioning by protein
+    # alone satisfies BOTH the window's (protein, peptide) clustering
+    # (same-pair rows are co-located) and the final groupBy(protein) —
+    # without it Spark plans two full-data shuffles (asserted in
+    # test_explain_plans).  Skewed hot proteins concentrate a partition,
+    # but the downstream aggregate is per-protein anyway.
+    psm_protein = psm_protein.repartition(F.col(protein_col))
+
     # A3 dedup: best row per (protein, peptideSequence), deterministic tie-break.
     w = Window.partitionBy(protein_col, "peptideSequence").orderBy(order, F.col("usi"))
     deduped = (

@@ -87,3 +87,14 @@ def test_scan_prunes_columns_for_narrow_projection(spark):
     scans = [b for b in plan.split("\n\n") if "Scan parquet" in b]
     assert scans, plan
     assert not any("n_chars" in s for s in scans), plan
+
+
+def test_protein_rollup_single_exchange(spark):
+    # hash-partitioning by protein alone serves both the (protein,
+    # peptide) dedup window and the final groupBy(protein): exactly one
+    # exchange in the whole rollup
+    import re
+
+    plan = _plan(spark, "q28_protein_rollup")
+    nodes = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(nodes) == 1, plan
