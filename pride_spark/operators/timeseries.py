@@ -137,3 +137,139 @@ def hypertable_rollup(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Persisted hypertable store (continuous-aggregate production shape):
+# the finest level lives on disk in INTERNAL representation (decimal
+# sums, long counts), date-partitioned; daily batches merge into only
+# the partitions they touch; coarser levels are cascaded from the store
+# at read time — raw events are never re-read.
+# ---------------------------------------------------------------------------
+
+
+def _finest_internal(
+    df: DataFrame,
+    ts_col: str,
+    aggs: Sequence[AggSpec],
+    finest: str,
+    by: Sequence[str],
+    bucket_col: str,
+) -> DataFrame:
+    out = df.groupBy(*by, time_bucket(ts_col, finest).alias(bucket_col)).agg(
+        *[a.first_level() for a in aggs]
+    )
+    return out.withColumn("part_date", F.to_date(bucket_col))
+
+
+def build_hypertable_store(
+    df: DataFrame,
+    ts_col: str,
+    aggs: Sequence[AggSpec],
+    path: str,
+    *,
+    finest: str = "hour",
+    by: Sequence[str] | None = None,
+    bucket_col: str = "bucket_start",
+) -> None:
+    """Materialize the finest rollup level to ``path`` as parquet,
+    partitioned by ``part_date`` (the bucket's calendar date).  Stored
+    values are the INTERNAL aggregate representation (exact decimal
+    sums, long counts) so later merges and cascades stay bit-identical
+    to a from-raw rollup."""
+    _finest_internal(df, ts_col, aggs, finest, list(by or []), bucket_col).write.mode(
+        "overwrite"
+    ).partitionBy("part_date").parquet(path)
+
+
+def refresh_hypertable_store(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    ts_col: str,
+    aggs: Sequence[AggSpec],
+    *,
+    finest: str = "hour",
+    by: Sequence[str] | None = None,
+    bucket_col: str = "bucket_start",
+) -> list:
+    """Merge a new event batch into the store, rewriting ONLY the
+    date partitions the batch touches (dynamic partition overwrite +
+    partition-pruned read of the old values).  Cost is
+    O(|batch| + |stored buckets in touched dates|) — the 100 TB corpus
+    of untouched history is never read.  Returns the touched dates.
+
+    The merge is ADDITIVE (old ⊕ new per bucket): deliver each event
+    batch exactly once — re-refreshing the same batch double-counts,
+    as with any incremental aggregate; pair with an ingestion ledger
+    for exactly-once.  Late events are handled for free: a stale date's
+    partition is simply touched again.
+    """
+    by = list(by or [])
+    new_agg = _finest_internal(new_df, ts_col, aggs, finest, by, bucket_col)
+    # bounded collect: one row per DISTINCT calendar date in the batch
+    dates = [r["part_date"] for r in new_agg.select("part_date").distinct().collect()]
+    if not dates:
+        return []
+    old = spark.read.parquet(path).filter(F.col("part_date").isin(dates))
+    merged = (
+        old.unionByName(new_agg)
+        .groupBy(*by, bucket_col, "part_date")
+        .agg(*[a.reagg() for a in aggs])
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_date")
+        .parquet(path)
+    )
+    return dates
+
+
+def read_hypertable(
+    spark,
+    path: str,
+    aggs: Sequence[AggSpec],
+    *,
+    resolutions: Sequence[str] = ("hour", "day"),
+    grand_total: bool = True,
+    by: Sequence[str] | None = None,
+    level_col: str = "level",
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Serve every requested level from the persisted store: the stored
+    finest level is finished directly; coarser levels cascade from the
+    stored internal values (never from raw events).  Output schema and
+    values match :func:`hypertable_rollup` over the full raw history —
+    asserted in tests.  ``resolutions[0]`` must equal the store's
+    ``finest``; coarser entries may be any subset of the ladder."""
+    res = list(resolutions)
+    order = [r for r in _RES_ORDER if r in res]
+    if set(order) != set(res):
+        raise ValueError(f"unknown resolutions {sorted(set(res) - set(_RES_ORDER))}")
+    by = list(by or [])
+    cur = spark.read.parquet(path).drop("part_date")
+    cur = cur.withColumn(level_col, F.lit(order[0]))
+    levels = [cur]
+    for r in order[1:]:
+        cur = (
+            cur.groupBy(*by, time_bucket(bucket_col, r).alias(bucket_col))
+            .agg(*[a.reagg() for a in aggs])
+            .withColumn(level_col, F.lit(r))
+        )
+        levels.append(cur)
+    if grand_total:
+        total = (
+            cur.groupBy(*by)
+            .agg(*[a.reagg() for a in aggs])
+            .withColumn(bucket_col, F.lit(None).cast(dict(cur.dtypes)[bucket_col]))
+            .withColumn(level_col, F.lit("total"))
+        )
+        levels.append(total)
+    out_cols = [*by, level_col, bucket_col, *[a.alias for a in aggs]]
+    final = [F.col(c) for c in [*by, level_col, bucket_col]] + [a.finish() for a in aggs]
+    parts = [lv.select(*out_cols).select(*final) for lv in levels]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -14,7 +14,9 @@ from pride_spark.operators.timeseries import AggSpec, hypertable_rollup, time_bu
 
 
 def _rows(df, *cols):
-    return sorted(tuple(r) for r in df.select(*cols).collect())
+    # repr sort key: None-valued cells (e.g. the total row's bucket)
+    # aren't comparable with datetimes
+    return sorted((tuple(r) for r in df.select(*cols).collect()), key=repr)
 
 
 # ---------------------------------------------------------------------------
@@ -173,3 +175,48 @@ def test_rollup_single_input_shuffle(spark, ts_df):
     out = hypertable_rollup(ts_df, "ts", AGGS, resolutions=("hour", "day"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan  # no grouping-sets row replication
+
+
+def test_hypertable_store_build_refresh_read(spark, ts_df, tmp_path):
+    """build on the first half, refresh with the second, read back —
+    must equal a from-raw rollup over the full history, and the refresh
+    must only touch the batch's dates."""
+    from pride_spark.operators.timeseries import (
+        build_hypertable_store,
+        read_hypertable,
+        refresh_hypertable_store,
+    )
+
+    path = str(tmp_path / "ht")
+    first = ts_df.filter("id < 250")
+    second = ts_df.filter("id >= 250")
+    build_hypertable_store(first, "ts", AGGS, path, finest="hour")
+    touched = refresh_hypertable_store(spark, path, second, "ts", AGGS, finest="hour")
+
+    # second half spans a strict subset of all dates; refresh reports them
+    second_dates = {
+        r["d"] for r in second.select(F.to_date("ts").alias("d")).distinct().collect()
+    }
+    assert set(touched) == second_dates
+
+    served = read_hypertable(spark, path, AGGS, resolutions=("hour", "day"))
+    direct = hypertable_rollup(ts_df, "ts", AGGS, resolutions=("hour", "day"))
+    cols = sorted(served.columns)
+    assert _rows(served, *cols) == _rows(direct, *cols)
+
+
+def test_hypertable_store_empty_refresh_noop(spark, ts_df, tmp_path):
+    from pride_spark.operators.timeseries import (
+        build_hypertable_store,
+        read_hypertable,
+        refresh_hypertable_store,
+    )
+
+    path = str(tmp_path / "ht")
+    build_hypertable_store(ts_df, "ts", AGGS, path, finest="hour")
+    before = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
+    assert refresh_hypertable_store(
+        spark, path, ts_df.filter("id < 0"), "ts", AGGS, finest="hour"
+    ) == []
+    after = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
+    assert before == after

@@ -57,6 +57,12 @@ HEAVY = [
     "q13_dedup_exact",
     "q52_stream_stream_join",
     "q20_quality_score",
+    # round-4 session folds: q19 grew the hypertable cascade (scale risk:
+    # decimal re-agg equality across more partitions), q46 grew the
+    # binned range join (scale risk: bin replication correctness at 10x
+    # interval volume)
+    "q19_tumbling_window",
+    "q46_rt_fallback",
 ]
 
 
