@@ -1,0 +1,124 @@
+"""Streaming continuous aggregate: event stream → persisted hypertable.
+
+The batch operators in ``operators/timeseries.py`` define the store
+(finest-level rollup, date-partitioned, internal decimal representation)
+and its partition-pruned incremental merge; this module drives that
+merge from Structured Streaming via ``foreachBatch`` — each micro-batch
+refreshes only the date partitions it touches, so the stream maintains
+an always-queryable multi-resolution rollup without ever re-reading
+history.
+
+Why ``foreachBatch`` and not a stateful streaming aggregate: a windowed
+streaming agg holds every open bucket in the state store and can only
+EMIT finalized buckets past the watermark — the store-merge shape
+instead keeps buckets queryable immediately (updated in place on every
+batch) and handles arbitrarily late events for free (a stale date's
+partition is simply touched again), with no state store at all.
+
+Exactly-once: Structured Streaming replays a micro-batch after a crash
+(at-least-once delivery into ``foreachBatch``); the sink records the
+last merged ``batch_id`` in a marker file inside the store and skips
+batches it has already merged — the standard idempotent-foreachBatch
+recipe, which makes the merge effectively exactly-once under the SAME
+checkpoint.  (Restarting with a NEW checkpoint replays the source from
+scratch and would double-count — rebuild the store alongside.)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+from pride_spark.operators.timeseries import (
+    AggSpec,
+    _finest_internal,
+    refresh_hypertable_store,
+)
+
+_MARKER = "_last_refresh_batch"
+
+
+def _read_marker(store_path: str) -> int:
+    try:
+        with open(os.path.join(store_path, _MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _write_marker(store_path: str, batch_id: int) -> None:
+    os.makedirs(store_path, exist_ok=True)
+    with open(os.path.join(store_path, _MARKER), "w") as fh:
+        fh.write(str(batch_id))
+
+
+def make_hypertable_batch_sink(
+    store_path: str,
+    ts_col: str,
+    aggs: Sequence[AggSpec],
+    *,
+    finest: str = "hour",
+    by: Sequence[str] | None = None,
+    bucket_col: str = "bucket_start",
+):
+    """The ``foreachBatch`` callable: merge each micro-batch into the
+    store (building it on the first batch), idempotent per ``batch_id``.
+    Exposed separately so tests and backfill scripts can drive it with
+    plain batch frames.
+
+    The marker file uses the local/posix filesystem; on an object-store
+    deployment swap ``_read_marker``/``_write_marker`` for the Hadoop
+    FileSystem API (same contract: one small file inside the store).
+    """
+    by = list(by or [])
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _read_marker(store_path):
+            return  # replayed batch under the same checkpoint: already merged
+        spark = batch_df.sparkSession
+        if os.path.isdir(store_path) and any(
+            n.startswith("part_date=") for n in os.listdir(store_path)
+        ):
+            refresh_hypertable_store(
+                spark, store_path, batch_df, ts_col, aggs,
+                finest=finest, by=by, bucket_col=bucket_col,
+            )
+        else:
+            _finest_internal(batch_df, ts_col, aggs, finest, by, bucket_col).write.mode(
+                "overwrite"
+            ).partitionBy("part_date").parquet(store_path)
+        _write_marker(store_path, batch_id)
+
+    return _sink
+
+
+def stream_to_hypertable(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    ts_col: str,
+    aggs: Sequence[AggSpec],
+    *,
+    finest: str = "hour",
+    by: Sequence[str] | None = None,
+    available_now: bool = False,
+):
+    """Wire an event stream into the store; returns the started query.
+
+    ``available_now=True`` drains everything currently in the source and
+    stops — incremental backfill over historical parquet with the same
+    sink the live stream uses.
+    """
+    sink = make_hypertable_batch_sink(
+        store_path, ts_col, aggs, finest=finest, by=by
+    )
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
