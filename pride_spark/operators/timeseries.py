@@ -49,35 +49,71 @@ def time_bucket(ts: Column | str, resolution: str) -> Column:
 
 class AggSpec:
     """One re-aggregatable measure: ``fn`` over ``col``, surfaced as
-    ``alias``.  ``fn`` ∈ {count, sum, min, max}; for ``count`` the column
-    is ignored (COUNT(*)).  ``sum`` accumulates as ``decimal(28,6)``
-    internally so the cascade is order-independent and exactly equal to
-    a direct aggregate; the output is cast back to double."""
+    ``alias``.  ``fn`` ∈ {count, sum, min, max, avg, approx_distinct};
+    for ``count`` the column is ignored (COUNT(*)).
+
+    Internal (cascade/store) representations, chosen so re-aggregation
+    of partials EXACTLY equals a direct aggregate at any level:
+
+    - ``sum`` / ``avg`` accumulate as ``decimal(28,6)`` (avg carries a
+      ``struct(s, n)`` pair and divides only at finish) — exact,
+      order-independent;
+    - ``approx_distinct`` carries a DataSketches HLL sketch
+      (``hll_sketch_agg`` → ``hll_union_agg``): a union of partial
+      sketches summarizes the union of their inputs with the SAME
+      accuracy guarantee as a direct sketch (mergeability is the
+      sketch's core property), so cascading loses nothing — but the
+      point estimate may differ by a hair across aggregation orders
+      (the sketch's sparse→dense mode promotions are order-sensitive),
+      so treat estimates as approximate everywhere, not just vs the
+      true count;
+    - ``count``/``min``/``max`` re-aggregate as sum/min/max.
+    """
 
     def __init__(self, fn: str, col: str | Column | None, alias: str):
-        if fn not in ("count", "sum", "min", "max"):
+        if fn not in ("count", "sum", "min", "max", "avg", "approx_distinct"):
             raise ValueError(f"unsupported aggregate {fn!r}")
         self.fn = fn
         self.col = col
         self.alias = alias
 
+    def _c(self) -> Column:
+        return F.col(self.col) if isinstance(self.col, str) else self.col
+
     def first_level(self) -> Column:
         if self.fn == "count":
             return F.count(F.lit(1)).alias(self.alias)
-        c = F.col(self.col) if isinstance(self.col, str) else self.col
         if self.fn == "sum":
-            return F.sum(c.cast("decimal(28,6)")).alias(self.alias)
-        return getattr(F, self.fn)(c).alias(self.alias)
+            return F.sum(self._c().cast("decimal(28,6)")).alias(self.alias)
+        if self.fn == "avg":
+            return F.struct(
+                F.sum(self._c().cast("decimal(28,6)")).alias("s"),
+                F.count(self._c()).alias("n"),
+            ).alias(self.alias)
+        if self.fn == "approx_distinct":
+            return F.hll_sketch_agg(self._c()).alias(self.alias)
+        return getattr(F, self.fn)(self._c()).alias(self.alias)
 
     def reagg(self) -> Column:
         src = F.col(self.alias)
+        if self.fn == "avg":
+            return F.struct(
+                F.sum(src["s"]).alias("s"), F.sum(src["n"]).alias("n")
+            ).alias(self.alias)
+        if self.fn == "approx_distinct":
+            return F.hll_union_agg(src).alias(self.alias)
         fn = "sum" if self.fn == "count" else self.fn
         return getattr(F, fn)(src).alias(self.alias)
 
     def finish(self) -> Column:
+        src = F.col(self.alias)
         if self.fn == "sum":
-            return F.col(self.alias).cast("double").alias(self.alias)
-        return F.col(self.alias)
+            return src.cast("double").alias(self.alias)
+        if self.fn == "avg":
+            return (src["s"] / src["n"]).cast("double").alias(self.alias)
+        if self.fn == "approx_distinct":
+            return F.hll_sketch_estimate(src).alias(self.alias)
+        return src
 
 
 def hypertable_rollup(

@@ -166,7 +166,7 @@ def test_rollup_resolution_order_and_validation(spark, ts_df):
     with pytest.raises(ValueError):
         hypertable_rollup(ts_df, "ts", AGGS, resolutions=("fortnight",))
     with pytest.raises(ValueError):
-        AggSpec("avg", "v", "bad")  # not re-aggregatable
+        AggSpec("median", "v", "bad")  # not re-aggregatable
 
 
 def test_rollup_single_input_shuffle(spark, ts_df):
@@ -220,3 +220,74 @@ def test_hypertable_store_empty_refresh_noop(spark, ts_df, tmp_path):
     ) == []
     after = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
     assert before == after
+
+
+def test_rollup_avg_and_approx_distinct(spark, ts_df):
+    """avg cascades exactly (decimal sum+count pair); HLL sketch
+    estimates carry the direct sketch's accuracy at every cascaded
+    level (estimates compared within sketch tolerance — DataSketches
+    mode promotions make them order-sensitive by a hair)."""
+    from pride_spark.operators.timeseries import AggSpec, hypertable_rollup
+
+    aggs = [
+        AggSpec("avg", "v", "v_avg"),
+        AggSpec("approx_distinct", "grp", "grp_dv"),
+        AggSpec("approx_distinct", "id", "id_dv"),
+    ]
+    out = hypertable_rollup(ts_df, "ts", aggs, resolutions=("hour", "day"))
+    for res in ("hour", "day"):
+        got = {r["bucket_start"]: r for r in out.filter(F.col("level") == res).collect()}
+        want = {
+            r["bucket_start"]: r
+            for r in ts_df.groupBy(time_bucket("ts", res).alias("bucket_start"))
+            .agg(
+                (F.sum(F.col("v").cast("decimal(28,6)")) / F.count("v"))
+                .cast("double")
+                .alias("v_avg"),
+                F.hll_sketch_estimate(F.hll_sketch_agg("grp")).alias("grp_dv"),
+                F.hll_sketch_estimate(F.hll_sketch_agg("id")).alias("id_dv"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k]["v_avg"] == want[k]["v_avg"]  # exact cascade
+            for c in ("grp_dv", "id_dv"):
+                assert abs(got[k][c] - want[k][c]) <= max(0.02 * want[k][c], 1.0)
+    tot = out.filter(F.col("level") == "total").first()
+    assert tot["grp_dv"] == 2          # exact at tiny cardinality
+    assert abs(tot["id_dv"] - 500) / 500 < 0.05   # HLL estimate of 500 ids
+
+
+def test_hypertable_store_with_sketches(spark, ts_df, tmp_path):
+    """HLL sketches and avg pairs survive the parquet round-trip and the
+    partition-pruned merge: avg exactly equals from-raw; sketch
+    estimates agree within sketch tolerance."""
+    from pride_spark.operators.timeseries import (
+        AggSpec,
+        build_hypertable_store,
+        hypertable_rollup,
+        read_hypertable,
+        refresh_hypertable_store,
+    )
+
+    aggs = [AggSpec("avg", "v", "v_avg"), AggSpec("approx_distinct", "id", "id_dv")]
+    path = str(tmp_path / "ht")
+    build_hypertable_store(ts_df.filter("id < 300"), "ts", aggs, path, finest="hour")
+    refresh_hypertable_store(
+        spark, path, ts_df.filter("id >= 300"), "ts", aggs, finest="hour"
+    )
+    served = {
+        (r["level"], r["bucket_start"]): r
+        for r in read_hypertable(spark, path, aggs, resolutions=("hour", "day")).collect()
+    }
+    direct = {
+        (r["level"], r["bucket_start"]): r
+        for r in hypertable_rollup(ts_df, "ts", aggs, resolutions=("hour", "day")).collect()
+    }
+    assert set(served) == set(direct)
+    for k in direct:
+        assert served[k]["v_avg"] == direct[k]["v_avg"]
+        assert abs(served[k]["id_dv"] - direct[k]["id_dv"]) <= max(
+            0.02 * direct[k]["id_dv"], 1.0
+        )
