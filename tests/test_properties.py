@@ -293,3 +293,40 @@ def test_scan_records_ownership_any_boundary(tmp_path_factory, parts, step):
             for _off, r in scan_records(str(path), start, min(start + step, size), b"Rec", False)
         )
     assert got == recs
+
+
+# ---------------------------------------------------------------------------
+# range_join ≡ naive BETWEEN join on arbitrary integer points/intervals
+# (incl. end<start garbage, duplicates, negatives, bin-boundary values)
+# ---------------------------------------------------------------------------
+_PTS = st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=20)
+_IVS = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(pts=_PTS, ivs=_IVS, w=st.integers(min_value=1, max_value=17))
+@_SETTINGS
+def test_range_join_matches_between_reference(spark, pts, ivs, w):
+    from pride_spark.operators.joins import range_join
+
+    p = spark.createDataFrame([(i, x) for i, x in enumerate(pts)], "pid int, x int")
+    v = spark.createDataFrame(
+        [(j, s, e) for j, (s, e) in enumerate(ivs)], "iid int, s int, e int"
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(p, v, "x", "s", "e", bin_width=w).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, x in enumerate(pts)
+        for j, (s, e) in enumerate(ivs)
+        if s <= x <= e
+    )
+    assert got == want

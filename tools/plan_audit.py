@@ -68,6 +68,26 @@ FLAGS = [
     "BatchEvalPython",
 ]
 
+# per-query scale-design annotations carried into the generated notes
+# column (documentation, not exceptions)
+NOTES: dict[str, str] = {
+    "q19_tumbling_window": (
+        "ht_* levels: cascade re-agg — one raw-data exchange (hour), "
+        "day/total fold the prior level; no grouping-sets Expand "
+        "(plan-asserted)"
+    ),
+    "q28_protein_rollup": (
+        "single exchange: hash-partitioning by protein serves both the "
+        "(protein, peptide) dedup window and the final groupBy "
+        "(plan-asserted)"
+    ),
+    "q46_rt_fallback": (
+        "transit rows: binned range join — hash exchange on bin key, no "
+        "BroadcastNestedLoopJoin (plan-asserted); interval replication "
+        "≤2 at bin_width=32"
+    ),
+}
+
 
 def _plan(spark, name: str, sf_dir: str) -> str:
     df = registry.queries()[name](spark, sf_dir)
@@ -125,6 +145,8 @@ def main() -> int:
             notes = "; ".join(f"whitelisted {h}: {WHITELIST[name][h]}" for h in ok)
         else:
             verdict, notes = "clean", ""
+        if name in NOTES and not bad:
+            notes = f"{notes}; {NOTES[name]}" if notes else NOTES[name]
         lines.append(f"| {name} | {verdict} | {notes} |")
         print(f"{name:32s} {verdict:7s} {'; '.join(bad) or '; '.join(ok)}")
     with open("PLAN_AUDIT.md", "w") as fh:
