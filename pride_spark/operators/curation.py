@@ -278,7 +278,11 @@ def incremental_near_dup_flags(
     )
     from pyspark.storagelevel import StorageLevel
 
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    from pride_spark.session import register_pinned
+
+    # both branches below scan the candidate pairs; pinned for the life
+    # of the returned plan — see session.pinned_scope for cleanup
+    pairs = register_pinned(pairs.persist(StorageLevel.MEMORY_AND_DISK))
     same = F.coalesce(F.col("dg_n") == F.col("dg_c"), F.lit(False))
     eq = pairs.filter(same).select(
         F.col("id_n").alias("id"),

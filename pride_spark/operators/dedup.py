@@ -396,10 +396,15 @@ def near_dedup_minhash(
     # The eq/neq branches below both scan ``pairs``; persist the (narrow:
     # two ids + two 32-char digests) frame so the candidate subtree — the
     # dominant cost — executes once.  Size is bounded by the candidate
-    # count, which the bucket cap bounds on adversarial corpora.
+    # count, which the bucket cap bounds on adversarial corpora.  The
+    # returned plan reads it, so it stays pinned until driver GC — wrap
+    # call+action in ``session.pinned_scope()`` for deterministic
+    # cleanup in long-lived drivers.
     from pyspark.storagelevel import StorageLevel
 
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    from pride_spark.session import register_pinned
+
+    pairs = register_pinned(pairs.persist(StorageLevel.MEMORY_AND_DISK))
     same = F.coalesce(F.col("dg_a") == F.col("dg_b"), F.lit(False))
     eq = pairs.filter(same).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     # Only the differing-digest remainder — tiny on duplicate-heavy

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from pride_spark.operators.graph import connected_components
+from pride_spark.session import register_pinned
 
 
 def bin_peaks(
@@ -373,10 +374,17 @@ def cluster_spectra(
     # persisted for the same reason as cluster_spectra_multi: the binning
     # pass feeds BOTH the candidate subtree (materialized once into the CC
     # loop's base checkpoint) and the final singleton-fill join — without
-    # the persist, bin_peaks over the source runs twice
-    binned = _binned_frame(
-        spectra, key_col, masses_col, intensities_col, precursor_col, top_k, bin_width
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # the persist, bin_peaks over the source runs twice.  The returned
+    # plan still reads this frame, so the operator cannot unpersist it;
+    # long-lived drivers should wrap call+action in
+    # ``session.pinned_scope()`` (registered below) or sweep with
+    # ``session.release_cached_state``.
+    binned = register_pinned(
+        _binned_frame(
+            spectra, key_col, masses_col, intensities_col, precursor_col, top_k,
+            bin_width,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = _method_pairs(
         method, binned,
         precursor_window=precursor_window, num_hashes=num_hashes, bands=bands,
@@ -435,13 +443,18 @@ def cluster_spectra_multi(
     baseline and the production md5-LSH path side by side without paying
     for two clustering runs.
     """
-    binned = _binned_frame(
-        spectra, key_col, masses_col, intensities_col, precursor_col, top_k, bin_width
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    binned = register_pinned(
+        _binned_frame(
+            spectra, key_col, masses_col, intensities_col, precursor_col, top_k,
+            bin_width,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sigs = None
     if "lsh" in methods:
-        sigs = _sig_frame(binned, num_hashes, hash_fn).persist(
-            StorageLevel.MEMORY_AND_DISK
+        sigs = register_pinned(
+            _sig_frame(binned, num_hashes, hash_fn).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         )
 
     def tag(i: int, c: str) -> Column:
@@ -460,6 +473,11 @@ def cluster_spectra_multi(
         edges = edges.unionByName(e)
 
     comp = connected_components(edges, "src", "dst")
+    # CC has materialized the edge subtree into its own base checkpoint
+    # by the time it returns, and nothing downstream reads the signature
+    # frame — free it now instead of at scope exit / driver GC.
+    if sigs is not None:
+        sigs.unpersist(False)
 
     method_name = F.element_at(
         F.array(*[F.lit(m) for m in methods]), F.col("node.t") + 1

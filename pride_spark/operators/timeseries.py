@@ -27,6 +27,17 @@ frame, so the whole ladder costs one big exchange + k trivial ones.
 This is also the IDEMPOTENT-REFRESH shape: a production hypertable
 persists the finest level partitioned by bucket and recomputes coarser
 levels from it on append, never re-reading raw events.
+
+Cascade validity — a level may only be re-aggregated from a finer level
+whose buckets NEST inside it (no fine bucket straddles a coarse-bucket
+boundary).  The calendar ladder minute→hour→day→month→quarter→year
+nests cleanly, but ``week`` is special: an ISO week can cross month,
+quarter, and year boundaries (e.g. the week of 2024-01-29 contains both
+Jan 31 and Feb 1), so month-and-coarser levels are never cascaded from
+the week level — each level draws from the coarsest ALREADY-COMPUTED
+level that nests inside it (``month`` from ``day``, not from ``week``).
+The grand total may fold any level: every bucket scheme tiles the full
+timeline.
 """
 
 from __future__ import annotations
@@ -38,6 +49,27 @@ from pyspark.sql import functions as F
 
 #: supported resolutions, finest-first order
 _RES_ORDER = ["minute", "hour", "day", "week", "month", "quarter", "year"]
+
+#: coarser levels whose buckets each resolution tiles exactly (a fine
+#: bucket never straddles a coarse-bucket boundary).  ``week`` tiles
+#: nothing coarser: ISO weeks cross month/quarter/year boundaries.
+_NESTS_IN = {
+    "minute": {"hour", "day", "week", "month", "quarter", "year"},
+    "hour": {"day", "week", "month", "quarter", "year"},
+    "day": {"week", "month", "quarter", "year"},
+    "week": set(),
+    "month": {"quarter", "year"},
+    "quarter": {"year"},
+    "year": set(),
+}
+
+
+def _cascade_source(computed: dict, target: str) -> str | None:
+    """The coarsest already-computed level whose buckets nest inside
+    ``target`` (fewest rows to re-aggregate), or None if no computed
+    level is cascade-compatible (only possible via ``week``)."""
+    srcs = [lv for lv in computed if target in _NESTS_IN[lv]]
+    return max(srcs, key=_RES_ORDER.index) if srcs else None
 
 
 def time_bucket(ts: Column | str, resolution: str) -> Column:
@@ -149,19 +181,34 @@ def hypertable_rollup(
         .agg(*[a.first_level() for a in aggs])
         .withColumn(level_col, F.lit(finest))
     )
+    computed = {finest: cur}
     levels = [cur]
     for r in order[1:]:
-        cur = (
-            cur.groupBy(*by, time_bucket(bucket_col, r).alias(bucket_col))
-            .agg(*[a.reagg() for a in aggs])
-            .withColumn(level_col, F.lit(r))
-        )
+        src = _cascade_source(computed, r)
+        if src is not None:
+            cur = (
+                computed[src]
+                .groupBy(*by, time_bucket(bucket_col, r).alias(bucket_col))
+                .agg(*[a.reagg() for a in aggs])
+            )
+        else:
+            # only reachable when the finest resolution is 'week': week
+            # buckets straddle month boundaries, so this level takes one
+            # extra pass over the raw events instead of a wrong cascade.
+            cur = df.groupBy(*by, time_bucket(ts_col, r).alias(bucket_col)).agg(
+                *[a.first_level() for a in aggs]
+            )
+        cur = cur.withColumn(level_col, F.lit(r))
+        computed[r] = cur
         levels.append(cur)
     if grand_total:
+        # any single level tiles the whole timeline, so fold the
+        # coarsest one (fewest rows).
+        src = computed[order[-1]]
         total = (
-            cur.groupBy(*by)
+            src.groupBy(*by)
             .agg(*[a.reagg() for a in aggs])
-            .withColumn(bucket_col, F.lit(None).cast(dict(cur.dtypes)[bucket_col]))
+            .withColumn(bucket_col, F.lit(None).cast(dict(src.dtypes)[bucket_col]))
             .withColumn(level_col, F.lit("total"))
         )
         levels.append(total)
@@ -212,10 +259,31 @@ def build_hypertable_store(
     partitioned by ``part_date`` (the bucket's calendar date).  Stored
     values are the INTERNAL aggregate representation (exact decimal
     sums, long counts) so later merges and cascades stay bit-identical
-    to a from-raw rollup."""
+    to a from-raw rollup.  The store's finest resolution is recorded in
+    an underscore-prefixed ``_meta`` sidecar (invisible to the parquet
+    reader) so reads and refreshes can validate against it."""
     _finest_internal(df, ts_col, aggs, finest, list(by or []), bucket_col).write.mode(
         "overwrite"
     ).partitionBy("part_date").parquet(path)
+    _write_store_meta(df.sparkSession, path, finest)
+
+
+def _write_store_meta(spark, path: str, finest: str) -> None:
+    # written AFTER the parquet overwrite (which clears the directory);
+    # dynamic-partition refreshes leave it in place.
+    spark.createDataFrame([(finest,)], "finest string").coalesce(1).write.mode(
+        "overwrite"
+    ).json(path + "/_meta")
+
+
+def _read_store_meta(spark, path: str) -> str | None:
+    """The store's recorded finest resolution, or None for a pre-meta
+    store (validation is then skipped for backward compatibility)."""
+    try:
+        rows = spark.read.json(path + "/_meta").collect()
+    except Exception:
+        return None
+    return rows[0]["finest"] if rows else None
 
 
 def refresh_hypertable_store(
@@ -242,6 +310,12 @@ def refresh_hypertable_store(
     partition is simply touched again.
     """
     by = list(by or [])
+    stored = _read_store_meta(spark, path)
+    if stored is not None and stored != finest:
+        raise ValueError(
+            f"refresh finest={finest!r} does not match the store's "
+            f"recorded finest resolution {stored!r}"
+        )
     new_agg = _finest_internal(new_df, ts_col, aggs, finest, by, bucket_col)
     # bounded collect: one row per DISTINCT calendar date in the batch
     dates = [r["part_date"] for r in new_agg.select("part_date").distinct().collect()]
@@ -278,27 +352,49 @@ def read_hypertable(
     stored internal values (never from raw events).  Output schema and
     values match :func:`hypertable_rollup` over the full raw history —
     asserted in tests.  ``resolutions[0]`` must equal the store's
-    ``finest``; coarser entries may be any subset of the ladder."""
+    ``finest`` (enforced against the ``_meta`` sidecar — a mismatch
+    would silently mislabel stored rows); coarser entries may be any
+    cascade-compatible subset of the ladder (``week``-to-``month`` is
+    rejected: week buckets straddle month boundaries, and the raw
+    events are not available here to recompute from)."""
     res = list(resolutions)
     order = [r for r in _RES_ORDER if r in res]
     if set(order) != set(res):
         raise ValueError(f"unknown resolutions {sorted(set(res) - set(_RES_ORDER))}")
     by = list(by or [])
+    stored = _read_store_meta(spark, path)
+    if stored is not None and stored != order[0]:
+        raise ValueError(
+            f"resolutions[0]={order[0]!r} does not match the store's "
+            f"recorded finest resolution {stored!r}"
+        )
     cur = spark.read.parquet(path).drop("part_date")
     cur = cur.withColumn(level_col, F.lit(order[0]))
+    computed = {order[0]: cur}
     levels = [cur]
     for r in order[1:]:
+        src = _cascade_source(computed, r)
+        if src is None:
+            raise ValueError(
+                f"cannot cascade {r!r} from stored levels "
+                f"{sorted(computed, key=_RES_ORDER.index)}: week buckets "
+                f"straddle {r} boundaries; rebuild the store with a "
+                f"nesting finest resolution (e.g. 'day')"
+            )
         cur = (
-            cur.groupBy(*by, time_bucket(bucket_col, r).alias(bucket_col))
+            computed[src]
+            .groupBy(*by, time_bucket(bucket_col, r).alias(bucket_col))
             .agg(*[a.reagg() for a in aggs])
             .withColumn(level_col, F.lit(r))
         )
+        computed[r] = cur
         levels.append(cur)
     if grand_total:
+        src_df = computed[order[-1]]
         total = (
-            cur.groupBy(*by)
+            src_df.groupBy(*by)
             .agg(*[a.reagg() for a in aggs])
-            .withColumn(bucket_col, F.lit(None).cast(dict(cur.dtypes)[bucket_col]))
+            .withColumn(bucket_col, F.lit(None).cast(dict(src_df.dtypes)[bucket_col]))
             .withColumn(level_col, F.lit("total"))
         )
         levels.append(total)

@@ -64,19 +64,28 @@ def stage_compressed(paths: list[str], stage_dir: str | None = None) -> list[str
     import zipfile
 
     out = []
-    for p in paths:
+    for k, p in enumerate(paths):
         if not p.lower().endswith(".zip"):
             out.append(p)
             continue
         if stage_dir is None:
             stage_dir = tempfile.mkdtemp(prefix="pride_unzip_")
-        os.makedirs(stage_dir, exist_ok=True)
+        # one subdirectory per archive, member paths preserved beneath
+        # it: members keep their basenames (downstream name joins rely
+        # on them) and equal basenames — within one archive's subdirs or
+        # across archives — can never overwrite each other.
+        arch_dir = os.path.join(
+            stage_dir, f"{os.path.splitext(os.path.basename(p))[0]}-{k}"
+        )
         with zipfile.ZipFile(p.removeprefix("file:")) as zf:
             members = [n for n in zf.namelist() if not n.endswith("/")]
             if not members:
                 raise ValueError(f"empty zip archive: {p}")
             for name in members:
-                target = os.path.join(stage_dir, os.path.basename(name))
+                target = os.path.normpath(os.path.join(arch_dir, name))
+                if not target.startswith(arch_dir + os.sep):
+                    raise ValueError(f"unsafe member path {name!r} in {p}")
+                os.makedirs(os.path.dirname(target), exist_ok=True)
                 with zf.open(name) as src, open(target, "wb") as dst:
                     shutil.copyfileobj(src, dst)
                 out.append(target)

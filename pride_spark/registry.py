@@ -661,9 +661,12 @@ def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 50-entry driver cap).  kind='window_hour' keeps the streaming-
 # compatible F.window path; kind='ht_*' rows come from the CASCADING
 # re-aggregation (hour from raw — the only full-data shuffle — day from
-# hours, total from days; no grouping-sets Expand).  The decimal-internal
-# sums make the cascade exactly equal to the oracle's direct per-level
-# aggregates regardless of partitioning.
+# hours, week from days, month from DAYS — not weeks: an ISO week can
+# straddle a month boundary, so the cascade draws each level from the
+# coarsest computed level that NESTS inside it — total from months; no
+# grouping-sets Expand).  The decimal-internal sums make the cascade
+# exactly equal to the oracle's direct per-level aggregates regardless
+# of partitioning; the week/month rows gate the nesting rule itself.
 # ---------------------------------------------------------------------------
 @register(
     "q19_tumbling_window",
@@ -675,10 +678,18 @@ def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (SELECT DATE_TRUNC('day', ts) AS b, COUNT(*) AS n,
                  {_dsum_sql('value')} AS s
           FROM e GROUP BY 1),
+    w AS (SELECT DATE_TRUNC('week', ts) AS b, COUNT(*) AS n,
+                 {_dsum_sql('value')} AS s
+          FROM e GROUP BY 1),
+    mo AS (SELECT DATE_TRUNC('month', ts) AS b, COUNT(*) AS n,
+                  {_dsum_sql('value')} AS s
+           FROM e GROUP BY 1),
     t AS (SELECT COUNT(*) AS n, {_dsum_sql('value')} AS s FROM e)
     SELECT 'window_hour' AS kind, b AS bucket_start, n, s AS value_sum FROM h
     UNION ALL SELECT 'ht_hour', b, n, s FROM h
     UNION ALL SELECT 'ht_day', b, n, s FROM d
+    UNION ALL SELECT 'ht_week', b, n, s FROM w
+    UNION ALL SELECT 'ht_month', b, n, s FROM mo
     UNION ALL SELECT 'ht_total', NULL, n, s FROM t
     """,
 )
@@ -700,7 +711,7 @@ def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         "ts",
         [AggSpec("count", None, "n"), AggSpec("sum", "value", "value_sum")],
-        resolutions=("hour", "day"),
+        resolutions=("hour", "day", "week", "month"),
     ).select(
         F.concat(F.lit("ht_"), F.col("level")).alias("kind"),
         "bucket_start",

@@ -339,8 +339,12 @@ def _pep_rows(fn: str, rec: str):
 
 def _attr_tag(rec: str):
     """Re-close a bare ``<Elem attr=... [/]>`` capture as an empty element
-    and let ET unescape the attributes (both quote styles)."""
-    return _fromstring(rec.rstrip().rstrip(">").rstrip("/") + "/>")
+    and let ET unescape the attributes (both quote styles).  Strips only
+    the single structural ``[/]>`` terminator — an attribute value may
+    itself end in ``>`` or ``/`` characters."""
+    r = rec.rstrip()
+    r = r[:-2] if r.endswith("/>") else r[:-1]
+    return _fromstring(r + "/>")
 
 
 def _ev_db_rows(fn: str, rec: str):

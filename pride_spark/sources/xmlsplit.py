@@ -42,6 +42,20 @@ SPLIT_RANGE_MB = float(os.environ.get("PRIDE_SPARK_MZID_SPLIT_RANGE_MB", "4"))
 _SCAN_CHUNK = 1 << 20  # streaming read granularity inside a range task
 _SCAN_OVERLAP = 128  # > longest open tag incl. namespace prefix
 
+#: consumes one complete open tag from its '<' to its true terminating
+#: '>' — quote-aware, because '>' IS legal inside XML attribute values
+#: (only '<' and '&' must be escaped), so spectrum titles or FASTA
+#: descriptions like name="m/z>400" must not truncate the capture.
+_TAG_END_RE = re.compile(rb"[^\"'>]*(?:\"[^\"]*\"[^\"'>]*|'[^']*'[^\"'>]*)*>")
+
+
+def _tag_end(buf: bytes) -> int:
+    """Index just past the open tag's terminating ``>`` for a buffer
+    starting at the tag's ``<``, or -1 if the tag is not yet complete
+    (e.g. an attribute value straddles the current read chunk)."""
+    m = _TAG_END_RE.match(buf)
+    return m.end() if m else -1
+
 
 def localname(tag: str) -> str:
     return tag.rpartition("}")[2]
@@ -105,8 +119,8 @@ def scan_records(path: str, start: int, end: int, name: bytes, attr_only: bool):
     of element ``name`` whose open tag STARTS in ``[start, end)`` — the
     input-split ownership contract.
 
-    ``attr_only``: capture just the open tag (to its first ``>``) — for
-    attribute-only dimension elements; ``name`` may then be a
+    ``attr_only``: capture just the open tag (to its true terminating
+    ``>``, quote-aware) — for attribute-only dimension elements; ``name`` may then be a
     non-capturing regex alternation (several element names in one scan),
     since the close tag is never built from it.  Otherwise ``name`` must
     be a literal and the close tag is built from the open match's own
@@ -133,26 +147,38 @@ def scan_records(path: str, start: int, end: int, name: bytes, attr_only: bool):
             abs_off = buf_start + m.start()
             if abs_off >= end:
                 return
-            close = b">" if attr_only else b"</" + m.group(1) + name + b">"
-            # capture: extend until the close sequence appears
             buf_start += m.start()
             buf = buf[m.start():]
-            rec_end = None
+            # locate the open tag's true '>' (quote-aware; refill until
+            # the tag is complete in the buffer)
             while True:
-                # a self-closed record (`<spectrum .../>`) is complete at
-                # its own open tag — never scan into the next record
-                k = buf.find(b">", 1)
-                if k > 0 and buf[k - 1:k] == b"/":
-                    rec_end = k + 1
-                    break
-                j = buf.find(close, 1)
-                if j >= 0:
-                    rec_end = j + len(close)
+                te = _tag_end(buf)
+                if te >= 0:
                     break
                 chunk = fh.read(_SCAN_CHUNK)
-                if not chunk:  # malformed tail: drop the partial record
+                if not chunk:  # malformed tail: open tag never closes
                     return
                 buf += chunk
+            if attr_only or buf[te - 2:te - 1] == b"/":
+                # attr-only capture, or a self-closed record
+                # (`<spectrum .../>`) complete at its own open tag —
+                # never scan into the next record
+                rec_end = te
+            else:
+                close = b"</" + m.group(1) + name + b">"
+                # '<' is illegal inside attribute values/text, so the
+                # close-tag byte search needs no quote awareness
+                search_from = te
+                while True:
+                    j = buf.find(close, search_from)
+                    if j >= 0:
+                        rec_end = j + len(close)
+                        break
+                    search_from = max(te, len(buf) - len(close) + 1)
+                    chunk = fh.read(_SCAN_CHUNK)
+                    if not chunk:  # malformed tail: drop the partial record
+                        return
+                    buf += chunk
             yield buf_start, buf[:rec_end]
             buf_start += rec_end
             buf = buf[rec_end:]

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pride_spark.operators.timeseries import (
     AggSpec,
     _finest_internal,
+    _write_store_meta,
     refresh_hypertable_store,
 )
 
@@ -89,6 +90,7 @@ def make_hypertable_batch_sink(
             _finest_internal(batch_df, ts_col, aggs, finest, by, bucket_col).write.mode(
                 "overwrite"
             ).partitionBy("part_date").parquet(store_path)
+            _write_store_meta(spark, store_path, finest)
         _write_marker(store_path, batch_id)
 
     return _sink

@@ -501,3 +501,64 @@ def test_pridexml_split_matches_whole(spark, tmp_path):
     whole = sorted(map(tuple, _read_pridexml_whole(spark, [str(p)]).collect()))
     split = sorted(map(tuple, read_pridexml(spark, [str(p)], mode="split").collect()))
     assert whole == split and len(split) > 0
+
+
+def test_scan_records_gt_inside_attribute_values(tmp_path, monkeypatch):
+    """'>' is legal inside XML attribute values (only '<' and '&' must
+    be escaped): a title like m/z>400 must not truncate an attr-only
+    capture, and a value containing '/>' must not fake a self-close —
+    regression for the first-'>' scanner."""
+    from pride_spark.sources import xmlsplit as X
+
+    recs = [
+        '<Rec id="r0" name="sel m/z>400 and more"><c>x</c></Rec>',
+        "<Rec id='r1' note='a/>b'><c>y</c></Rec>",
+        '<Rec id="r2" name="plain"/>',
+        '<Rec id="r3" name="trail>">text</Rec>',
+    ]
+    blob = "HEAD" + "".join(recs) + "TAIL"
+    p = tmp_path / "gt.xml"
+    p.write_text(blob)
+    size = len(blob)
+
+    # full-record capture, several range partitions incl. 1-byte steps
+    for step in (9, 33, size):
+        got = []
+        for start in range(0, size, step):
+            got.extend(
+                r.decode()
+                for _off, r in X.scan_records(
+                    str(p), start, min(start + step, size), b"Rec", False
+                )
+            )
+        assert got == recs, f"step={step}"
+
+    # attr-only capture keeps the whole open tag, quoted '>' intact
+    open_tags = [
+        r.decode() for _off, r in X.scan_records(str(p), 0, size, b"Rec", True)
+    ]
+    assert open_tags == [
+        '<Rec id="r0" name="sel m/z>400 and more">',
+        "<Rec id='r1' note='a/>b'>",
+        '<Rec id="r2" name="plain"/>',
+        '<Rec id="r3" name="trail>">',
+    ]
+
+    # a quoted value straddling the read-chunk boundary still captures
+    monkeypatch.setattr(X, "_SCAN_CHUNK", 3)
+    assert [
+        r.decode() for _off, r in X.scan_records(str(p), 0, size, b"Rec", False)
+    ] == recs
+
+
+def test_attr_tag_value_ending_in_gt_or_slash():
+    """_attr_tag strips only the structural terminator — attribute
+    values may themselves end in '>' or '/'."""
+    from pride_spark.sources.mzid import _attr_tag
+
+    t = _attr_tag('<E a="x>">')
+    assert t.get("a") == "x>"
+    t = _attr_tag('<E a="x/"/>')
+    assert t.get("a") == "x/"
+    t = _attr_tag("<E a='m/z>400'>")
+    assert t.get("a") == "m/z>400"

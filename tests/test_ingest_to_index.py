@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import textwrap
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pride_spark.functions.spectrum_id import normalize_spectrum_id
@@ -208,3 +210,32 @@ def test_files_to_index_pridexml(spark, tmp_path):
     for r in archive:
         assert r["usi"].startswith("mzspec:PRD000001:legacy.xml:")
         assert len(r["masses"]) == 2
+
+
+def test_zip_equal_basenames_do_not_collide(tmp_path):
+    """Regression: members with equal basenames — within one archive's
+    subdirectories or across archives — must all survive staging, and
+    traversal member paths are rejected."""
+    import zipfile
+
+    from pride_spark.plans.ingest import stage_compressed
+
+    z1 = tmp_path / "sub.zip"
+    with zipfile.ZipFile(z1, "w") as zf:
+        zf.writestr("run1/spectra.mgf", "A")
+        zf.writestr("run2/spectra.mgf", "B")
+    z2 = tmp_path / "other.zip"
+    with zipfile.ZipFile(z2, "w") as zf:
+        zf.writestr("spectra.mgf", "C")
+
+    staged = stage_compressed([str(z1), str(z2)], str(tmp_path / "stage"))
+    assert len(staged) == len(set(staged)) == 3
+    assert sorted(open(p).read() for p in staged) == ["A", "B", "C"]
+    # basenames are preserved for downstream name-based joins
+    assert {p.rsplit("/", 1)[-1] for p in staged} == {"spectra.mgf"}
+
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("../escape.mgf", "E")
+    with pytest.raises(ValueError, match="unsafe"):
+        stage_compressed([str(evil)], str(tmp_path / "stage2"))

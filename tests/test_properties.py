@@ -245,7 +245,9 @@ def test_lsh_first_collision_pairs_match_any_band_reference(spark, docs):
 _XML_PARTS = st.lists(
     st.tuples(
         st.text(alphabet="ab&; \n", max_size=12),  # inter-record junk (no '<')
-        st.text(alphabet="xyz0189", min_size=0, max_size=10),  # record content
+        # record content — includes '>' and '/' (legal in attribute
+        # values and text), the quote-aware-scanner regression chars
+        st.text(alphabet="xyz0189>/", min_size=0, max_size=10),
         st.booleans(),  # namespace prefix on this record?
         st.booleans(),  # self-closed?
     ),

@@ -291,3 +291,70 @@ def test_hypertable_store_with_sketches(spark, ts_df, tmp_path):
         assert abs(served[k]["id_dv"] - direct[k]["id_dv"]) <= max(
             0.02 * direct[k]["id_dv"], 1.0
         )
+
+
+# ---------------------------------------------------------------------------
+# week-cascade nesting (regression: an ISO week straddling a month
+# boundary must not feed the month/quarter/year cascade)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def straddle_df(spark):
+    """Three events around the week of 2024-01-29, which contains both
+    Jan 31 and Feb 1 — the adversarial shape for week→month cascades."""
+    rows = [
+        (1, datetime.datetime(2024, 1, 31, 10), 1.0),
+        (2, datetime.datetime(2024, 2, 1, 10), 2.0),
+        (3, datetime.datetime(2024, 2, 15, 10), 3.0),
+    ]
+    return spark.createDataFrame(rows, "id int, ts timestamp, v double")
+
+
+def test_week_level_does_not_poison_coarser_cascade(spark, straddle_df):
+    out = hypertable_rollup(
+        straddle_df, "ts", AGGS,
+        resolutions=("day", "week", "month", "quarter", "year"),
+    )
+    months = {
+        r["bucket_start"].month: r["n"] for r in out.filter("level='month'").collect()
+    }
+    assert months == {1: 1, 2: 2}  # Feb 1 must not collapse into January
+    for res in ("day", "week", "month", "quarter", "year"):
+        got = out.filter(F.col("level") == res).drop("level")
+        want = _direct(straddle_df, res)
+        cols = sorted(got.columns)
+        assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_week_finest_recomputes_month_from_raw(spark, straddle_df):
+    """With 'week' as the finest level, month cannot cascade — it must
+    take an extra pass over raw events instead of emitting wrong rows."""
+    out = hypertable_rollup(straddle_df, "ts", AGGS, resolutions=("week", "month"))
+    months = {
+        r["bucket_start"].month: r["n"] for r in out.filter("level='month'").collect()
+    }
+    assert months == {1: 1, 2: 2}
+
+
+def test_store_meta_validates_finest_and_week_cascade(spark, ts_df, tmp_path):
+    from pride_spark.operators.timeseries import (
+        build_hypertable_store,
+        read_hypertable,
+        refresh_hypertable_store,
+    )
+
+    path = str(tmp_path / "ht")
+    build_hypertable_store(ts_df, "ts", AGGS, path, finest="hour")
+    # mislabeled read: stored hour rows must not be served as 'day'
+    with pytest.raises(ValueError, match="finest"):
+        read_hypertable(spark, path, AGGS, resolutions=("day",))
+    # mismatched refresh grain would corrupt the merge
+    with pytest.raises(ValueError, match="finest"):
+        refresh_hypertable_store(spark, path, ts_df, "ts", AGGS, finest="day")
+
+    # a week-grained store cannot serve month (and raw is unavailable)
+    wpath = str(tmp_path / "htw")
+    build_hypertable_store(ts_df, "ts", AGGS, wpath, finest="week")
+    with pytest.raises(ValueError, match="straddle"):
+        read_hypertable(spark, wpath, AGGS, resolutions=("week", "month"))
