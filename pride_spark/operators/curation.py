@@ -93,6 +93,56 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float] | DataFrame,
+    *,
+    id_col: str,
+    default_rate: float = 0.0,
+    seed: str = "stratified",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-rebalancing
+    step a training pipeline runs between curation and training (keep
+    100% of low-resource languages, 10% of English; rebalance domains;
+    cap a crawl snapshot).  A row survives iff
+    ``hash_fraction(seed, id) < rate(stratum)``; membership is a pure
+    function of ``(seed, id)``, so re-runs, re-partitions, and
+    incremental appends never flip a row, and different ``seed`` values
+    decorrelate this sample from :func:`hash_split` assignments (md5
+    fractions under different seeds are independent).
+
+    ``rates`` maps stratum value → keep fraction; rows whose stratum is
+    missing from the map (or NULL) keep ``default_rate``.  For a small
+    literal map the lookup compiles to a codegen ``CASE`` chain — the
+    whole operator is one narrow, predicate-pushable filter with no
+    shuffle.  For thousands of strata pass ``rates`` as a
+    ``(stratum, rate)`` DataFrame instead: the lookup becomes a
+    broadcast left join (one tiny build side, still no big-side
+    shuffle).
+    """
+    frac = hash_fraction(id_col, seed)
+    if isinstance(rates, DataFrame):
+        dim = rates.select(
+            F.col(rates.columns[0]).alias("__stratum"),
+            F.col(rates.columns[1]).cast("double").alias("__rate"),
+        )
+        return (
+            df.join(F.broadcast(dim), F.col(stratum_col) == F.col("__stratum"), "left")
+            .filter(frac < F.coalesce(F.col("__rate"), F.lit(float(default_rate))))
+            .drop("__stratum", "__rate")
+        )
+    expr = None
+    for k, v in rates.items():
+        cond = F.col(stratum_col) == F.lit(k)
+        lit = F.lit(float(v))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    rate = F.lit(float(default_rate)) if expr is None else expr.otherwise(
+        F.lit(float(default_rate))
+    )
+    return df.filter(frac < rate)
+
+
 def _tagged_signatures(
     df: DataFrame | None,
     text_col: str,

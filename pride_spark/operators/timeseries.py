@@ -21,6 +21,10 @@ aggregate functions are all re-aggregatable:
     sum    →  sum of partial sums   (decimal internally: exact, so the
               cascade is bit-identical to a direct per-level aggregate)
     min/max → min/max of partial min/max
+    avg    →  struct(decimal sum, count) pair, divided at finish
+    approx_distinct → HLL sketch union (mergeable by construction)
+    histogram → element-wise sum of fixed-boundary bucket counts
+              (exact; quantile estimates via histogram_quantile)
 
 Each cascade step after the first is a shuffle over an already-tiny
 frame, so the whole ladder costs one big exchange + k trivial ones.
@@ -99,12 +103,35 @@ class AggSpec:
       (the sketch's sparse→dense mode promotions are order-sensitive),
       so treat estimates as approximate everywhere, not just vs the
       true count;
-    - ``count``/``min``/``max`` re-aggregate as sum/min/max.
+    - ``count``/``min``/``max`` re-aggregate as sum/max;
+    - ``histogram`` (requires ``bins=(e0 < e1 < … < ek)``) carries
+      fixed-boundary bucket counts as ``array<long>`` with
+      ``len(bins)+1`` slots — ``(-inf,e0), [e0,e1), …, [ek,inf)``;
+      NULLs count nowhere.  Counts over fixed boundaries SUM, so the
+      cascade is exactly a direct per-level histogram (the mergeable
+      alternative to ``approx_percentile``, which cannot re-aggregate);
+      estimate quantiles from the finished counts with
+      :func:`histogram_quantile`.
     """
 
-    def __init__(self, fn: str, col: str | Column | None, alias: str):
-        if fn not in ("count", "sum", "min", "max", "avg", "approx_distinct"):
+    def __init__(
+        self,
+        fn: str,
+        col: str | Column | None,
+        alias: str,
+        *,
+        bins: Sequence[float] | None = None,
+    ):
+        if fn not in (
+            "count", "sum", "min", "max", "avg", "approx_distinct", "histogram"
+        ):
             raise ValueError(f"unsupported aggregate {fn!r}")
+        if fn == "histogram":
+            if not bins or list(bins) != sorted(set(bins)):
+                raise ValueError("histogram requires strictly increasing bins")
+            self.bins = [float(b) for b in bins]
+        elif bins is not None:
+            raise ValueError(f"bins is only valid for histogram, not {fn!r}")
         self.fn = fn
         self.col = col
         self.alias = alias
@@ -124,7 +151,26 @@ class AggSpec:
             ).alias(self.alias)
         if self.fn == "approx_distinct":
             return F.hll_sketch_agg(self._c()).alias(self.alias)
+        if self.fn == "histogram":
+            c = self._c()
+            return F.array(
+                *[
+                    F.sum(self._slot_cond(c, i).cast("long")).alias(f"b{i}")
+                    for i in range(len(self.bins) + 1)
+                ]
+            ).alias(self.alias)
         return getattr(F, self.fn)(self._c()).alias(self.alias)
+
+    def _slot_cond(self, c: Column, i: int) -> Column:
+        """value lands in slot i: (-inf,e0), [e0,e1), …, [ek,inf)."""
+        lo = None if i == 0 else self.bins[i - 1]
+        hi = None if i == len(self.bins) else self.bins[i]
+        cond = c.isNotNull()
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (c < F.lit(hi))
+        return cond
 
     def reagg(self) -> Column:
         src = F.col(self.alias)
@@ -134,6 +180,13 @@ class AggSpec:
             ).alias(self.alias)
         if self.fn == "approx_distinct":
             return F.hll_union_agg(src).alias(self.alias)
+        if self.fn == "histogram":
+            return F.array(
+                *[
+                    F.sum(src.getItem(i)).alias(f"b{i}")
+                    for i in range(len(self.bins) + 1)
+                ]
+            ).alias(self.alias)
         fn = "sum" if self.fn == "count" else self.fn
         return getattr(F, fn)(src).alias(self.alias)
 
@@ -146,6 +199,37 @@ class AggSpec:
         if self.fn == "approx_distinct":
             return F.hll_sketch_estimate(src).alias(self.alias)
         return src
+
+
+def histogram_quantile(
+    counts: Column | str, bins: Sequence[float], q: float
+) -> Column:
+    """Quantile estimate from a finished ``histogram`` counts array:
+    the first slot where the cumulative count reaches ``q × total``,
+    linearly interpolated inside the slot.  The open tail slots clamp
+    to their finite edge (a p99 living in ``[ek, inf)`` reports ``ek``
+    — widen the bins if the tail matters).  Pure Column expression —
+    the slot scan unrolls statically (bins are fixed), all codegen, no
+    UDF.  DOUBLE arithmetic: an estimate, not the exact
+    order-statistic; accuracy is the bin resolution."""
+    c = F.col(counts) if isinstance(counts, str) else counts
+    slots = len(bins) + 1
+    cnt = [c.getItem(i).cast("double") for i in range(slots)]
+    total = cnt[0]
+    for x in cnt[1:]:
+        total = total + x
+    target = F.lit(float(q)) * total
+    expr = None
+    cum_before: Column = F.lit(0.0)
+    for i in range(slots):
+        lo = bins[0] if i == 0 else bins[i - 1]
+        hi = bins[-1] if i == len(bins) else bins[i]
+        est = F.lit(lo) + ((target - cum_before) / cnt[i]) * F.lit(hi - lo)
+        est = F.least(F.greatest(est, F.lit(float(lo))), F.lit(float(hi)))
+        cond = (cnt[i] > 0) & (cum_before + cnt[i] >= target)
+        expr = F.when(cond, est) if expr is None else expr.when(cond, est)
+        cum_before = cum_before + cnt[i]
+    return expr.otherwise(F.lit(None).cast("double"))
 
 
 def hypertable_rollup(

@@ -770,7 +770,13 @@ def q20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Language-ID heuristic (north-star text analysis).
+# Language-ID heuristic (north-star text analysis) + per-language
+# stratified sampling (operators.curation.stratified_sample — the
+# corpus-rebalancing step a training pipeline runs on the detected
+# language; q20 fold pattern).  The sample is a pure function of
+# (seed, doc_id) via the q20 md5-fraction technique, so DuckDB derives
+# the identical survivor set; per-stratum rates compile to one codegen
+# CASE chain inside a narrow filter — no shuffle, no per-stratum pass.
 # ---------------------------------------------------------------------------
 @register(
     "q21_lang_detect",
@@ -786,7 +792,7 @@ def q20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['el','la','de','que','y'], x))) AS h_es,
         LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['le','la','et','les','des'], x))) AS h_fr
       FROM t
-    )
+    ), p AS (
     SELECT doc_id, lang AS lang_claimed,
            CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
                 WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr) THEN 'de'
@@ -794,14 +800,32 @@ def q20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
                 ELSE 'fr' END AS lang_pred
     FROM h
+    )
+    SELECT doc_id, lang_claimed, lang_pred
+    FROM p
+    WHERE CAST(CAST(CONCAT('0x', SUBSTR(MD5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS DOUBLE) / 4294967296.0
+          < CASE lang_pred WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.5
+                           WHEN 'de' THEN 1.0 WHEN 'fr' THEN 1.0
+                           ELSE 0.125 END
     """,
 )
 def q21_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators.curation import stratified_sample
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    pred = docs.select(
         "doc_id",
         F.col("lang").alias("lang_claimed"),
         text.detect_language(F.col("text")).alias("lang_pred"),
+    )
+    return stratified_sample(
+        pred,
+        "lang_pred",
+        {"en": 0.25, "es": 0.5, "de": 1.0, "fr": 1.0},
+        id_col="doc_id",
+        default_rate=0.125,
+        seed="strat",
     )
 
 

@@ -151,3 +151,70 @@ def test_persisted_corpus_signatures_reproduce_flags(spark, tmp_path):
         )
         assert indexed == fresh, f"cap={cap}"
     assert any(r[0] == "n1" for r in fresh)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from pride_spark.operators.curation import stratified_sample
+
+    rows = [(f"d{i}", ["en", "de", "es", None][i % 4]) for i in range(8000)]
+    df = spark.createDataFrame(rows, "id string, lang string")
+    rates = {"en": 0.25, "de": 1.0, "es": 0.5}
+
+    out = stratified_sample(df, "lang", rates, id_col="id", default_rate=0.1, seed="s")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    # per-stratum survival tracks the requested rate (2000 rows/stratum)
+    assert got["de"] == 2000                       # rate 1.0 keeps everything
+    assert abs(got["en"] - 500) < 120              # ~0.25 of 2000
+    assert abs(got["es"] - 1000) < 150             # ~0.5 of 2000
+    assert abs(got.get(None, 0) - 200) < 80        # NULL stratum → default_rate
+
+    # pure function of (seed, id): identical survivor set on re-run,
+    # different seed decorrelates
+    ids1 = {r["id"] for r in out.select("id").collect()}
+    ids2 = {
+        r["id"]
+        for r in stratified_sample(
+            df, "lang", rates, id_col="id", default_rate=0.1, seed="s"
+        ).select("id").collect()
+    }
+    assert ids1 == ids2
+    ids3 = {
+        r["id"]
+        for r in stratified_sample(
+            df, "lang", rates, id_col="id", default_rate=0.1, seed="other"
+        ).select("id").collect()
+    }
+    assert ids3 != ids1
+
+    # survivors are exactly the rows whose hash fraction clears the rate
+    frac = {r["id"]: r["f"] for r in df.select("id", hash_fraction("id", "s").alias("f")).collect()}
+    lang = dict(rows)
+    want = {
+        i for i in frac
+        if frac[i] < rates.get(lang[i], 0.1) if lang[i] is not None
+    } | {i for i in frac if lang[i] is None and frac[i] < 0.1}
+    assert ids1 == want
+
+
+def test_stratified_sample_dim_table_variant_matches_literal(spark):
+    """The broadcast-dim formulation (for thousands of strata) selects
+    the identical survivor set as the literal CASE chain, with the
+    original schema preserved."""
+    from pride_spark.operators.curation import stratified_sample
+
+    rows = [(f"d{i}", ["en", "de", "xx"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id string, lang string")
+    rates = {"en": 0.3, "de": 0.9}
+    dim = spark.createDataFrame(list(rates.items()), "stratum string, rate double")
+
+    lit_ids = {
+        r["id"]
+        for r in stratified_sample(
+            df, "lang", rates, id_col="id", default_rate=0.2, seed="s"
+        ).collect()
+    }
+    dim_out = stratified_sample(df, "lang", dim, id_col="id", default_rate=0.2, seed="s")
+    assert dim_out.columns == ["id", "lang"]
+    assert {r["id"] for r in dim_out.collect()} == lit_ids
+    plan = dim_out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -358,3 +358,97 @@ def test_store_meta_validates_finest_and_week_cascade(spark, ts_df, tmp_path):
     build_hypertable_store(ts_df, "ts", AGGS, wpath, finest="week")
     with pytest.raises(ValueError, match="straddle"):
         read_hypertable(spark, wpath, AGGS, resolutions=("week", "month"))
+
+
+# ---------------------------------------------------------------------------
+# mergeable fixed-bin histogram measure
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_cascade_equals_direct_and_quantile(spark, ts_df):
+    """Fixed-boundary counts SUM, so the cascaded histogram is exactly
+    the direct per-level histogram; quantile estimates interpolate
+    within bin resolution."""
+    from pride_spark.operators.timeseries import (
+        AggSpec,
+        histogram_quantile,
+        hypertable_rollup,
+    )
+
+    bins = [0.25, 0.75, 1.25, 1.75]
+    aggs = [AggSpec("count", None, "n"), AggSpec("histogram", "v", "v_hist", bins=bins)]
+    out = hypertable_rollup(ts_df, "ts", aggs, resolutions=("hour", "day"))
+
+    def direct(res):
+        conds = []
+        edges = [None, *bins, None]
+        for i in range(len(bins) + 1):
+            c = F.col("v").isNotNull()
+            if edges[i] is not None:
+                c = c & (F.col("v") >= edges[i])
+            if edges[i + 1] is not None:
+                c = c & (F.col("v") < edges[i + 1])
+            conds.append(F.sum(c.cast("long")))
+        return {
+            r["b"]: r["h"]
+            for r in ts_df.groupBy(time_bucket("ts", res).alias("b"))
+            .agg(F.array(*conds).alias("h"))
+            .collect()
+        }
+
+    for res in ("hour", "day"):
+        got = {
+            r["bucket_start"]: r["v_hist"]
+            for r in out.filter(F.col("level") == res).collect()
+        }
+        assert got == direct(res)
+
+    # slot counts cover every non-null row
+    tot = out.filter("level='total'").first()
+    assert sum(tot["v_hist"]) == tot["n"]
+
+    # quantile estimate: median of v (uniform-ish over [0, 12/7]) lands
+    # in the right bin, within bin resolution
+    med = (
+        out.filter("level='total'")
+        .select(histogram_quantile("v_hist", bins, 0.5).alias("p50"))
+        .first()["p50"]
+    )
+    true_med = ts_df.approxQuantile("v", [0.5], 0.0)[0]
+    assert abs(med - true_med) <= 0.5  # one bin width
+
+    # p0/p100 clamp to the finite edges
+    row = out.filter("level='total'").select(
+        histogram_quantile("v_hist", bins, 0.001).alias("lo"),
+        histogram_quantile("v_hist", bins, 1.0).alias("hi"),
+    ).first()
+    assert row["lo"] == bins[0] and row["hi"] == bins[-1]
+
+
+def test_histogram_store_roundtrip_and_validation(spark, ts_df, tmp_path):
+    from pride_spark.operators.timeseries import (
+        AggSpec,
+        build_hypertable_store,
+        hypertable_rollup,
+        read_hypertable,
+        refresh_hypertable_store,
+    )
+
+    with pytest.raises(ValueError, match="bins"):
+        AggSpec("histogram", "v", "h")  # bins required
+    with pytest.raises(ValueError, match="increasing"):
+        AggSpec("histogram", "v", "h", bins=[1.0, 1.0])
+    with pytest.raises(ValueError, match="only valid"):
+        AggSpec("sum", "v", "s", bins=[1.0])
+
+    aggs = [AggSpec("histogram", "v", "v_hist", bins=[0.5, 1.0, 1.5])]
+    path = str(tmp_path / "ht")
+    build_hypertable_store(ts_df.filter("id < 250"), "ts", aggs, path, finest="hour")
+    refresh_hypertable_store(
+        spark, path, ts_df.filter("id >= 250"), "ts", aggs, finest="hour"
+    )
+    served = _rows(read_hypertable(spark, path, aggs), "level", "bucket_start", "v_hist")
+    direct = _rows(
+        hypertable_rollup(ts_df, "ts", aggs), "level", "bucket_start", "v_hist"
+    )
+    assert served == direct
