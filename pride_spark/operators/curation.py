@@ -123,10 +123,12 @@ def stratified_sample(
     """
     frac = hash_fraction(id_col, seed)
     if isinstance(rates, DataFrame):
+        # one rate per stratum — a duplicated key in the dim would fan
+        # the left join out and silently duplicate sampled rows
         dim = rates.select(
             F.col(rates.columns[0]).alias("__stratum"),
             F.col(rates.columns[1]).cast("double").alias("__rate"),
-        )
+        ).dropDuplicates(["__stratum"])
         return (
             df.join(F.broadcast(dim), F.col(stratum_col) == F.col("__stratum"), "left")
             .filter(frac < F.coalesce(F.col("__rate"), F.lit(float(default_rate))))

@@ -26,6 +26,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pride_spark.session import register_pinned
+
 _KEY, _PID = "__fdr_key", "__fdr_pid"
 
 
@@ -110,7 +112,7 @@ def _global_two_pass(
         bucket = F.size(F.filter(blit, lambda b: b < F.col(_KEY)))
     else:  # degenerate single-bucket request (test path only)
         bucket = F.lit(0)
-    part = keyed.withColumn(_PID, bucket).persist()
+    part = register_pinned(keyed.withColumn(_PID, bucket).persist())
 
     stats = {
         r[_PID]: (r["d"], r["t"])
@@ -136,6 +138,7 @@ def _global_two_pass(
         )
         .persist()
     )
+    with_fdr = register_pinned(with_fdr)
     # Suffix minimum across buckets: min FDR of every worse bucket.
     pid_min = {
         r[_PID]: r["m"] for r in with_fdr.groupBy(_PID).agg(F.min(out_fdr).alias("m")).collect()

@@ -85,8 +85,8 @@ def time_bucket(ts: Column | str, resolution: str) -> Column:
 
 class AggSpec:
     """One re-aggregatable measure: ``fn`` over ``col``, surfaced as
-    ``alias``.  ``fn`` ∈ {count, sum, min, max, avg, approx_distinct};
-    for ``count`` the column is ignored (COUNT(*)).
+    ``alias``.  ``fn`` ∈ {count, sum, min, max, avg, approx_distinct,
+    histogram}; for ``count`` the column is ignored (COUNT(*)).
 
     Internal (cascade/store) representations, chosen so re-aggregation
     of partials EXACTLY equals a direct aggregate at any level:
@@ -103,7 +103,7 @@ class AggSpec:
       (the sketch's sparse→dense mode promotions are order-sensitive),
       so treat estimates as approximate everywhere, not just vs the
       true count;
-    - ``count``/``min``/``max`` re-aggregate as sum/max;
+    - ``count``/``min``/``max`` re-aggregate as sum/min/max;
     - ``histogram`` (requires ``bins=(e0 < e1 < … < ek)``) carries
       fixed-boundary bucket counts as ``array<long>`` with
       ``len(bins)+1`` slots — ``(-inf,e0), [e0,e1), …, [ek,inf)``;
@@ -232,6 +232,73 @@ def histogram_quantile(
     return expr.otherwise(F.lit(None).cast("double"))
 
 
+def _validated_order(resolutions: Sequence[str]) -> list[str]:
+    res = list(resolutions)
+    order = [r for r in _RES_ORDER if r in res]
+    if set(order) != set(res):
+        raise ValueError(f"unknown resolutions {sorted(set(res) - set(_RES_ORDER))}")
+    return order
+
+
+def _cascade_and_finish(
+    finest_df: DataFrame,
+    order: list[str],
+    aggs: Sequence[AggSpec],
+    by: list[str],
+    level_col: str,
+    bucket_col: str,
+    grand_total: bool,
+    fallback,
+) -> DataFrame:
+    """Shared ladder tail for :func:`hypertable_rollup` and
+    :func:`read_hypertable`: extend the (internal-representation) finest
+    level through ``order[1:]`` drawing each level from the coarsest
+    computed level that nests inside it, fold the grand total from the
+    coarsest level (every bucket scheme tiles the timeline), then finish
+    and union.  A level with no nesting source (only possible when the
+    finest level is ``week``) calls ``fallback(level)`` for an
+    internal-representation frame, or raises when ``fallback`` is None
+    (the store path, where raw events are unavailable)."""
+    computed = {order[0]: finest_df}
+    levels = [finest_df]
+    for r in order[1:]:
+        src = _cascade_source(computed, r)
+        if src is not None:
+            cur = (
+                computed[src]
+                .groupBy(*by, time_bucket(bucket_col, r).alias(bucket_col))
+                .agg(*[a.reagg() for a in aggs])
+            )
+        elif fallback is not None:
+            cur = fallback(r)
+        else:
+            raise ValueError(
+                f"cannot cascade {r!r} from stored levels "
+                f"{sorted(computed, key=_RES_ORDER.index)}: week buckets "
+                f"straddle {r} boundaries; rebuild the store with a "
+                f"nesting finest resolution (e.g. 'day')"
+            )
+        cur = cur.withColumn(level_col, F.lit(r))
+        computed[r] = cur
+        levels.append(cur)
+    if grand_total:
+        src_df = computed[order[-1]]
+        total = (
+            src_df.groupBy(*by)
+            .agg(*[a.reagg() for a in aggs])
+            .withColumn(bucket_col, F.lit(None).cast(dict(src_df.dtypes)[bucket_col]))
+            .withColumn(level_col, F.lit("total"))
+        )
+        levels.append(total)
+    out_cols = [*by, level_col, bucket_col, *[a.alias for a in aggs]]
+    final = [F.col(c) for c in [*by, level_col, bucket_col]] + [a.finish() for a in aggs]
+    parts = [lv.select(*out_cols).select(*final) for lv in levels]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def hypertable_rollup(
     df: DataFrame,
     ts_col: str,
@@ -252,58 +319,26 @@ def hypertable_rollup(
     Output: ``by… , level, bucket_start, <agg aliases…>`` — one row per
     (by, bucket) per level; the total row has NULL ``bucket_start``.
     """
-    res = list(resolutions)
-    order = [r for r in _RES_ORDER if r in res]
-    if set(order) != set(res):
-        bad = set(res) - set(_RES_ORDER)
-        raise ValueError(f"unknown resolutions {sorted(bad)}")
+    order = _validated_order(resolutions)
     by = list(by or [])
-
     finest = order[0]
     cur = (
         df.groupBy(*by, time_bucket(ts_col, finest).alias(bucket_col))
         .agg(*[a.first_level() for a in aggs])
         .withColumn(level_col, F.lit(finest))
     )
-    computed = {finest: cur}
-    levels = [cur]
-    for r in order[1:]:
-        src = _cascade_source(computed, r)
-        if src is not None:
-            cur = (
-                computed[src]
-                .groupBy(*by, time_bucket(bucket_col, r).alias(bucket_col))
-                .agg(*[a.reagg() for a in aggs])
-            )
-        else:
-            # only reachable when the finest resolution is 'week': week
-            # buckets straddle month boundaries, so this level takes one
-            # extra pass over the raw events instead of a wrong cascade.
-            cur = df.groupBy(*by, time_bucket(ts_col, r).alias(bucket_col)).agg(
-                *[a.first_level() for a in aggs]
-            )
-        cur = cur.withColumn(level_col, F.lit(r))
-        computed[r] = cur
-        levels.append(cur)
-    if grand_total:
-        # any single level tiles the whole timeline, so fold the
-        # coarsest one (fewest rows).
-        src = computed[order[-1]]
-        total = (
-            src.groupBy(*by)
-            .agg(*[a.reagg() for a in aggs])
-            .withColumn(bucket_col, F.lit(None).cast(dict(src.dtypes)[bucket_col]))
-            .withColumn(level_col, F.lit("total"))
-        )
-        levels.append(total)
 
-    out_cols = [*by, level_col, bucket_col, *[a.alias for a in aggs]]
-    final = [F.col(c) for c in [*by, level_col, bucket_col]] + [a.finish() for a in aggs]
-    parts = [lv.select(*out_cols).select(*final) for lv in levels]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    def from_raw(r: str) -> DataFrame:
+        # only reachable when the finest resolution is 'week': week
+        # buckets straddle month boundaries, so this level takes one
+        # extra pass over the raw events instead of a wrong cascade.
+        return df.groupBy(*by, time_bucket(ts_col, r).alias(bucket_col)).agg(
+            *[a.first_level() for a in aggs]
+        )
+
+    return _cascade_and_finish(
+        cur, order, aggs, by, level_col, bucket_col, grand_total, from_raw
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -362,11 +397,19 @@ def _write_store_meta(spark, path: str, finest: str) -> None:
 
 def _read_store_meta(spark, path: str) -> str | None:
     """The store's recorded finest resolution, or None for a pre-meta
-    store (validation is then skipped for backward compatibility)."""
+    store (validation is then skipped for backward compatibility).
+    Only a MISSING ``_meta`` maps to None — an unreadable or corrupt
+    sidecar raises, because silently skipping validation there would
+    re-open the mislabeled-grain corruption the sidecar exists to
+    prevent."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.json(path + "/_meta").collect()
-    except Exception:
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
     return rows[0]["finest"] if rows else None
 
 
@@ -441,10 +484,7 @@ def read_hypertable(
     cascade-compatible subset of the ladder (``week``-to-``month`` is
     rejected: week buckets straddle month boundaries, and the raw
     events are not available here to recompute from)."""
-    res = list(resolutions)
-    order = [r for r in _RES_ORDER if r in res]
-    if set(order) != set(res):
-        raise ValueError(f"unknown resolutions {sorted(set(res) - set(_RES_ORDER))}")
+    order = _validated_order(resolutions)
     by = list(by or [])
     stored = _read_store_meta(spark, path)
     if stored is not None and stored != order[0]:
@@ -452,40 +492,11 @@ def read_hypertable(
             f"resolutions[0]={order[0]!r} does not match the store's "
             f"recorded finest resolution {stored!r}"
         )
-    cur = spark.read.parquet(path).drop("part_date")
-    cur = cur.withColumn(level_col, F.lit(order[0]))
-    computed = {order[0]: cur}
-    levels = [cur]
-    for r in order[1:]:
-        src = _cascade_source(computed, r)
-        if src is None:
-            raise ValueError(
-                f"cannot cascade {r!r} from stored levels "
-                f"{sorted(computed, key=_RES_ORDER.index)}: week buckets "
-                f"straddle {r} boundaries; rebuild the store with a "
-                f"nesting finest resolution (e.g. 'day')"
-            )
-        cur = (
-            computed[src]
-            .groupBy(*by, time_bucket(bucket_col, r).alias(bucket_col))
-            .agg(*[a.reagg() for a in aggs])
-            .withColumn(level_col, F.lit(r))
-        )
-        computed[r] = cur
-        levels.append(cur)
-    if grand_total:
-        src_df = computed[order[-1]]
-        total = (
-            src_df.groupBy(*by)
-            .agg(*[a.reagg() for a in aggs])
-            .withColumn(bucket_col, F.lit(None).cast(dict(src_df.dtypes)[bucket_col]))
-            .withColumn(level_col, F.lit("total"))
-        )
-        levels.append(total)
-    out_cols = [*by, level_col, bucket_col, *[a.alias for a in aggs]]
-    final = [F.col(c) for c in [*by, level_col, bucket_col]] + [a.finish() for a in aggs]
-    parts = [lv.select(*out_cols).select(*final) for lv in levels]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    cur = (
+        spark.read.parquet(path)
+        .drop("part_date")
+        .withColumn(level_col, F.lit(order[0]))
+    )
+    return _cascade_and_finish(
+        cur, order, aggs, by, level_col, bucket_col, grand_total, fallback=None
+    )

@@ -73,20 +73,35 @@ def stage_compressed(paths: list[str], stage_dir: str | None = None) -> list[str
         # one subdirectory per archive, member paths preserved beneath
         # it: members keep their basenames (downstream name joins rely
         # on them) and equal basenames — within one archive's subdirs or
-        # across archives — can never overwrite each other.
-        arch_dir = os.path.join(
-            stage_dir, f"{os.path.splitext(os.path.basename(p))[0]}-{k}"
+        # across archives — can never overwrite each other.  A repeated
+        # IDENTICAL member path (legal in the zip format, e.g. an
+        # appended update) is disambiguated with a numeric suffix so
+        # both payloads survive.
+        arch_dir = os.path.normpath(
+            os.path.join(stage_dir, f"{os.path.splitext(os.path.basename(p))[0]}-{k}")
         )
         with zipfile.ZipFile(p.removeprefix("file:")) as zf:
-            members = [n for n in zf.namelist() if not n.endswith("/")]
+            # open by ZipInfo, not name: name lookup resolves a repeated
+            # member path to its LAST entry, which would extract one
+            # payload twice instead of both
+            members = [m for m in zf.infolist() if not m.filename.endswith("/")]
             if not members:
                 raise ValueError(f"empty zip archive: {p}")
-            for name in members:
+            taken: set[str] = set()
+            for member in members:
+                name = member.filename
                 target = os.path.normpath(os.path.join(arch_dir, name))
                 if not target.startswith(arch_dir + os.sep):
                     raise ValueError(f"unsafe member path {name!r} in {p}")
+                if target in taken:
+                    root, ext = os.path.splitext(target)
+                    i = 1
+                    while f"{root}-{i}{ext}" in taken:
+                        i += 1
+                    target = f"{root}-{i}{ext}"
+                taken.add(target)
                 os.makedirs(os.path.dirname(target), exist_ok=True)
-                with zf.open(name) as src, open(target, "wb") as dst:
+                with zf.open(member) as src, open(target, "wb") as dst:
                     shutil.copyfileobj(src, dst)
                 out.append(target)
     return out

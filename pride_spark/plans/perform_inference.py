@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pride_spark.operators.cluster import best_psm_per_cluster
+from pride_spark.session import register_pinned
 from pride_spark.operators.joins import positional_zip_join
 from pride_spark.operators.rollup import explode_protein_accessions, protein_rollup
 
@@ -64,6 +65,7 @@ def perform_inference(
         score_col="score",
         better="lower",
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    best = register_pinned(best)
     # J9 — re-attach the full archive record for the winning USIs.
     winners = archive.join(F.broadcast(best.select("usi")), "usi", "left_semi")
     slim = winners.select(

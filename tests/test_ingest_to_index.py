@@ -239,3 +239,24 @@ def test_zip_equal_basenames_do_not_collide(tmp_path):
         zf.writestr("../escape.mgf", "E")
     with pytest.raises(ValueError, match="unsafe"):
         stage_compressed([str(evil)], str(tmp_path / "stage2"))
+
+
+def test_zip_relative_stage_dir_and_duplicate_members(tmp_path, monkeypatch):
+    """A relative/unnormalized stage_dir must not trip the traversal
+    guard, and repeated identical member paths (legal zip) each survive
+    with a numeric suffix."""
+    import zipfile
+
+    from pride_spark.plans.ingest import stage_compressed
+
+    z = tmp_path / "dup.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("x.mgf", "FIRST")
+        zf.writestr("x.mgf", "SECOND")
+
+    monkeypatch.chdir(tmp_path)
+    staged = stage_compressed([str(z)], "./stage")  # unnormalized on purpose
+    assert len(staged) == len(set(staged)) == 2
+    assert sorted(open(p).read() for p in staged) == ["FIRST", "SECOND"]
+    names = sorted(p.rsplit("/", 1)[-1] for p in staged)
+    assert names == ["x-1.mgf", "x.mgf"]

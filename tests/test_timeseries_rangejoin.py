@@ -452,3 +452,21 @@ def test_histogram_store_roundtrip_and_validation(spark, ts_df, tmp_path):
         hypertable_rollup(ts_df, "ts", aggs), "level", "bucket_start", "v_hist"
     )
     assert served == direct
+
+
+def test_corrupt_store_meta_raises_not_skips(spark, ts_df, tmp_path):
+    """Only a MISSING _meta skips validation (pre-meta stores); an
+    unreadable sidecar must raise rather than silently accept a
+    mismatched grain."""
+    import shutil
+
+    from pride_spark.operators.timeseries import (
+        build_hypertable_store,
+        read_hypertable,
+    )
+
+    path = str(tmp_path / "ht")
+    build_hypertable_store(ts_df, "ts", AGGS, path, finest="hour")
+    # pre-meta store: no sidecar → validation skipped, read succeeds
+    shutil.rmtree(path + "/_meta")
+    assert read_hypertable(spark, path, AGGS, resolutions=("hour",)).count() > 0
