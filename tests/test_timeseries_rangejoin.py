@@ -467,6 +467,20 @@ def test_corrupt_store_meta_raises_not_skips(spark, ts_df, tmp_path):
 
     path = str(tmp_path / "ht")
     build_hypertable_store(ts_df, "ts", AGGS, path, finest="hour")
+
+    # corrupt sidecar: _meta present but unreadable as the expected record
+    # → raise (a silent skip would re-admit the mislabeled-grain bug)
+    meta_files = [
+        p
+        for p in (tmp_path / "ht" / "_meta").iterdir()
+        if p.name.endswith(".json")
+    ]
+    assert meta_files
+    for p in meta_files:
+        p.write_text('{"wrong_field": 1}\n')
+    with pytest.raises(Exception):
+        read_hypertable(spark, path, AGGS, resolutions=("hour",)).count()
+
     # pre-meta store: no sidecar → validation skipped, read succeeds
     shutil.rmtree(path + "/_meta")
     assert read_hypertable(spark, path, AGGS, resolutions=("hour",)).count() > 0

@@ -132,10 +132,16 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    from pride_spark.session import get_spark
+    from pride_spark.session import get_spark, release_cached_state
     from pride_spark import registry
 
-    spark = get_spark("stress-scale")
+    spark = get_spark(
+        "stress-scale",
+        # same session hygiene as bench.py: without a periodic driver GC
+        # the ContextCleaner never reclaims finished queries' shuffle
+        # state inside a short run, and tail queries degrade 30-70%
+        extra_conf={"spark.cleaner.periodicGC.interval": "15s"},
+    )
     if not args.skip_build:
         t0 = time.time()
         build(spark, args.out, args.factor,
@@ -162,6 +168,12 @@ def main() -> int:
             results[name] = {"sec": round(dt, 2), "err": repr(exc)[:200]}
         total += dt
         print(json.dumps({name: results[name]}), file=sys.stderr)
+        # measure each query against clean executor storage (see bench.py)
+        release_cached_state(spark)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     out = {"factor": args.factor, "total_sec": round(total, 2), "queries": results}
     if args.star_graph:
         from pyspark.sql import functions as F
