@@ -1770,10 +1770,53 @@ def q42_proforma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN (north-star similarity scale path) — probing ALL buckets
 # is exact, so brute-force SQL is the oracle; smaller n_probe trades recall.
+# Folded in (round 4, same 50-entry-cap technique as q48's method column):
+# method='pq' gates PRODUCT-QUANTIZATION compressed-domain scoring
+# (similarity.pq_topk) with seeded literal codebooks — DuckDB replays the
+# exact per-subspace argmin encode and the ADC left-to-right fold, so the
+# 16-32x-narrower-scan ANN path gets a value-hash oracle row.  Trained
+# codebooks + exact re-ranking stay pytest-covered
+# (tests/test_dedup_similarity_text.py).
 # ---------------------------------------------------------------------------
-@register(
-    "q43_ivf_ann",
-    """
+_PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
+
+
+def _pq_oracle_sql() -> str:
+    """q43's oracle: exact-cosine top-3 (method='ivf'; probing all IVF
+    buckets is exact) UNION the seeded-codebook PQ/ADC top-3
+    (method='pq').  Every dot product is an EXPLICIT left-to-right
+    addition chain / LIST_REDUCE — bit-identical to Spark's
+    ``F.aggregate`` fold (a 0.0 init adds exactly nothing), so the encode
+    argmin and the 6-dp-rounded ADC agree across engines."""
+    from pride_spark.operators.similarity import pq_codebooks_seeded
+
+    books = pq_codebooks_seeded(m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    sub = _PQ_DIM // _PQ_M
+
+    def chain(vec: str, off: int, cent: list[float]) -> str:
+        return " + ".join(f"{vec}[{off + i + 1}]*{x!r}e0" for i, x in enumerate(cent))
+
+    code_exprs = []
+    for j, book in enumerate(books):
+        entries = ", ".join(
+            "{'d': %re0 - 2e0*(%s), 'code': %d}"
+            % (round(sum(x * x for x in c), 10), chain("v", j * sub, c), ci)
+            for ci, c in enumerate(book)
+        )
+        code_exprs.append(f"LIST_SORT([{entries}])[1].code")
+    codes_sql = ",\n             ".join(code_exprs)
+
+    adc_terms = []
+    for j, book in enumerate(books):
+        lists = ", ".join("[" + ", ".join(f"{x!r}e0" for x in c) + "]" for c in book)
+        adc_terms.append(
+            f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {sub + 1}), "
+            f"i -> qv[{j * sub} + i] * (CAST([{lists}] AS DOUBLE[][]))"
+            f"[codes[{j + 1}] + 1][i]), (a, b) -> a + b)"
+        )
+    adc_sql = "\n               + ".join(adc_terms)
+
+    return f"""
     WITH p AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 50),
     b AS (SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
@@ -1781,22 +1824,51 @@ def q42_proforma(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, nbr_id,
              ROUND(LIST_INNER_PRODUCT(qv, nv) /
                    (SQRT(LIST_INNER_PRODUCT(qv, qv)) * SQRT(LIST_INNER_PRODUCT(nv, nv))),
-                   6) AS cosine
+                   6) AS score
       FROM p JOIN b ON query_id <> nbr_id
+    ),
+    enc AS (
+      SELECT vec_id AS nbr_id,
+             [{codes_sql}] AS codes
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    pq_scored AS (
+      SELECT query_id, nbr_id,
+             ROUND({adc_sql}, 6) AS score
+      FROM p JOIN enc ON query_id <> nbr_id
     )
-    SELECT query_id, nbr_id, cosine, rank FROM (
+    SELECT 'ivf' AS method, query_id, nbr_id, score, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, nbr_id) AS rank
+                                   ORDER BY score DESC, nbr_id) AS rank
       FROM scored
     ) WHERE rank <= 3
-    """,
-)
+    UNION ALL
+    SELECT 'pq' AS method, query_id, nbr_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, nbr_id) AS rank
+      FROM pq_scored
+    ) WHERE rank <= 3
+    """
+
+
+@register("q43_ivf_ann", _pq_oracle_sql())
 def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") < 50)
-    return similarity.ivf_topk(
+    ivf = similarity.ivf_topk(
         emb, "vec_id", "embedding", k=3, n_centroids=8, n_probe=8, probe=probe
+    ).select(
+        F.lit("ivf").alias("method"), "query_id", "nbr_id",
+        F.col("cosine").alias("score"), "rank",
     )
+    books = similarity.pq_codebooks_seeded(m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    pq = similarity.pq_topk(
+        emb, "vec_id", "embedding", books, k=3, probe=probe
+    ).select(
+        F.lit("pq").alias("method"), "query_id", "nbr_id",
+        F.col("adc").alias("score"), "rank",
+    )
+    return ivf.unionByName(pq)
 
 
 # NOTE: the document-fingerprint query (formerly q44_fingerprint) is folded

@@ -387,3 +387,87 @@ def test_ivf_index_replicas_roundtrip(spark, tmp_path):
     g = {(r["query_id"], r["nbr_id"]) for r in got.collect()}
     w = {(r["query_id"], r["nbr_id"]) for r in want.collect()}
     assert len(g & w) / len(w) > 0.85
+
+
+def test_pq_adc_matches_numpy_and_seeded_codebooks_deterministic(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pride_spark.operators import similarity
+
+    # seeded codebooks are pure literals: same call, same floats
+    b1 = similarity.pq_codebooks_seeded(m=4, k=8, dim=64)
+    b2 = similarity.pq_codebooks_seeded(m=4, k=8, dim=64)
+    assert b1 == b2 and len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.orderBy("vec_id").limit(2).collect()
+    q = np.asarray(rows[0]["embedding"], dtype=float)
+    v = np.asarray(rows[1]["embedding"], dtype=float)
+    sub = 64 // 4
+    # reference encode: L2-nearest centroid per subspace
+    codes_ref = [
+        int(((np.asarray(b1[j]) - v[j * sub : (j + 1) * sub]) ** 2).sum(axis=1).argmin())
+        for j in range(4)
+    ]
+    enc = (
+        emb.orderBy("vec_id")
+        .limit(2)
+        .select("vec_id", similarity.pq_encode_expr(F.col("embedding"), b1).alias("c"))
+        .collect()
+    )
+    assert list(enc[1]["c"]) == codes_ref
+
+    adc_ref = sum(
+        float(q[j * sub : (j + 1) * sub] @ np.asarray(b1[j][codes_ref[j]]))
+        for j in range(4)
+    )
+    row = spark.createDataFrame(
+        [(list(map(float, q)), codes_ref)], "q array<double>, c array<int>"
+    )
+    adc = row.select(similarity.pq_adc_expr(F.col("q"), F.col("c"), b1).alias("a")).first()["a"]
+    assert abs(adc - adc_ref) < 1e-9
+
+
+def test_pq_topk_rerank_recall_and_precomputed_codes(spark):
+    from pyspark.sql import functions as F
+
+    from pride_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probe = emb.filter("vec_id < 20")
+    exact = {
+        (r["query_id"], r["nbr_id"])
+        for r in similarity.brute_force_topk(
+            emb, "vec_id", "embedding", k=3, probe=probe
+        ).collect()
+    }
+    books = similarity.pq_train(emb, "vec_id", "embedding", m=16, k=16)
+    got = {
+        (r["query_id"], r["nbr_id"])
+        for r in similarity.pq_topk(
+            emb, "vec_id", "embedding", books, k=3, probe=probe, rerank=50
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"pq+rerank recall@3 {recall:.2f}"
+
+    # a precomputed codes table (the served-index amortization) gives the
+    # same raw-ADC result as inline encode
+    codes_df = emb.select(
+        F.col("vec_id").alias("nbr_id"),
+        similarity.pq_encode_expr(F.col("embedding"), books).alias("codes"),
+    )
+    raw_inline = {
+        tuple(r)
+        for r in similarity.pq_topk(
+            emb, "vec_id", "embedding", books, k=3, probe=probe
+        ).collect()
+    }
+    raw_precomp = {
+        tuple(r)
+        for r in similarity.pq_topk(
+            emb, "vec_id", "embedding", books, k=3, probe=probe, codes_df=codes_df
+        ).collect()
+    }
+    assert raw_inline == raw_precomp

@@ -38,6 +38,16 @@ WHITELIST: dict[str, dict[str, str]] = {
             "scale paths are q43 (IVF) and q49 (LSH)"
         ),
     },
+    "q43_ivf_ann": {
+        "BroadcastNestedLoopJoin": (
+            "PQ/ADC fold: the bounded probe batch (50 rows) broadcast "
+            "against the COMPRESSED codes table — the per-candidate scan "
+            "reads m small ints, not the float vectors; at IVF scale the "
+            "codes table is bucketed by centroid and this becomes an "
+            "equi-join on probed bucket ids (IVF-PQ, see "
+            "similarity.pq_topk docstring)"
+        ),
+    },
     "q03_fdr_qvalue": {
         "Exchange SinglePartition": (
             "two-pass boundary collect: one row per value-bucket (O(32)), not per PSM"
