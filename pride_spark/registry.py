@@ -37,7 +37,7 @@ from pride_spark.operators.fdr import add_fdr_qvalue, repair_zero_qvalues, top_n
 from pride_spark.sinks.mgf import mgf_record
 from pride_spark.operators.joins import contains_first_match, positional_zip_join, semi_join_members
 from pride_spark.operators.rollup import distinguishable_categories, protein_rollup
-from pride_spark.session import tune
+from pride_spark.session import register_pinned, tune
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -492,10 +492,12 @@ def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digest and the batch flag); both incremental sides AND the exact
     # dedup derive from this persisted narrow frame — the alternative
     # (exact_dedup + one signature pass per side) scans the text thrice.
-    mh = dedup.minhash_signatures_df(
-        docs, "text", "doc_id", num_hashes=8, shingle_n=3,
-        carry={"dg": F.md5(F.col("text")), "is_new": is_new},
-    ).persist()
+    mh = register_pinned(
+        dedup.minhash_signatures_df(
+            docs, "text", "doc_id", num_hashes=8, shingle_n=3,
+            carry={"dg": F.md5(F.col("text")), "is_new": is_new},
+        ).persist()
+    )
     exact = mh.groupBy("dg").agg(F.min("id").alias("doc_id")).select(
         F.lit("exact").alias("kind"),
         "doc_id",

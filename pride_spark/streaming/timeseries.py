@@ -15,13 +15,19 @@ instead keeps buckets queryable immediately (updated in place on every
 batch) and handles arbitrarily late events for free (a stale date's
 partition is simply touched again), with no state store at all.
 
-Exactly-once: Structured Streaming replays a micro-batch after a crash
-(at-least-once delivery into ``foreachBatch``); the sink records the
-last merged ``batch_id`` in a marker file inside the store and skips
+Delivery guarantee: Structured Streaming replays a micro-batch after a
+crash (at-least-once delivery into ``foreachBatch``); the sink records
+the last merged ``batch_id`` in a marker file inside the store
+(tmp + ``os.replace`` so the marker itself is never torn) and skips
 batches it has already merged — the standard idempotent-foreachBatch
-recipe, which makes the merge effectively exactly-once under the SAME
-checkpoint.  (Restarting with a NEW checkpoint replays the source from
-scratch and would double-count — rebuild the store alongside.)
+recipe.  That is exactly-once EXCEPT for one crash window: a failure
+after the merge commits but before the marker replace double-counts
+that single batch on replay.  Closing that window needs the merge and
+the marker in one atomic commit — i.e. a transactional table format
+(Delta/Iceberg) at production scale.  Restarting with a NEW checkpoint
+replays the source from scratch and would double-count — rebuild the
+store alongside (an empty store clears any stale marker so rebuilt
+batch ids starting at 0 are not skipped).
 """
 
 from __future__ import annotations
@@ -50,9 +56,24 @@ def _read_marker(store_path: str) -> int:
 
 
 def _write_marker(store_path: str, batch_id: int) -> None:
+    # tmp + os.replace so a crash mid-write never leaves a truncated
+    # marker.  A crash BETWEEN the merge commit and this replace still
+    # double-counts that one batch on replay (documented crash window —
+    # at-least-once across that boundary; a transactional table format
+    # is the fix for exactly-once at production scale).
     os.makedirs(store_path, exist_ok=True)
-    with open(os.path.join(store_path, _MARKER), "w") as fh:
+    final = os.path.join(store_path, _MARKER)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
         fh.write(str(batch_id))
+    os.replace(tmp, final)
+
+
+def _clear_marker(store_path: str) -> None:
+    try:
+        os.remove(os.path.join(store_path, _MARKER))
+    except OSError:
+        pass
 
 
 def make_hypertable_batch_sink(
@@ -76,12 +97,18 @@ def make_hypertable_batch_sink(
     by = list(by or [])
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _read_marker(store_path):
+        has_data = os.path.isdir(store_path) and any(
+            n.startswith("part_date=") for n in os.listdir(store_path)
+        )
+        if not has_data:
+            # empty store + leftover marker = restart with a fresh
+            # checkpoint: batch ids restart at 0, so a stale high marker
+            # would silently skip every rebuilt batch.  Clear it.
+            _clear_marker(store_path)
+        elif batch_id <= _read_marker(store_path):
             return  # replayed batch under the same checkpoint: already merged
         spark = batch_df.sparkSession
-        if os.path.isdir(store_path) and any(
-            n.startswith("part_date=") for n in os.listdir(store_path)
-        ):
+        if has_data:
             refresh_hypertable_store(
                 spark, store_path, batch_df, ts_col, aggs,
                 finest=finest, by=by, bucket_col=bucket_col,
