@@ -56,6 +56,22 @@ def main() -> int:
     runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
     timings: dict[str, float] = {}
     for name, fn in registry.queries().items():
+        # One UNTIMED discard run per query: it absorbs this query's
+        # first-execution costs (codegen for new plan shapes, Arrow/pandas
+        # worker spin-up, the previous query's GC straddling into the
+        # first job) that min-of-N cannot mask when they hit every run in
+        # a degraded window.  Round-4 showed +15-80% drift on queries
+        # whose code had not changed — position in the battery, not the
+        # plan, was the variable.  The discard run pins that down: every
+        # TIMED run now starts from the same warm state regardless of
+        # where the query sits in the session.
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as ex:  # a failed query must not hide the others
+            timings[name] = -1.0
+            print(f"# {name} FAILED: {ex}", file=sys.stderr)
+            release_cached_state(spark)
+            continue
         best = None
         for _ in range(runs):
             t0 = time.time()
@@ -63,7 +79,7 @@ def main() -> int:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
-            except Exception as ex:  # a failed query must not hide the others
+            except Exception as ex:
                 best = -1.0
                 print(f"# {name} FAILED: {ex}", file=sys.stderr)
                 break
@@ -76,11 +92,14 @@ def main() -> int:
         # ... and force a driver GC so the ContextCleaner actually
         # reclaims the unreferenced shuffle/broadcast state right now
         # (outside the timed window) instead of at the 30-min periodic
-        # GC a short bench never reaches.
+        # GC a short bench never reaches; the brief settle lets the
+        # cleaner's async unpersist/remove messages drain before the
+        # next query's discard run starts.
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
+        time.sleep(0.2)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

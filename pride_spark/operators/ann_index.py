@@ -25,6 +25,31 @@ Fidelity: searching with ``n_probe = n_centroids`` equals the in-memory
 ``ivf_topk`` (and hence brute force under full probe) — asserted in
 tests.  ``assign_replicas`` multi-assignment trades storage for boundary
 recall exactly as in ``ivf_topk``.
+
+IVF-PQ (the composed 100 TB shape): pass ``pq_codebooks`` to
+:func:`build_ivf_index` and the inverted file stores PRODUCT-QUANTIZED
+codes — ``m`` small ints per row — instead of the float vectors, with
+the raw vectors in a separate ``vectors/`` side table.
+:func:`search_ivf_pq_index` then runs the whole funnel the PQ literature
+prescribes (Jegou/Douze/Schmid 2011) as one declarative plan:
+
+1. partition-pruned scan of the CODES table (static ``isin`` on probed
+   centroid ids → ``PartitionFilters`` drop unprobed posting lists
+   before any executor reads a byte — and each byte read is 16-32x
+   narrower than the float vectors);
+2. hash EQUI-join probe×codes on ``centroid_id`` (the bounded-probe
+   BroadcastNestedLoopJoin of the standalone ``pq_topk`` disappears —
+   at IVF scale the candidate pairing is an ordinary shuffled/broadcast
+   equi-join Catalyst plans like any other);
+3. ADC scoring from per-query LUTs hoisted to the probe side (per pair:
+   ``m`` array lookups, whole-stage codegen);
+4. per-query top-``rerank`` shortlist, then exact cosine over ONLY the
+   shortlist via an id equi-join against ``vectors/`` — point-lookup
+   scale at any corpus size.
+
+Full probe + sufficient rerank reproduces exact cosine top-k (the
+oracle identity q43 ``method='ivf_pq'`` gates end-to-end vs DuckDB);
+shrinking ``n_probe`` trades recall for bytes exactly as raw IVF does.
 """
 
 from __future__ import annotations
@@ -40,6 +65,9 @@ from pride_spark.operators.similarity import (
     _nearest_centroids_expr,
     l2_norm,
     pair_cosine,
+    pq_adc_from_luts,
+    pq_encode_expr,
+    pq_luts_expr,
 )
 
 
@@ -52,8 +80,14 @@ def build_ivf_index(
     n_centroids: int = 16,
     assign_replicas: int = 1,
     kmeans_iters: int = 2,
+    pq_codebooks: list[list[list[float]]] | None = None,
 ) -> dict:
     """Train the quantizer and materialize the inverted file at ``path``.
+
+    With ``pq_codebooks`` the index is IVF-PQ: ``assignments/`` holds
+    PQ codes (``m`` ints/row, 16-32x narrower than the floats) and the
+    raw vectors land in ``vectors/`` for shortlist re-ranking only.
+    Codebooks persist in ``meta.json`` so search needs no retraining.
 
     Returns the meta dict (also persisted as ``meta.json``)."""
     spark = df.sparkSession
@@ -73,12 +107,26 @@ def build_ivf_index(
             F.transform(F.slice(order, 1, assign_replicas), lambda s: s["cid"])
         )
     )
-    assigned = df.select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nbr_vec"),
-        l2_norm(F.col(vec_col)).alias("nbr_norm"),
-        bucket.alias("centroid_id"),
-    )
+    if pq_codebooks is None:
+        assigned = df.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).alias("nbr_vec"),
+            l2_norm(F.col(vec_col)).alias("nbr_norm"),
+            bucket.alias("centroid_id"),
+        )
+    else:
+        # the posting lists carry ONLY the compressed codes; one extra
+        # narrow table keeps the floats for the re-rank point lookups
+        assigned = df.select(
+            F.col(id_col).alias("nbr_id"),
+            pq_encode_expr(F.col(vec_col), pq_codebooks).alias("codes"),
+            bucket.alias("centroid_id"),
+        )
+        df.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).alias("nbr_vec"),
+            l2_norm(F.col(vec_col)).alias("nbr_norm"),
+        ).write.mode("overwrite").parquet(f"{path}/vectors")
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/assignments"
     )
@@ -86,6 +134,7 @@ def build_ivf_index(
         "n_centroids": len(cents),
         "assign_replicas": assign_replicas,
         "id_type": dict(df.dtypes)[id_col],
+        "pq_codebooks": pq_codebooks,
     }
     with open(os.path.join(path.removeprefix("file:"), "meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -151,3 +200,88 @@ def search_ivf_index(
         scored = scored.dropDuplicates(["query_id", "nbr_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def search_ivf_pq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 3,
+    n_probe: int | None = None,
+    rerank: int = 50,
+) -> DataFrame:
+    """Composed IVF-PQ search over an index built with ``pq_codebooks``:
+    partition-pruned scan of the compressed posting lists → equi-join on
+    probed centroid ids → ADC shortlist of ``rerank`` per query → exact
+    cosine over the shortlist only.  Output:
+    ``(query_id, nbr_id, cosine, rank)``.
+
+    Full probe + ``rerank`` ≥ corpus reproduces exact cosine top-k
+    (q43 ``method='ivf_pq'`` gates this identity vs DuckDB); production
+    settings shrink both knobs.  Candidate pairing is a plain hash
+    equi-join — no BroadcastNestedLoopJoin anywhere in this plan
+    (asserted in tests alongside the ``PartitionFilters`` pruning)."""
+    meta = _load_meta(path)
+    books = meta.get("pq_codebooks")
+    if not books:
+        raise ValueError(f"index at {path} was built without pq_codebooks")
+    cents_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
+    )
+    cents = [list(r["centroid"]) for r in cents_rows]
+    n_probe = n_probe or meta["n_centroids"]
+
+    _nearest, order = _nearest_centroids_expr(F.col(vec_col), cents)
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        # the m x k dot folds run once per query row, before the join;
+        # per candidate pair the ADC score is m array lookups
+        pq_luts_expr(F.col(vec_col), books).alias("__luts"),
+        F.explode(F.transform(F.slice(order, 1, n_probe), lambda s: s["cid"])).alias(
+            "centroid_id"
+        ),
+    )
+    probe_cids = [
+        r["centroid_id"] for r in probed.select("centroid_id").distinct().collect()
+    ]
+    codes = spark.read.parquet(f"{path}/assignments").filter(
+        F.col("centroid_id").isin(probe_cids)
+    )
+    pairs = probed.join(codes, "centroid_id").filter(
+        F.col("query_id") != F.col("nbr_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "nbr_id",
+        "q_vec",
+        # 6-dp rounded BEFORE the shortlist rank: rounded ADC is the
+        # cross-engine-stable quantity (the q43 oracle shortlists on the
+        # same rounded value), and quantization error is orders of
+        # magnitude above 1e-6 anyway
+        F.round(
+            pq_adc_from_luts(F.col("__luts"), F.col("codes"), m=len(books)), 6
+        ).alias("adc"),
+    )
+    if meta.get("assign_replicas", 1) > 1:
+        scored = scored.dropDuplicates(["query_id", "nbr_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("nbr_id"))
+    shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= max(rerank, k)
+    )
+    vecs = spark.read.parquet(f"{path}/vectors")
+    exact = shortlist.join(vecs, "nbr_id").select(
+        "query_id",
+        "nbr_id",
+        F.round(
+            pair_cosine(
+                F.col("q_vec"), F.col("nbr_vec"), l2_norm(F.col("q_vec")), F.col("nbr_norm")
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

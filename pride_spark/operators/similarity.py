@@ -479,36 +479,14 @@ def pq_codebooks_seeded(
     return out
 
 
-def pq_train(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    *,
-    m: int = 4,
-    k: int = 16,
-    iters: int = 3,
-    sample_per_centroid: int = 40,
-) -> list[list[list[float]]]:
-    """Data-adaptive codebooks: per-subspace Lloyd (plain L2 k-means) on
-    the same bounded xxhash64-ordered sample as :func:`_kmeans_centroids`
-    — ONE Spark job regardless of table size, then ``m`` independent
-    driver-side k-means over ``dim/m``-wide slices.  Centroids rounded to
-    8 dp for run-to-run reproducibility."""
-    import numpy as np
-
-    n_sample = max(k, sample_per_centroid * k)
-    rows = (
-        df.select(
-            F.col(vec_col).alias("v"),
-            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
-        )
-        .orderBy("h")
-        .limit(n_sample)
-        .collect()
-    )
-    if not rows:
-        return []
-    x = np.asarray([list(map(float, r["v"])) for r in rows], dtype=np.float64)
+def _lloyd_subspace_books(x, m: int, k: int, iters: int) -> list[list[list[float]]]:
+    """The shared per-subspace Lloyd kernel behind :func:`pq_train`:
+    ``m`` independent L2 k-means over ``dim/m``-wide float64 slices,
+    first-``k``-rows init, argmin ties to the lower centroid index,
+    centroids rounded to 8 dp.  Exposed so an ENGINE-FREE replica (pure
+    numpy over the same row matrix — q43's oracle generator) produces
+    bit-identical codebooks: same function, same float64 input, same
+    output, no cross-engine arithmetic to reconcile."""
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -526,6 +504,42 @@ def pq_train(
                     cents[ci] = mine.mean(axis=0)
         books.append([[round(float(v), 8) for v in c] for c in cents])
     return books
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    sample_per_centroid: int = 40,
+    order_by_id: bool = False,
+) -> list[list[list[float]]]:
+    """Data-adaptive codebooks: per-subspace Lloyd (plain L2 k-means) on
+    the same bounded xxhash64-ordered sample as :func:`_kmeans_centroids`
+    — ONE Spark job regardless of table size, then ``m`` independent
+    driver-side k-means over ``dim/m``-wide slices
+    (:func:`_lloyd_subspace_books`; centroids rounded to 8 dp for
+    run-to-run reproducibility).  ``order_by_id=True`` samples the
+    first ``n`` rows by ``id_col`` instead of by hash — an ordering any
+    engine can replicate, which makes the TRAINED codebooks themselves
+    oracle-able (q43 ``method='pq_trained'``)."""
+    import numpy as np
+
+    n_sample = max(k, sample_per_centroid * k)
+    order = F.col(id_col) if order_by_id else F.xxhash64(F.col(id_col).cast("string"))
+    rows = (
+        df.select(F.col(vec_col).alias("v"), order.alias("h"))
+        .orderBy("h")
+        .limit(n_sample)
+        .collect()
+    )
+    if not rows:
+        return []
+    x = np.asarray([list(map(float, r["v"])) for r in rows], dtype=np.float64)
+    return _lloyd_subspace_books(x, m, k, iters)
 
 
 def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:

@@ -16,6 +16,7 @@ Numeric-parity rules (so value hashes match DuckDB bit-for-bit):
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1776,33 +1777,71 @@ def q42_proforma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # method='pq' gates PRODUCT-QUANTIZATION compressed-domain scoring
 # (similarity.pq_topk) with seeded literal codebooks — DuckDB replays the
 # exact per-subspace argmin encode and the ADC left-to-right fold, so the
-# 16-32x-narrower-scan ANN path gets a value-hash oracle row.  Trained
-# codebooks + exact re-ranking stay pytest-covered
-# (tests/test_dedup_similarity_text.py).
+# 16-32x-narrower-scan ANN path gets a value-hash oracle row.
+# Round 5 adds two more gated methods:
+# - method='ivf_pq': the COMPOSED persistent IVF-PQ index
+#   (ann_index.build_ivf_index(pq_codebooks=...) + search_ivf_pq_index):
+#   partition-pruned code scan → centroid equi-join → rounded-ADC
+#   shortlist of 40 → exact cosine re-rank.  Full probe makes the
+#   candidate set complete, so the oracle is the same ADC shortlist +
+#   exact-cosine re-rank in SQL — the funnel itself is what's gated.
+# - method='pq_trained': DATA-ADAPTIVE codebooks through the same ADC
+#   oracle.  similarity.pq_train(order_by_id=True) samples the first 320
+#   rows by vec_id from the FIXED sf0.001 embeddings fixture (training
+#   is corpus-sample-based, so pinning the training table is exactly how
+#   production PQ amortizes it) and runs the shared numpy Lloyd kernel;
+#   the oracle generator replays the identical kernel over the identical
+#   pyarrow-read rows — bit-identical codebooks by construction, then
+#   the proven literal-chain SQL gates encode + ADC end-to-end.
 # ---------------------------------------------------------------------------
 _PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
+_PQ_RERANK = 40
+#: fixed canonical training fixture — sf-independent, so the trained
+#: codebooks are constants shared by the Spark query and the oracle SQL
+_PQ_TRAIN_DIR = "/root/testdata/sf0.001"
 
 
-def _pq_oracle_sql() -> str:
-    """q43's oracle: exact-cosine top-3 (method='ivf'; probing all IVF
-    buckets is exact) UNION the seeded-codebook PQ/ADC top-3
-    (method='pq').  Every dot product is an EXPLICIT left-to-right
-    addition chain / LIST_REDUCE — bit-identical to Spark's
-    ``F.aggregate`` fold (a 0.0 init adds exactly nothing), so the encode
-    argmin and the 6-dp-rounded ADC agree across engines."""
-    from pride_spark.operators.similarity import pq_codebooks_seeded
+def _pq_trained_books() -> list[list[list[float]]]:
+    """Engine-free replica of ``pq_train(order_by_id=True)`` over the
+    canonical training fixture: pyarrow read → sort by vec_id → first
+    320 rows → the SAME ``_lloyd_subspace_books`` numpy kernel Spark's
+    trainer calls, on the same float64 matrix."""
+    import numpy as np
+    import pyarrow.parquet as papq
 
-    books = pq_codebooks_seeded(m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    tbl = papq.read_table(
+        f"{_PQ_TRAIN_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    n = max(_PQ_K, 40 * _PQ_K)
+    rows = tbl.slice(0, n).column("embedding").to_pylist()
+    x = np.asarray(rows, dtype=np.float64)
+    return similarity._lloyd_subspace_books(x, _PQ_M, _PQ_K, 3)
+
+
+def _pq_sql_parts(books: list[list[list[float]]]) -> tuple[str, str]:
+    """(codes_sql, adc_sql) literal-chain DuckDB expressions for one
+    codebook family — every dot product an EXPLICIT left-to-right
+    addition chain / LIST_REDUCE, bit-identical to Spark's fold."""
     sub = _PQ_DIM // _PQ_M
 
+    def flit(x: float, nd: int = 8) -> str:
+        # fixed-point mantissa + e0 suffix: forces a DOUBLE literal and
+        # never emits exponent notation (repr of an 8-dp-rounded value
+        # like 1e-08 would otherwise render as the unparseable 1e-08e0).
+        # The centroids are pre-rounded to <= nd decimals, so the fixed
+        # print is exact and DuckDB parses back the identical double.
+        return f"{x:.{nd}f}e0"
+
     def chain(vec: str, off: int, cent: list[float]) -> str:
-        return " + ".join(f"{vec}[{off + i + 1}]*{x!r}e0" for i, x in enumerate(cent))
+        return " + ".join(
+            f"{vec}[{off + i + 1}]*{flit(x)}" for i, x in enumerate(cent)
+        )
 
     code_exprs = []
     for j, book in enumerate(books):
         entries = ", ".join(
-            "{'d': %re0 - 2e0*(%s), 'code': %d}"
-            % (round(sum(x * x for x in c), 10), chain("v", j * sub, c), ci)
+            "{'d': %s - 2e0*(%s), 'code': %d}"
+            % (flit(round(sum(x * x for x in c), 10), 10), chain("v", j * sub, c), ci)
             for ci, c in enumerate(book)
         )
         code_exprs.append(f"LIST_SORT([{entries}])[1].code")
@@ -1810,13 +1849,27 @@ def _pq_oracle_sql() -> str:
 
     adc_terms = []
     for j, book in enumerate(books):
-        lists = ", ".join("[" + ", ".join(f"{x!r}e0" for x in c) + "]" for c in book)
+        lists = ", ".join("[" + ", ".join(flit(x) for x in c) + "]" for c in book)
         adc_terms.append(
             f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {sub + 1}), "
             f"i -> qv[{j * sub} + i] * (CAST([{lists}] AS DOUBLE[][]))"
             f"[codes[{j + 1}] + 1][i]), (a, b) -> a + b)"
         )
     adc_sql = "\n               + ".join(adc_terms)
+    return codes_sql, adc_sql
+
+
+def _pq_oracle_sql() -> str:
+    """q43's oracle: exact-cosine top-3 (method='ivf'; probing all IVF
+    buckets is exact) UNION seeded-codebook PQ/ADC top-3 (method='pq')
+    UNION the ADC-shortlist + exact-re-rank funnel (method='ivf_pq';
+    the shortlist CTE reuses the seeded rounded-ADC scores) UNION
+    trained-codebook PQ/ADC top-3 (method='pq_trained')."""
+    from pride_spark.operators.similarity import pq_codebooks_seeded
+
+    books = pq_codebooks_seeded(m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+    codes_sql, adc_sql = _pq_sql_parts(books)
+    codes_sql_t, adc_sql_t = _pq_sql_parts(_pq_trained_books())
 
     return f"""
     WITH p AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -1838,6 +1891,29 @@ def _pq_oracle_sql() -> str:
       SELECT query_id, nbr_id,
              ROUND({adc_sql}, 6) AS score
       FROM p JOIN enc ON query_id <> nbr_id
+    ),
+    enc_t AS (
+      SELECT vec_id AS nbr_id,
+             [{codes_sql_t}] AS codes
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    pq_scored_t AS (
+      SELECT query_id, nbr_id,
+             ROUND({adc_sql_t}, 6) AS score
+      FROM p JOIN enc_t ON query_id <> nbr_id
+    ),
+    ivfpq_short AS (
+      SELECT query_id, nbr_id FROM (
+        SELECT query_id, nbr_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, nbr_id) AS r
+        FROM pq_scored
+      ) WHERE r <= {_PQ_RERANK}
+    ),
+    ivfpq AS (
+      SELECT s.query_id, s.nbr_id, sc.score
+      FROM ivfpq_short s JOIN scored sc
+        ON s.query_id = sc.query_id AND s.nbr_id = sc.nbr_id
     )
     SELECT 'ivf' AS method, query_id, nbr_id, score, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1850,11 +1926,46 @@ def _pq_oracle_sql() -> str:
                                    ORDER BY score DESC, nbr_id) AS rank
       FROM pq_scored
     ) WHERE rank <= 3
+    UNION ALL
+    SELECT 'ivf_pq' AS method, query_id, nbr_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, nbr_id) AS rank
+      FROM ivfpq
+    ) WHERE rank <= 3
+    UNION ALL
+    SELECT 'pq_trained' AS method, query_id, nbr_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, nbr_id) AS rank
+      FROM pq_scored_t
+    ) WHERE rank <= 3
     """
+
+
+def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
+    """Build-once path for q43's persistent IVF-PQ index: keyed by the
+    corpus dir + a layout version so bench re-runs amortize the build
+    (the served-index lifecycle ann_index exists for).  meta.json is
+    written LAST by the builder, so its presence implies a complete
+    index."""
+    import hashlib
+    import tempfile
+
+    from pride_spark.operators import ann_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = _os.path.join(tempfile.gettempdir(), f"pride_spark_ivfpq_v1_{tag}")
+    if not _os.path.exists(_os.path.join(path, "meta.json")):
+        emb = _t(spark, sf_dir, "embeddings")
+        ann_index.build_ivf_index(
+            emb, path, "vec_id", "embedding", n_centroids=8, pq_codebooks=books
+        )
+    return path
 
 
 @register("q43_ivf_ann", _pq_oracle_sql())
 def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pride_spark.operators import ann_index
+
     emb = _t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") < 50)
     ivf = similarity.ivf_topk(
@@ -1870,7 +1981,24 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pq").alias("method"), "query_id", "nbr_id",
         F.col("adc").alias("score"), "rank",
     )
-    return ivf.unionByName(pq)
+    idx = _ivfpq_index_path(spark, sf_dir, books)
+    ivfpq = ann_index.search_ivf_pq_index(
+        spark, idx, probe, "vec_id", "embedding", k=3, n_probe=8, rerank=_PQ_RERANK
+    ).select(
+        F.lit("ivf_pq").alias("method"), "query_id", "nbr_id",
+        F.col("cosine").alias("score"), "rank",
+    )
+    books_t = similarity.pq_train(
+        spark.read.parquet(f"{_PQ_TRAIN_DIR}/embeddings.parquet"),
+        "vec_id", "embedding", m=_PQ_M, k=_PQ_K, order_by_id=True,
+    )
+    pq_t = similarity.pq_topk(
+        emb, "vec_id", "embedding", books_t, k=3, probe=probe
+    ).select(
+        F.lit("pq_trained").alias("method"), "query_id", "nbr_id",
+        F.col("adc").alias("score"), "rank",
+    )
+    return ivf.unionByName(pq).unionByName(ivfpq).unionByName(pq_t)
 
 
 # NOTE: the document-fingerprint query (formerly q44_fingerprint) is folded

@@ -471,3 +471,90 @@ def test_pq_topk_rerank_recall_and_precomputed_codes(spark):
         ).collect()
     }
     assert raw_inline == raw_precomp
+
+
+# ---------------------------------------------------------------------------
+# Composed IVF-PQ over the persistent index (round 5: the promised scale
+# path — PLAN_AUDIT q43 whitelist now points at real code)
+# ---------------------------------------------------------------------------
+
+def test_ivf_pq_index_full_funnel_matches_brute_force(spark, tmp_path):
+    """Full probe + rerank >= corpus: the composed funnel (pruned code
+    scan -> centroid equi-join -> ADC shortlist -> exact re-rank) must
+    reproduce exact cosine top-k."""
+    from pride_spark.operators.ann_index import build_ivf_index, search_ivf_pq_index
+    from pride_spark.operators.similarity import brute_force_topk, pq_codebooks_seeded
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks_seeded(m=4, k=8, dim=64)
+    path = str(tmp_path / "ivfpq")
+    meta = build_ivf_index(emb, path, n_centroids=8, pq_codebooks=books)
+    assert meta["pq_codebooks"] == books  # codebooks persist in meta
+
+    n = emb.count()
+    got = search_ivf_pq_index(spark, path, emb, k=3, rerank=n)
+    want = brute_force_topk(emb, "vec_id", "embedding", k=3)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+
+
+def test_ivf_pq_index_partition_pruning_and_no_bnlj(spark, tmp_path):
+    """Partial probe prunes unprobed posting lists at the CODES scan
+    (PartitionFilters), and the whole plan contains NO broadcast
+    nested-loop join — the candidate pairing is an equi-join."""
+    import contextlib
+    import io
+
+    from pride_spark.operators.ann_index import build_ivf_index, search_ivf_pq_index
+    from pride_spark.operators.similarity import pq_codebooks_seeded
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks_seeded(m=4, k=8, dim=64)
+    path = str(tmp_path / "ivfpq")
+    build_ivf_index(emb, path, n_centroids=8, pq_codebooks=books)
+
+    out = search_ivf_pq_index(spark, path, emb.limit(1), k=3, n_probe=2, rerank=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    idx_scan = next(b for b in plan.split("\n\n") if "assignments" in b)
+    assert "PartitionFilters" in idx_scan
+    assert "centroid_id" in idx_scan.split("PartitionFilters")[1].split("\n")[0]
+    rows = out.collect()
+    assert 0 < len(rows) <= 3
+
+
+def test_ivf_pq_index_shrunk_shortlist_recall(spark, tmp_path):
+    """Production knobs (half probe, small rerank) keep recall@3 high —
+    the funnel degrades gracefully, not catastrophically."""
+    from pride_spark.operators.ann_index import build_ivf_index, search_ivf_pq_index
+    from pride_spark.operators.similarity import brute_force_topk, pq_codebooks_seeded
+
+    from pride_spark.operators.similarity import pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # data-adaptive codebooks (seeded-random ones quantize too coarsely
+    # for a tight shortlist — recall is the trained path's job)
+    books = pq_train(emb, "vec_id", "embedding", m=16, k=16)
+    path = str(tmp_path / "ivfpq")
+    build_ivf_index(emb, path, n_centroids=8, assign_replicas=2, pq_codebooks=books)
+    got = search_ivf_pq_index(spark, path, emb, k=3, n_probe=4, rerank=50)
+    want = brute_force_topk(emb, "vec_id", "embedding", k=3)
+    g = {(r["query_id"], r["nbr_id"]) for r in got.collect()}
+    w = {(r["query_id"], r["nbr_id"]) for r in want.collect()}
+    assert len(g & w) / len(w) > 0.8
+
+
+def test_pq_train_order_by_id_matches_engine_free_replica(spark):
+    """The q43 pq_trained oracle technique: Spark's pq_train with
+    order_by_id sampling must produce BIT-IDENTICAL codebooks to the
+    pure pyarrow+numpy replica the oracle generator runs."""
+    from pride_spark.operators.similarity import pq_train
+    from pride_spark.registry import _pq_trained_books
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark_books = pq_train(emb, "vec_id", "embedding", m=4, k=8, order_by_id=True)
+    assert spark_books == _pq_trained_books()

@@ -40,12 +40,14 @@ WHITELIST: dict[str, dict[str, str]] = {
     },
     "q43_ivf_ann": {
         "BroadcastNestedLoopJoin": (
-            "PQ/ADC fold: the bounded probe batch (50 rows) broadcast "
-            "against the COMPRESSED codes table — the per-candidate scan "
-            "reads m small ints, not the float vectors; at IVF scale the "
-            "codes table is bucketed by centroid and this becomes an "
-            "equi-join on probed bucket ids (IVF-PQ, see "
-            "similarity.pq_topk docstring)"
+            "PQ/ADC fold (methods pq/pq_trained): the bounded probe batch "
+            "(50 rows) broadcast against the COMPRESSED codes table — the "
+            "per-candidate scan reads m small ints, not the float vectors. "
+            "The IVF-scale composition is IMPLEMENTED and gated in the same "
+            "query: method='ivf_pq' (ann_index.search_ivf_pq_index) pairs "
+            "candidates via a centroid_id EQUI-join over the partition-"
+            "pruned persistent code index — no BNLJ in that subplan "
+            "(asserted in tests/test_dedup_similarity_text.py)"
         ),
     },
     "q03_fdr_qvalue": {
