@@ -70,7 +70,12 @@ def cmd_get_related_files(args) -> int:
 def _index_outputs(spark, args):
     """§3.1 composition shared by generate-index-files and run-pipeline."""
     from pride_spark.plans.generate_index_files import IndexConfig, generate_index_files
-    from pride_spark.plans.ingest import prepare_psms, read_psms_any, read_spectra_any
+    from pride_spark.plans.ingest import (
+        keyed_spectra,
+        prepare_psms,
+        read_psms_any,
+        read_spectra_any,
+    )
 
     # the parsed-PSM frame feeds two independent action chains (the F11
     # validity gate's decoy aggregate and the FDR two-pass) — persist so
@@ -80,11 +85,9 @@ def _index_outputs(spark, args):
     psms = read_psms_any(spark, args.result_files).persist(StorageLevel.MEMORY_AND_DISK)
     spectra = read_spectra_any(spark, args.spectra_files)
     prepared = prepare_psms(psms, args.spectra_files[0])
-    # MULTI_PEAK formats join on the per-file index; XML formats on the id
-    key_col = "index" if dict(prepared.dtypes)["spectrumKey"] == "int" else "spectrumId"
-    spectra_keyed = spectra.withColumnRenamed(key_col, "spectrumKey").select(
-        "fileName", "spectrumKey", "masses", "intensities"
-    )
+    # MULTI_PEAK formats join on the per-file index; XML formats on the
+    # C9-NORMALIZED id — both sides through the same normalization
+    spectra_keyed = keyed_spectra(spectra, args.spectra_files[0])
     cfg = IndexConfig(
         q_value_threshold=args.qvalue_threshold,
         peptide_length=args.peptide_length,

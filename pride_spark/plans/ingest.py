@@ -211,3 +211,27 @@ def prepare_psms(
         .withColumn("precursorMz", F.col("massToCharge"))
         .withColumnRenamed("modifications", "modificationsRaw")
     )
+
+
+def keyed_spectra(
+    spectra: DataFrame, spectra_file: str, *, id_format: str | None = None
+) -> DataFrame:
+    """The spectra-side half of the S7 join contract: project the
+    canonical spectra frame to ``(fileName, spectrumKey, masses,
+    intensities)`` with ``spectrumKey`` under the SAME C9 normalization
+    :func:`prepare_psms` applies to the PSM side.
+
+    For MULTI_PEAK formats the key is the reader's 0-based ``index``.
+    For XML formats it is the NORMALIZED ``spectrumId`` — a Thermo
+    nativeID like ``controllerType=0 controllerNumber=1 scan=7``
+    normalizes to ``7`` on the PSM side, so joining the raw id string
+    would silently match nothing (the BSA golden fixture is the
+    regression for exactly that)."""
+    fmt = id_format or _SPECTRA_READERS[_ext(spectra_file)][1]
+    if fmt == "MULTI_PEAK":
+        key = F.col("index")
+    else:
+        key = normalize_spectrum_id("spectrumId", F.lit(fmt))
+    return spectra.select(
+        "fileName", key.alias("spectrumKey"), "masses", "intensities"
+    )

@@ -156,33 +156,63 @@ def _mzxml_rt(text: str | None) -> float | None:
     return float(t)
 
 
+def _mzxml_scan_row(elem, base: str, idx: int) -> tuple:
+    """One closed ``<scan>`` element → canonical row.  Nested ms2 child
+    scans were ``clear()``-ed at THEIR end events, so ``elem.iter()``
+    here sees only this scan's own precursorMz/peaks."""
+    precursor_mz = precursor_z = None
+    masses = intens = np.empty(0)
+    for child in elem.iter():
+        name = _local(child.tag)
+        if name == "precursorMz":
+            precursor_mz = float(child.text) if child.text else None
+            z = child.get("precursorCharge")
+            precursor_z = int(z) if z else None
+        elif name == "peaks":
+            pairs = _decode_array(
+                child.text,
+                bits=int(child.get("precision", "32")),
+                zlib_compressed=child.get("compressionType") == "zlib",
+                big_endian=True,
+            )
+            masses, intens = pairs[0::2], pairs[1::2]
+    return (base, idx, elem.get("num"),
+            int(elem.get("msLevel")) if elem.get("msLevel") else None,
+            precursor_mz, precursor_z, _mzxml_rt(elem.get("retentionTime")),
+            masses.tolist(), intens.tolist(), int(masses.size))
+
+
 def _mzxml_spectra(path: str, base: str) -> Iterator[tuple]:
+    """Memory-BOUNDED iterparse: RSS stays flat however large the file.
+
+    ``<scan>`` elements NEST (ms2 scans close inside their ms1 parent),
+    so a start/end element stack tracks the open-scan depth: every scan
+    yields its row (document end-event order, same as before) and is
+    ``clear()``-ed at its end so the parent's ``iter()`` never sees the
+    child's payload; additionally, once NO scan is open, every closed
+    element is DETACHED from its parent (``stack[-1].remove``) — without
+    this, cleared scan husks and the trailing scan-offset ``<index>``
+    accumulate under ``msRun``/root for the whole parse (the round-4
+    single-giant-file ceiling).  Each removal is O(1) amortized because
+    the parent's child list is emptied as it grows."""
     idx = 0
-    for elem in _iterparse_end(path):
-        if _local(elem.tag) != "scan":
-            continue
-        precursor_mz = precursor_z = None
-        masses = intens = np.empty(0)
-        for child in elem.iter():
-            name = _local(child.tag)
-            if name == "precursorMz":
-                precursor_mz = float(child.text) if child.text else None
-                z = child.get("precursorCharge")
-                precursor_z = int(z) if z else None
-            elif name == "peaks":
-                pairs = _decode_array(
-                    child.text,
-                    bits=int(child.get("precision", "32")),
-                    zlib_compressed=child.get("compressionType") == "zlib",
-                    big_endian=True,
-                )
-                masses, intens = pairs[0::2], pairs[1::2]
-        yield (base, idx, elem.get("num"),
-               int(elem.get("msLevel")) if elem.get("msLevel") else None,
-               precursor_mz, precursor_z, _mzxml_rt(elem.get("retentionTime")),
-               masses.tolist(), intens.tolist(), int(masses.size))
-        idx += 1
-        elem.clear()
+    with xmlsplit.open_xml(path) as fh:
+        stack: list = []
+        scan_open = 0
+        for event, elem in ET.iterparse(fh, events=("start", "end")):
+            if event == "start":
+                stack.append(elem)
+                if _local(elem.tag) == "scan":
+                    scan_open += 1
+                continue
+            stack.pop()
+            if _local(elem.tag) == "scan":
+                scan_open -= 1
+                yield _mzxml_scan_row(elem, base, idx)
+                idx += 1
+                elem.clear()
+            if scan_open == 0 and stack:
+                stack[-1].remove(elem)
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +339,10 @@ def read_mzml(spark: SparkSession, paths: str | list[str], mode: str = "auto") -
 
 # mzXML stays whole-file only: <scan> elements NEST (ms2 scans inside
 # their ms1 parent), which breaks the input-split ownership contract —
-# a range-owner scanning for "<scan" would claim nested children.
+# a range-owner scanning for "<scan" would claim nested children.  The
+# parse itself is memory-BOUNDED (stack-tracked iterparse, closed
+# subtrees detached — see _mzxml_spectra), so one giant file costs one
+# serial task but never an OOM.
 read_mzxml = _reader(_mzxml_spectra)
 read_mzxml.__doc__ = "S6 — parse mzXML files in parallel → canonical spectra frame."
 

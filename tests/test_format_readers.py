@@ -562,3 +562,82 @@ def test_attr_tag_value_ending_in_gt_or_slash():
     assert t.get("a") == "x/"
     t = _attr_tag("<E a='m/z>400'>")
     assert t.get("a") == "m/z>400"
+
+
+def _mzxml_nested(n_ms1: int, peaks_per_scan: int = 4) -> str:
+    """Synthetic mzXML with ms2 scans NESTED inside each ms1 parent and a
+    trailing scan-offset <index> (the element the bounded parser must not
+    retain)."""
+    import numpy as np
+
+    scans, num, offsets = [], 0, []
+    for _ in range(n_ms1):
+        num += 1
+        ms1 = num
+        pairs1 = [float(v) for p in range(peaks_per_scan) for v in (100.0 + ms1 + p, 10.0 * (p + 1))]
+        num += 1
+        ms2 = num
+        pairs2 = [float(v) for p in range(peaks_per_scan) for v in (200.0 + ms2 + p, 5.0 * (p + 1))]
+        scans.append(
+            f'<scan num="{ms1}" msLevel="1" retentionTime="PT{ms1}.0S" peaksCount="{peaks_per_scan}">\n'
+            f'<peaks precision="64" byteOrder="network">{_b64(pairs1, "float64", big_endian=True)}</peaks>\n'
+            f'<scan num="{ms2}" msLevel="2" retentionTime="PT{ms2}.0S" peaksCount="{peaks_per_scan}">\n'
+            f'<precursorMz precursorCharge="2">{400.0 + ms2}</precursorMz>\n'
+            f'<peaks precision="64" byteOrder="network">{_b64(pairs2, "float64", big_endian=True)}</peaks>\n'
+            f"</scan>\n</scan>"
+        )
+        offsets.append(f'<offset id="{ms1}">123456</offset>')
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<mzXML xmlns="http://sashimi.sourceforge.net/schema_revision/mzXML_3.2">\n'
+        "<msRun>\n" + "\n".join(scans) + "\n</msRun>\n"
+        '<index name="scan">\n' + "\n".join(offsets) + "\n</index>\n"
+        "</mzXML>"
+    )
+
+
+def test_mzxml_nested_scans_rows(spark, tmp_path):
+    """Nested ms2 scans yield their own rows; the ms1 parent's peaks are
+    NOT contaminated by the nested child's payload."""
+    from pride_spark.sources.mzml import read_mzxml
+
+    p = tmp_path / "nested.mzXML"
+    p.write_text(_mzxml_nested(3))
+    rows = {r["spectrumId"]: r for r in read_mzxml(spark, [str(p)]).collect()}
+    assert len(rows) == 6
+    ms1, ms2 = rows["1"], rows["2"]
+    # end-event order: the nested ms2 closes before its ms1 parent
+    assert ms2["index"] == 0 and ms1["index"] == 1
+    assert ms1["msLevel"] == 1 and ms1["precursorMz"] is None
+    assert ms1["masses"][0] == 101.0  # ms1's OWN peaks, not the child's
+    assert ms2["msLevel"] == 2 and ms2["precursorMz"] == 402.0
+    assert ms2["masses"][0] == 202.0
+
+
+def test_mzxml_iterparse_memory_bounded(tmp_path):
+    """RSS stays flat on a large file: the parser's retained Python-object
+    memory must be a small constant multiple of ONE scan, not of the
+    file.  (Round-4 ceiling: cleared-scan husks and the trailing <index>
+    accumulated under msRun/root for the whole parse.)"""
+    import tracemalloc
+
+    from pride_spark.sources.mzml import _mzxml_spectra
+
+    big = tmp_path / "big.mzXML"
+    n_ms1 = 400
+    big.write_text(_mzxml_nested(n_ms1, peaks_per_scan=64))
+    file_bytes = big.stat().st_size
+
+    tracemalloc.start()
+    n = 0
+    base = 0
+    for row in _mzxml_spectra(str(big), "big.mzXML"):
+        n += 1
+        if n == 5:
+            base = tracemalloc.get_traced_memory()[0]
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert n == 2 * n_ms1
+    # peak retained memory well under the file size (whole-DOM would be
+    # >= file_bytes); allow generous slack for parser internals
+    assert peak < base + file_bytes / 4, (peak, base, file_bytes)

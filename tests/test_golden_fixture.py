@@ -1,0 +1,100 @@
+"""BSA golden-count regression fixture — the engine's analogue of the
+reference's regression corpus.
+
+The reference pins expected PSM counts per project
+(``/root/reference/data/public-submissions.csv:2-60``, e.g. PXD003613 =
+800,790) and bundles a BSA test profile
+(``/root/reference/conf/test.config:19-28``).  Offline, the equivalent
+fidelity link is a checked-in GENUINE-FORMAT pair
+(``tests/data/bsa_fixture/`` — real mzML with Thermo nativeID scan ids +
+real mzIdentML with target/decoy ``rev_`` affix, UNIMOD mods, MS:1002257
+scores; see ``tests/data/gen_bsa_fixture.py``) driven end-to-end through
+``run-pipeline`` with every stage's row count frozen in
+``golden_counts.json``.  Any drift in parsing, the filter stack, FDR,
+the spectrum join, clustering, or inference changes a count and fails
+here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pride_spark.cli import main
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "bsa_fixture")
+GOLDEN = os.path.join(DATA, "golden_counts.json")
+
+
+def _jsonl_rows(outdir: str) -> list[dict]:
+    rows = []
+    for name in sorted(os.listdir(outdir)):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(outdir, name)) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    return rows
+
+
+def pipeline_counts(out: str) -> dict:
+    """Run the full §3.3 DAG on the fixture and measure every stage."""
+    rc = main([
+        "run-pipeline",
+        "--project", "PXBSA000",
+        "--result-files", os.path.join(DATA, "bsa.mzid"),
+        "--spectra-files", os.path.join(DATA, "BSA1_F1.mzML"),
+        "--output-dir", out,
+        "--min-psms", "10",
+    ])
+    assert rc == 0, "run-pipeline failed on the BSA fixture"
+    archive = _jsonl_rows(os.path.join(out, "archive_spectra"))
+    mgf_text = ""
+    for name in sorted(os.listdir(os.path.join(out, "export.mgf"))):
+        if name.startswith("part-"):
+            with open(os.path.join(out, "export.mgf", name)) as fh:
+                mgf_text += fh.read()
+    return {
+        "archive_spectra": len(archive),
+        "summary_spectra": len(_jsonl_rows(os.path.join(out, "summary_spectra"))),
+        "protein_evidence": len(_jsonl_rows(os.path.join(out, "protein_evidence"))),
+        "cluster_best": len(_jsonl_rows(os.path.join(out, "cluster_best"))),
+        "winner_spectra": len(_jsonl_rows(os.path.join(out, "winner_spectra"))),
+        "protein_evidence_final": len(
+            _jsonl_rows(os.path.join(out, "protein_evidence_final"))
+        ),
+        "mgf_records": mgf_text.count("BEGIN IONS"),
+        "archive_decoys": sum(1 for r in archive if r.get("decoy")),
+        "archive_distinct_peptides": len({r["peptideSequence"] for r in archive}),
+        "archive_distinct_proteins": len(
+            {p for r in archive for p in r.get("proteinAccessions", [])}
+        ),
+        "archive_modified_rows": sum(1 for r in archive if r.get("modificationNames")),
+    }
+
+
+def test_bsa_fixture_golden_counts(tmp_path):
+    got = pipeline_counts(str(tmp_path / "out"))
+    if not os.path.exists(GOLDEN):  # freeze on first authoring run
+        with open(GOLDEN, "w") as fh:
+            json.dump(got, fh, indent=2, sort_keys=True)
+        raise AssertionError(
+            f"golden_counts.json did not exist; froze current counts {got} — "
+            "review and commit it, then re-run"
+        )
+    want = json.load(open(GOLDEN))
+    assert got == want, {
+        k: (want.get(k), got.get(k))
+        for k in sorted(set(want) | set(got))
+        if want.get(k) != got.get(k)
+    }
+
+
+def test_bsa_fixture_counts_are_meaningful():
+    """The frozen golden counts must keep exercising the gates: some rows
+    filtered (length/FDR), some decoys in no output, mods present."""
+    want = json.load(open(GOLDEN))
+    assert 0 < want["archive_spectra"] < 64     # filters really dropped rows
+    assert want["archive_decoys"] == 0          # q-filtered set is target-only
+    assert want["mgf_records"] == want["archive_spectra"]
+    assert want["archive_modified_rows"] > 0
+    assert 1 <= want["archive_distinct_proteins"] <= 3

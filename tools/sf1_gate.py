@@ -1,5 +1,6 @@
-"""sf1 correctness gate — hash-equality for the heaviest queries at 10×
-the bench scale.
+"""sf1 correctness gate — hash-equality for EVERY oracled query at 10×
+the bench scale (round 5 widened the default from the 20 heaviest to
+all 50; ``--queries heavy`` keeps the legacy subset).
 
 The sf0.01 oracle gate proves semantics; this gate catches
 SCALE-DEPENDENT nondeterminism the small gate can't see: float summation
@@ -79,8 +80,14 @@ def _canon(pdf):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/sf1")
-    ap.add_argument("--out", default="CORRECTNESS_sf1_r04.json")
-    ap.add_argument("--queries", default=",".join(HEAVY))
+    ap.add_argument("--out", default="CORRECTNESS_sf1_r05.json")
+    ap.add_argument(
+        "--queries",
+        default="",
+        help="comma list; empty = ALL registry queries (round 5 widened the "
+        "gate from the HEAVY subset to every query). Pass 'heavy' for the "
+        "legacy 20-query subset.",
+    )
     args = ap.parse_args()
 
     import pandas as pd
@@ -98,10 +105,15 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pattern}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if args.queries.strip() == "heavy":
+        names = HEAVY
+    elif args.queries.strip():
+        names = [n.strip() for n in args.queries.split(",")]
+    else:
+        names = [n for n in qs if n in oracles]
     results: dict[str, dict] = {}
     n_fail = 0
-    for name in args.queries.split(","):
-        name = name.strip()
+    for name in names:
         t0 = time.time()
         try:
             s_pd = _canon(qs[name](spark, args.sf_dir).toPandas())
