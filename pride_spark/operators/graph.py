@@ -147,6 +147,71 @@ def _small_star(edges: DataFrame, skew_safe: bool = False, with_deg: bool = Fals
     return links.dropDuplicates(["u", "v"]) if with_deg else links.distinct()
 
 
+def _local_contract(edges: DataFrame, keep_singletons: bool = False) -> DataFrame:
+    """Partition-local union-find pre-contraction (round 5).
+
+    Each task replaces ITS OWN edge set with an equivalent spanning star
+    (node → min node id of its partition-local component) — connectivity
+    across the whole list is unchanged, but intra-partition structure
+    collapses in one narrow pass with NO shuffle.  Edge lists usually
+    arrive clustered (q47's chain edges are co-located per customer by
+    the window that built them; q48's pair edges by bin), so the star
+    rounds then start from a graph that is already mostly contracted:
+    output size is ``nodes_in_partition - local_components`` ≤ input
+    edges, and each local chain/clique of length L costs the loop zero
+    rounds instead of O(log L).
+
+    Arrow-batched ``mapInPandas``; the per-task state is an int32/64
+    parent array over the partition's distinct nodes (bounded by the
+    input partition size, i.e. by ``maxPartitionBytes``).  Works for any
+    orderable node type via factorization; min-root choice keeps the
+    output deterministic per partitioning."""
+    import pandas as pd
+
+    schema = edges.schema
+
+    def kernel(batches):
+        import numpy as np
+
+        chunks = [b for b in batches]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        both = pd.concat([pdf.iloc[:, 0], pdf.iloc[:, 1]], ignore_index=True)
+        codes, uniques = pd.factorize(both)
+        n = len(uniques)
+        ne = len(pdf)
+        cu, cv = codes[:ne], codes[ne:]
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(cu.tolist(), cv.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+        ids = pd.Series(uniques)
+        grp = ids.groupby(roots)
+        min_id = grp.transform("min")
+        keep = ids != min_id
+        if keep_singletons:
+            # a node seen ONLY in self-loops here must still reach the
+            # node table, which derives from this output — emit (n, n)
+            keep = keep | (grp.transform("size") == 1)
+        out = pd.DataFrame(
+            {schema[0].name: ids[keep], schema[1].name: min_id[keep]}
+        )
+        if len(out):
+            yield out
+
+    return edges.mapInPandas(kernel, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -155,6 +220,7 @@ def connected_components(
     max_iterations: int = 50,
     skew_safe: bool | str = "auto",
     skew_threshold: int = 500_000,
+    pre_contract: bool = True,
 ) -> DataFrame:
     """Label every node with the MIN node id of its connected component.
 
@@ -186,12 +252,36 @@ def connected_components(
     # The ordering contract that makes this safe: a checkpoint's data is
     # unrecoverable once unpersisted (lineage is truncated), so a parent
     # checkpoint is only freed AFTER its dependent round materializes.
-    base = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds every round; cut upstream lineage
+    from pyspark.sql.types import AtomicType
+
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
     )
+    if pre_contract and not all(
+        isinstance(f.dataType, AtomicType) for f in raw.schema.fields
+    ):
+        # Non-atomic node ids skip the pre-pass: structs WERE supported
+        # via tuple-encoding, but measured 12.5s vs 7.0s WITHOUT the
+        # contraction on q48's 6.5M tagged struct edges at the 10x
+        # stress — the per-value Python encode/decode maps cost more
+        # than the contraction saves, and banded-pair edge lists have
+        # little partition locality to exploit anyway.  The star rounds
+        # handle any orderable type.
+        pre_contract = False
+    if pre_contract:
+        # Partition-local union-find pre-contraction REPLACES the global
+        # distinct: it runs on the RAW narrow projection, so the
+        # producer's partitioning survives (a distinct would hash-scatter
+        # the edges first and destroy exactly the locality the pre-pass
+        # exploits — q47's chain edges arrive co-located per customer
+        # from the window that built them).  The output is per-partition
+        # deduped spanning stars — smaller than the distinct edge list —
+        # and the rounds dedup the ≤ num_partitions residual copies per
+        # node at small-star as always.  keep_singletons preserves
+        # self-loop-only nodes for the node table below.
+        base = _local_contract(raw, keep_singletons=True).localCheckpoint(eager=False)
+    else:
+        base = raw.distinct().localCheckpoint(eager=False)  # feeds every round
     auto = skew_safe == "auto"
     node_union = base.select(F.col("u").alias("node")).union(
         base.select(F.col("v").alias("node"))
@@ -212,13 +302,13 @@ def connected_components(
         mode = bool(skew_safe)
 
     cur = base.filter(F.col("u") != F.col("v"))
+    prev_ckpt = None
     prev_sig = None
     # Checkpoint hygiene tracks each round's checkpoint RDD by DIRECT
     # handle (the LogicalRDD's rdd — see _checkpoint_rdd), so concurrent
     # driver threads persisting their own RDDs are never touched.  Only
     # the immediately superseded round is freed; ``base`` and the final
     # round (both feeding the returned plan) stay pinned.
-    prev_ckpt = None
     for i in range(max_iterations):
         probing = auto and not mode
         sym = cur.select("u", "v").union(

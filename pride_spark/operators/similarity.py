@@ -236,11 +236,20 @@ def lsh_topk_gemm(
         if n < 2:
             return empty
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        ids = pdf["vid"].to_numpy()
+        # candidate columns in ascending-id order: the per-bucket cut
+        # must select ties by the SAME (cosine desc, nbr_id asc) total
+        # order the global rank uses — an order-agnostic argpartition
+        # can emit an arbitrary k of an exact-tie group (duplicate
+        # vectors), dropping the small-id ties the final row_number
+        # would pick (caught by the 10x gate, whose scaled corpus has
+        # 10 exact copies of every vector)
+        order0 = np.argsort(ids, kind="stable")
+        ids, V = ids[order0], V[order0]
         norms = np.linalg.norm(V, axis=1)
         nz = norms > 0
         Vn = np.zeros_like(V)
         Vn[nz] = V[nz] / norms[nz, None]  # zero-norm rows stay 0 -> cosine 0.0
-        ids = pdf["vid"].to_numpy()
         kk = min(k, n - 1)
         # bound the transient score matrix to ~256 MB (2^25 float64
         # entries) however large a skewed bucket gets: block_rows is the
@@ -251,7 +260,10 @@ def lsh_topk_gemm(
             e = min(s + eff_block, n)
             S = Vn[s:e] @ Vn.T
             S[np.arange(e - s), np.arange(s, e)] = -np.inf  # mask self-pairs
-            top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            # 6-dp round BEFORE the cut (the output/rank quantity), then
+            # a STABLE sort: with id-ordered columns, equal-score ties
+            # emit in ascending nbr_id — the global tiebreak's order
+            top = np.argsort(-np.round(S, 6), axis=1, kind="stable")[:, :kk]
             rows = np.repeat(np.arange(e - s), kk)
             outs.append(
                 pd.DataFrame(

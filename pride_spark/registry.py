@@ -1509,16 +1509,22 @@ def q36_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q37_session_window",
     """
-    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
     m AS (
-      SELECT user_id, ts,
+      -- ORDER BY must be a TOTAL order (ts, event_id): with duplicate
+      -- timestamps a ts-only sort leaves tie order engine-chosen, and the
+      -- LAG window and the cumsum window may order the SAME tie run
+      -- differently — the new-session flag then lands mid-tie and splits
+      -- a session nondeterministically (observed at the 10x gate, where
+      -- the scaled corpus manufactures exact-duplicate timestamps)
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), g AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM m
     )
