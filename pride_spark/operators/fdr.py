@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pride_spark.session import register_pinned
+from pride_spark.session import checkpoint_handle, register_pinned, track_cached
 
 _KEY, _PID = "__fdr_key", "__fdr_pid"
 
@@ -175,6 +175,9 @@ def _global_two_pass(
     # eager=False would force unpersisting the inputs before the checkpoint
     # materializes — recomputing the whole pipeline cacheless on first use
     out = out.localCheckpoint(eager=True)
+    # checkpoint RDDs live outside the SQL CacheManager: register the
+    # handle so release_cached_state can free it without _jsc
+    track_cached(checkpoint_handle(out))
     with_fdr.unpersist()
     part.unpersist()
     return out

@@ -38,22 +38,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _checkpoint_rdd(df: DataFrame):
-    """Java handle of the persisted RDD backing a ``localCheckpoint``-ed
-    DataFrame — the ``LogicalRDD`` plan node's ``rdd`` field.  Tracking the
-    checkpoint DIRECTLY (instead of diffing the global persistent-RDD map
-    before/after, which misattributes a concurrent thread's freshly
-    persisted RDD to this loop) makes the hygiene sweep safe in
-    multi-threaded drivers.  Returns None when the private plan accessor
-    fails (version drift) — callers then skip the sweep rather than guess.
-    """
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() != "LogicalRDD":
-            return None
-        return plan.rdd()
-    except Exception:  # private accessor unavailable: degrade to no-op hygiene
-        return None
+from ..session import checkpoint_handle as _checkpoint_rdd  # noqa: E402
+from ..session import track_cached  # noqa: E402
 
 
 def _unpersist_handle(rdd) -> None:
@@ -282,6 +268,7 @@ def connected_components(
         base = _local_contract(raw, keep_singletons=True).localCheckpoint(eager=False)
     else:
         base = raw.distinct().localCheckpoint(eager=False)  # feeds every round
+    track_cached(_checkpoint_rdd(base))  # pinned past return: session sweep frees it
     auto = skew_safe == "auto"
     node_union = base.select(F.col("u").alias("node")).union(
         base.select(F.col("v").alias("node"))
@@ -294,6 +281,7 @@ def connected_components(
         nodes_deg = node_union.groupBy("node").agg(
             F.count(F.lit(1)).alias("__deg")
         ).localCheckpoint(eager=False)
+        track_cached(_checkpoint_rdd(nodes_deg))
         maxd0 = nodes_deg.agg(F.max("__deg")).first()[0]  # materializes base + nodes_deg
         mode = (maxd0 or 0) > skew_threshold
         nodes = nodes_deg.select("node")
@@ -338,6 +326,10 @@ def connected_components(
         if prev_ckpt is not None:
             _unpersist_handle(prev_ckpt)
         prev_ckpt = _checkpoint_rdd(cur)
+        # the loop frees superseded rounds itself; the FINAL round's
+        # checkpoint outlives the return (the plan reads it) — keep it
+        # in the session sweep registry (re-unpersist is a no-op)
+        track_cached(prev_ckpt)
         if probing and (row["maxd"] or 0) > skew_threshold:
             mode = True
         sig = (row["n"], row["h"])

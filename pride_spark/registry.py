@@ -38,6 +38,7 @@ from pride_spark.operators.fdr import add_fdr_qvalue, repair_zero_qvalues, top_n
 from pride_spark.sinks.mgf import mgf_record
 from pride_spark.operators.joins import contains_first_match, positional_zip_join, semi_join_members
 from pride_spark.operators.rollup import distinguishable_categories, protein_rollup
+from pride_spark import session as _session
 from pride_spark.session import register_pinned, tune
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1024,6 +1025,7 @@ def q26_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed = global_row_index(
         ev.select("event_id", "value", "ts"), ("ts", "event_id"), "__pos"
     ).localCheckpoint(eager=False)
+    _session.track_cached(_session.checkpoint_handle(indexed))
     cluster_map = indexed.select(
         F.col("__pos").cast("int").alias("spectrumIndex"),
         (F.col("event_id") % 50).cast("bigint").alias("clusterId"),

@@ -95,12 +95,57 @@ def get_spark(
 
 _scopes = threading.local()
 
+# Session-global registry of every deliberate pin (persisted DataFrames
+# AND localCheckpoint RDD handles — the latter live OUTSIDE the SQL
+# CacheManager, so ``spark.catalog.clearCache()`` cannot see them).
+# :func:`release_cached_state` sweeps and clears it, which is what lets
+# the sweep work from TRACKED HANDLES instead of the private
+# ``_jsc.getPersistentRDDs`` session map (round-5 verdict item).
+# Bounded: past the cap the oldest entries are dropped — their cleanup
+# falls back to the ContextCleaner on driver GC, the pre-tracking
+# behavior, so the cap can never leak more than before.
+_tracked_lock = threading.Lock()
+_tracked: list = []
+_TRACK_CAP = 4096
+
+
+def track_cached(handle):
+    """Register any handle with ``unpersist`` (a persisted DataFrame, a
+    checkpoint's java RDD) for the session-wide
+    :func:`release_cached_state` sweep.  Returns ``handle``."""
+    if handle is None:
+        return handle
+    with _tracked_lock:
+        _tracked.append(handle)
+        if len(_tracked) > _TRACK_CAP:
+            del _tracked[: len(_tracked) - _TRACK_CAP]
+    return handle
+
+
+def checkpoint_handle(df):
+    """Java handle of the persisted RDD backing a ``localCheckpoint``-ed
+    DataFrame — the ``LogicalRDD`` plan node's ``rdd`` field.  Tracking
+    the checkpoint DIRECTLY (instead of diffing the global
+    persistent-RDD map before/after, which misattributes a concurrent
+    thread's freshly persisted RDD) makes cleanup safe in multi-threaded
+    drivers.  Returns None when the private plan accessor fails (version
+    drift) — callers then skip tracking rather than guess."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        return plan.rdd()
+    except Exception:
+        return None
+
 
 def register_pinned(frame):
     """Record a deliberately persisted intermediate (DataFrame, or any
     handle with ``unpersist``) against the innermost active
     :func:`pinned_scope` on this thread.  Returns ``frame`` so call
-    sites can wrap the ``persist()`` expression."""
+    sites can wrap the ``persist()`` expression.  Every registration is
+    ALSO tracked session-globally for :func:`release_cached_state`."""
+    track_cached(frame)
     stack = getattr(_scopes, "stack", None)
     if stack:
         stack[-1].append(frame)
@@ -149,23 +194,27 @@ def release_cached_state(spark: SparkSession) -> None:
     current plan's working set (observed: 131s vs 26s on the same CC query
     at the tail of a stress sequence, BENCH r3/r4).
 
-    Uses the private ``_jsc.getPersistentRDDs`` accessor (same one the CC
-    checkpoint hygiene relies on) and degrades to catalog-cache-only when
-    it is unavailable.
+    Implementation: ``clearCache()`` drops every SQL-cached relation
+    (all ``persist()``-ed DataFrames), then the session-global
+    :func:`track_cached` registry is swept for the pins the CacheManager
+    cannot see — localCheckpoint RDD handles (CC rounds, two-pass row
+    numbering).  Every deliberate pin in this package registers itself,
+    so no private ``_jsc.getPersistentRDDs`` session-map accessor is
+    needed (it was version-fragile and raced concurrent driver threads).
+    Double-unpersist of an already-freed handle is a harmless no-op.
     """
     try:
         spark.catalog.clearCache()
     except Exception:
         pass
-    try:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in list(jmap.values()):
-            try:
-                jrdd.unpersist(False)
-            except Exception:
-                pass
-    except Exception:
-        pass
+    with _tracked_lock:
+        items = _tracked[:]
+        _tracked.clear()
+    for h in items:
+        try:
+            h.unpersist(False)
+        except Exception:
+            pass
 
 
 def tune(spark: SparkSession) -> SparkSession:
