@@ -93,7 +93,7 @@ def main() -> int:
     import pandas as pd
 
     import __spark_entry__ as e
-    from pride_spark.session import get_spark
+    from pride_spark.session import get_spark, release_cached_state
 
     spark = get_spark("sf1-gate")
     spark.sparkContext.setLogLevel("ERROR")
@@ -149,6 +149,17 @@ def main() -> int:
         n_fail += results[name]["status"] != "PASS"
         print(f"  {name:28s} {results[name]['status']}  "
               f"{results[name].get('rows_spark', '-')} rows", flush=True)
+        # Same session hygiene as bench.py: a 50-query session otherwise
+        # accumulates every query's deliberate pins (persisted frames, CC
+        # round checkpoints, ANN index state) and tail queries degrade
+        # under heap pressure — q33 measured 217s at position 33 of the
+        # r5 full gate vs 88s in the r4 20-query gate, with its DuckDB
+        # oracle moving only +28%.  Cleanup is OUTSIDE the timed window.
+        release_cached_state(spark)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     out = {
         "sf_dir": args.sf_dir,
