@@ -67,11 +67,12 @@ def main() -> int:
         # where the query sits in the session.
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as ex:  # a failed query must not hide the others
-            timings[name] = -1.0
-            print(f"# {name} FAILED: {ex}", file=sys.stderr)
-            release_cached_state(spark)
-            continue
+        except Exception as ex:
+            # A discard-run failure may be transient (stale temp index,
+            # executor hiccup); fall through to the timed loop, which
+            # retries up to N times and records -1.0 only if ALL fail.
+            print(f"# {name} discard run failed (retrying timed): {ex}",
+                  file=sys.stderr)
         best = None
         for _ in range(runs):
             t0 = time.time()
@@ -79,10 +80,11 @@ def main() -> int:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
-            except Exception as ex:
-                best = -1.0
-                print(f"# {name} FAILED: {ex}", file=sys.stderr)
-                break
+            except Exception as ex:  # keep trying the remaining runs
+                print(f"# {name} run FAILED: {ex}", file=sys.stderr)
+        if best is None:
+            best = -1.0
+            print(f"# {name} FAILED all {runs} runs", file=sys.stderr)
         timings[name] = round(best, 3)
         # Between queries, drop the plan pins the finished query left
         # behind (CC round checkpoints, persisted shared frames) so query

@@ -438,19 +438,25 @@ def refresh_hypertable_store(
 
     Durability: the merged partitions are computed into a STAGING
     directory first (old values read before anything is deleted), then
-    swapped in per touched date with an atomic directory rename — a
-    driver crash mid-refresh leaves every partition either fully old or
-    fully new, never half-replaced, and the staging dir is simply
-    re-created on retry.  The swap is atomic per PARTITION, not across
-    the set of touched dates; production deployments wanting one atomic
-    commit across all partitions (plus concurrent readers during the
-    swap) should put the store on a transactional table format
+    swapped in per touched date: the old partition is first retired to
+    a DETERMINISTIC hidden sibling (``path/.retired-part_date=d``) and
+    the new one renamed into place.  A crash between the two renames
+    leaves the partition recoverable at a known location — the next
+    refresh (or read of this function) restores any leftover retired
+    dir whose live partition is missing before touching anything, so
+    every partition is eventually either fully old or fully new, never
+    lost.  Retired dirs are deleted only after their replacement is in
+    place.  The swap is atomic per PARTITION, not across the set of
+    touched dates; production deployments wanting one atomic commit
+    across all partitions (plus concurrent readers during the swap)
+    should put the store on a transactional table format
     (Delta/Iceberg) — the merge logic is unchanged.
     """
     import os
     import shutil
     import uuid
 
+    _restore_retired_partitions(path)
     by = list(by or [])
     stored = _read_store_meta(spark, path)
     if stored is not None and stored != finest:
@@ -478,15 +484,42 @@ def refresh_hypertable_store(
             leaf = f"part_date={d}"
             src = os.path.join(staging, leaf)
             dst = os.path.join(path, leaf)
-            retired = os.path.join(staging, leaf + ".retired")
+            # deterministic retire location: recoverable after a crash
+            # between the two renames (see docstring)
+            retired = os.path.join(path, ".retired-" + leaf)
             if not os.path.isdir(src):
                 continue  # date aggregated away (shouldn't happen; be safe)
+            if os.path.isdir(retired):
+                shutil.rmtree(retired)  # stale: crash AFTER a prior swap
             if os.path.isdir(dst):
                 os.rename(dst, retired)  # keep old until new is in place
             os.rename(src, dst)
+            shutil.rmtree(retired, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return dates
+
+
+def _restore_retired_partitions(path: str) -> None:
+    """Crash recovery for :func:`refresh_hypertable_store`'s two-rename
+    swap: a ``.retired-part_date=d`` sibling whose live partition is
+    MISSING marks a crash between retire and replace — rename it back.
+    One that still has a live partition marks a crash after the swap
+    succeeded but before cleanup — delete it."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    for entry in os.listdir(path):
+        if not entry.startswith(".retired-part_date="):
+            continue
+        retired = os.path.join(path, entry)
+        dst = os.path.join(path, entry[len(".retired-"):])
+        if os.path.isdir(dst):
+            shutil.rmtree(retired, ignore_errors=True)
+        else:
+            os.rename(retired, dst)
 
 
 def read_hypertable(
@@ -510,6 +543,7 @@ def read_hypertable(
     cascade-compatible subset of the ladder (``week``-to-``month`` is
     rejected: week buckets straddle month boundaries, and the raw
     events are not available here to recompute from)."""
+    _restore_retired_partitions(path)
     order = _validated_order(resolutions)
     by = list(by or [])
     stored = _read_store_meta(spark, path)

@@ -43,11 +43,15 @@ from pride_spark.session import register_pinned, tune
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-#: name -> (spark_fn, oracle_sql or None)
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+#: name -> (spark_fn, oracle_sql | lazy thunk | None).  A CALLABLE oracle
+#: is resolved (and memoized) only when :func:`oracle_sql` is consumed —
+#: so an oracle whose text depends on training data (q43's trained-PQ
+#: codebooks) costs nothing at import time and never fails module import
+#: on a machine without the training fixture.
+_REGISTRY: dict[str, tuple[QueryFn, "str | Callable[[], str] | None"]] = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle: "str | Callable[[], str] | None"):
     def deco(fn: QueryFn) -> QueryFn:
         _REGISTRY[name] = (fn, oracle)
         return fn
@@ -60,7 +64,15 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    out: dict[str, str] = {}
+    for k, (fn, orc) in _REGISTRY.items():
+        if orc is None:
+            continue
+        if callable(orc):
+            orc = orc()
+            _REGISTRY[k] = (fn, orc)  # memoize the resolved text
+        out[k] = orc
+    return out
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1805,8 +1817,11 @@ def q42_proforma(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
 _PQ_RERANK = 40
 #: fixed canonical training fixture — sf-independent, so the trained
-#: codebooks are constants shared by the Spark query and the oracle SQL
-_PQ_TRAIN_DIR = "/root/testdata/sf0.001"
+#: codebooks are constants shared by the Spark query and the oracle SQL.
+#: Overridable for machines that keep the fixture elsewhere.
+_PQ_TRAIN_DIR = _os.environ.get("SPARK_GRAFT_PQ_TRAIN_DIR", "/root/testdata/sf0.001")
+
+_PQ_TRAINED_BOOKS_CACHE: list | None = None
 
 
 def _pq_trained_books() -> list[list[list[float]]]:
@@ -1814,6 +1829,9 @@ def _pq_trained_books() -> list[list[list[float]]]:
     canonical training fixture: pyarrow read → sort by vec_id → first
     320 rows → the SAME ``_lloyd_subspace_books`` numpy kernel Spark's
     trainer calls, on the same float64 matrix."""
+    global _PQ_TRAINED_BOOKS_CACHE
+    if _PQ_TRAINED_BOOKS_CACHE is not None:
+        return _PQ_TRAINED_BOOKS_CACHE
     import numpy as np
     import pyarrow.parquet as papq
 
@@ -1823,7 +1841,8 @@ def _pq_trained_books() -> list[list[list[float]]]:
     n = max(_PQ_K, 40 * _PQ_K)
     rows = tbl.slice(0, n).column("embedding").to_pylist()
     x = np.asarray(rows, dtype=np.float64)
-    return similarity._lloyd_subspace_books(x, _PQ_M, _PQ_K, 3)
+    _PQ_TRAINED_BOOKS_CACHE = similarity._lloyd_subspace_books(x, _PQ_M, _PQ_K, 3)
+    return _PQ_TRAINED_BOOKS_CACHE
 
 
 def _pq_sql_parts(books: list[list[list[float]]]) -> tuple[str, str]:
@@ -1950,27 +1969,47 @@ def _pq_oracle_sql() -> str:
 
 
 def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
-    """Build-once path for q43's persistent IVF-PQ index: keyed by the
-    corpus dir + a layout version so bench re-runs amortize the build
-    (the served-index lifecycle ann_index exists for).  meta.json is
-    written LAST by the builder, so its presence implies a complete
-    index."""
+    """Build-once path for q43's persistent IVF-PQ index: keyed by a
+    CONTENT fingerprint of the corpus (file names + sizes + mtimes of
+    embeddings.parquet), so regenerating the corpus at the same path
+    gets a fresh index instead of silently reusing a stale one.  The
+    build lands in a process-unique sibling dir and is published with
+    one atomic ``os.rename`` — two concurrent builders cannot
+    interleave writes into the served directory; the rename loser
+    discards its copy and serves the winner's."""
     import hashlib
+    import shutil
     import tempfile
+    import uuid
 
     from pride_spark.operators import ann_index
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = _os.path.join(tempfile.gettempdir(), f"pride_spark_ivfpq_v1_{tag}")
+    h = hashlib.md5(sf_dir.encode())
+    emb_path = _os.path.join(sf_dir, "embeddings.parquet")
+    if _os.path.isdir(emb_path):
+        for fn in sorted(_os.listdir(emb_path)):
+            st = _os.stat(_os.path.join(emb_path, fn))
+            h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns};".encode())
+    elif _os.path.exists(emb_path):
+        st = _os.stat(emb_path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    path = _os.path.join(
+        tempfile.gettempdir(), f"pride_spark_ivfpq_v2_{h.hexdigest()[:12]}"
+    )
     if not _os.path.exists(_os.path.join(path, "meta.json")):
+        build_dir = path + f".build-{uuid.uuid4().hex}"
         emb = _t(spark, sf_dir, "embeddings")
         ann_index.build_ivf_index(
-            emb, path, "vec_id", "embedding", n_centroids=8, pq_codebooks=books
+            emb, build_dir, "vec_id", "embedding", n_centroids=8, pq_codebooks=books
         )
+        try:
+            _os.rename(build_dir, path)
+        except OSError:  # concurrent builder published first — use theirs
+            shutil.rmtree(build_dir, ignore_errors=True)
     return path
 
 
-@register("q43_ivf_ann", _pq_oracle_sql())
+@register("q43_ivf_ann", _pq_oracle_sql)  # lazy: resolved on oracle_sql()
 def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pride_spark.operators import ann_index
 

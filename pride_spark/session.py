@@ -202,6 +202,15 @@ def release_cached_state(spark: SparkSession) -> None:
     so no private ``_jsc.getPersistentRDDs`` session-map accessor is
     needed (it was version-fragile and raced concurrent driver threads).
     Double-unpersist of an already-freed handle is a harmless no-op.
+
+    .. warning:: Call this only at a QUIESCENT point — no query in
+       flight on ANY driver thread.  The sweep is attribution-safe (it
+       frees only handles this package pinned) but not thread-safe
+       against concurrent execution: unpersisting another thread's
+       ``localCheckpoint`` RDD truncates its lineage unrecoverably and
+       fails that thread's job.  bench.py / sf1_gate.py call it between
+       queries (quiescent); a multi-threaded query server should
+       instead scope pins per query with :func:`pinned_scope`.
     """
     try:
         spark.catalog.clearCache()

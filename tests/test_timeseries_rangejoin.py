@@ -205,6 +205,50 @@ def test_hypertable_store_build_refresh_read(spark, ts_df, tmp_path):
     assert _rows(served, *cols) == _rows(direct, *cols)
 
 
+def test_hypertable_store_crash_recovery_restores_retired(spark, ts_df, tmp_path):
+    """Simulate a crash between the swap's two renames (live partition
+    retired to the deterministic hidden sibling, replacement never
+    landed): the next read/refresh must restore it, and a stale retired
+    dir left AFTER a successful swap must be cleaned, not restored."""
+    import os
+    import shutil
+
+    from pride_spark.operators.timeseries import (
+        build_hypertable_store,
+        read_hypertable,
+        refresh_hypertable_store,
+    )
+
+    path = str(tmp_path / "ht")
+    build_hypertable_store(ts_df, "ts", AGGS, path, finest="hour")
+    before = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
+
+    parts = sorted(p for p in os.listdir(path) if p.startswith("part_date="))
+    assert len(parts) >= 2
+    # crash window 1: retired, replacement missing -> must be restored
+    os.rename(os.path.join(path, parts[0]), os.path.join(path, ".retired-" + parts[0]))
+    # crash window 2: swap succeeded, cleanup missed -> stale copy must
+    # be DELETED (restoring it over the live partition would roll back)
+    shutil.copytree(
+        os.path.join(path, parts[1]), os.path.join(path, ".retired-" + parts[1])
+    )
+
+    after = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
+    assert after == before
+    assert not any(p.startswith(".retired-") for p in os.listdir(path))
+
+    # refresh also recovers first: retire a partition again, then merge
+    # an empty-overlap batch touching a different date — stored values
+    # must still equal the from-raw rollup afterwards
+    os.rename(os.path.join(path, parts[0]), os.path.join(path, ".retired-" + parts[0]))
+    refresh_hypertable_store(
+        spark, path, ts_df.filter("id < 0"), "ts", AGGS, finest="hour"
+    )
+    assert os.path.isdir(os.path.join(path, parts[0]))
+    final = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
+    assert final == before
+
+
 def test_hypertable_store_empty_refresh_noop(spark, ts_df, tmp_path):
     from pride_spark.operators.timeseries import (
         build_hypertable_store,
