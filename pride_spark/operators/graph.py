@@ -291,7 +291,21 @@ def connected_components(
 
     cur = base.filter(F.col("u") != F.col("v"))
     prev_ckpt = None
-    prev_sig = None
+    # Base-signature early exit (round 6): probe the INPUT edge list's
+    # convergence signature before the loop.  When the pre-contraction
+    # already produced a globally-deduped star forest (q47's chain edges
+    # are wholly co-located per customer, so the local pass IS the
+    # answer), round 1 is a no-op and its signature equals this one —
+    # the loop breaks after ONE round instead of paying a second
+    # confirmation round (3 shuffles of the full edge list).  Cost: one
+    # scalar aggregate over the checkpointed base — which also
+    # materializes the checkpoint in a job of its own, so round 1 starts
+    # from stored rows either way.  On graphs that DO need contraction
+    # the signatures differ and the loop proceeds exactly as before.
+    row0 = cur.agg(
+        F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+    ).first()
+    prev_sig = (row0["n"], row0["h"])
     # Checkpoint hygiene tracks each round's checkpoint RDD by DIRECT
     # handle (the LogicalRDD's rdd — see _checkpoint_rdd), so concurrent
     # driver threads persisting their own RDDs are never touched.  Only
