@@ -68,7 +68,8 @@ def cmd_get_related_files(args) -> int:
 
 
 def _index_outputs(spark, args):
-    """§3.1 composition shared by generate-index-files and run-pipeline."""
+    """§3.1 composition shared by generate-index-files, run-pipeline and
+    run-reanalysis."""
     from pride_spark.plans.generate_index_files import IndexConfig, generate_index_files
     from pride_spark.plans.ingest import (
         keyed_spectra,
@@ -76,6 +77,31 @@ def _index_outputs(spark, args):
         read_psms_any,
         read_spectra_any,
     )
+
+    sample_props = None
+    sample_files = getattr(args, "sample_files", None)
+    if sample_files:
+        from pride_spark.sources.tabular import read_sdrf
+
+        # (fileName, array<Param>) — one broadcastable row per data file;
+        # array_sort pins a deterministic param order regardless of the
+        # melt's partitioning
+        sample_props = (
+            read_sdrf(spark, sample_files)
+            .groupBy(F.col("dataFile").alias("fileName"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.lit(None).cast("string").alias("cvLabel"),
+                            F.lit(None).cast("string").alias("accession"),
+                            F.col("name"),
+                            F.col("value"),
+                        )
+                    )
+                ).alias("sampleProperties")
+            )
+        )
 
     # the parsed-PSM frame feeds two independent action chains (the F11
     # validity gate's decoy aggregate and the FDR two-pass) — persist so
@@ -95,7 +121,13 @@ def _index_outputs(spark, args):
         score_better=args.score_better,
     )
     return generate_index_files(
-        prepared, spectra_keyed, args.project, cfg, enforce_gates=not args.no_gates
+        prepared,
+        spectra_keyed,
+        args.project,
+        cfg,
+        enforce_gates=not args.no_gates,
+        reanalysis=getattr(args, "reanalysis_accession", None),
+        sample_props=sample_props,
     )
 
 
@@ -209,6 +241,55 @@ def cmd_run_pipeline(args) -> int:
     return 0
 
 
+def cmd_run_reanalysis(args) -> int:
+    """The reference's SECOND pipeline DAG, reanalysis.nf, as one command.
+
+    Ref: ``/root/reference/reanalysis.nf:76-92`` — identification files
+    are discovered by folder glob (``*.mztab`` concat ``*.mzid``, the
+    channel-concat at :81), spectra are the folder's ``*.mzML``, the
+    sample table its ``*.sdrf.tsv``, and the whole set feeds ONE
+    generate_json_index_files process stamped with the reanalysis
+    accession (the jar's ``--app.reanalysis-accession``).  Engine
+    extension: any spectra format `read_spectra_any` dispatches (MGF,
+    mzXML, PKL) is also globbed — the reference is mzML-only.
+    """
+    import glob as _glob
+
+    from pride_spark.sources.jsonlines import write_jsonlines
+
+    folder = args.reanalysis_folder.rstrip("/")
+    result_files = sorted(_glob.glob(f"{folder}/*.mztab")) + sorted(
+        _glob.glob(f"{folder}/*.mzid")
+    )
+    spectra_files = [
+        p
+        for ext in ("mzML", "mzml", "mgf", "MGF", "mzXML", "pkl")
+        for p in sorted(_glob.glob(f"{folder}/*.{ext}"))
+    ]
+    sample_files = sorted(_glob.glob(f"{folder}/*.sdrf.tsv"))
+    if not result_files:
+        print(f"no *.mztab / *.mzid files under {folder}", file=sys.stderr)
+        return 1
+    if not spectra_files:
+        print(f"no spectra files under {folder}", file=sys.stderr)
+        return 1
+
+    args.result_files = result_files
+    args.spectra_files = spectra_files
+    args.sample_files = sample_files or None
+    spark = _spark("run-reanalysis")
+    out = _index_outputs(spark, args)
+    write_jsonlines(out["archive_spectra"], f"{args.output_dir}/archive_spectra")
+    write_jsonlines(out["summary_spectra"], f"{args.output_dir}/summary_spectra")
+    write_jsonlines(out["protein_evidence"], f"{args.output_dir}/protein_evidence")
+    print(
+        f"reanalysis {args.reanalysis_accession} of {args.project}: "
+        f"{len(result_files)} id files, {len(spectra_files)} spectra files "
+        f"-> {args.output_dir}"
+    )
+    return 0
+
+
 def cmd_generate_mgf_files(args) -> int:
     from pride_spark.sinks.mgf import write_mgf
     from pride_spark.sources.jsonlines import read_archive_spectra
@@ -285,6 +366,22 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--score-better", choices=("higher", "lower"), default="higher")
     g.add_argument("--no-gates", action="store_true", help="skip the F11 validity gate")
     g.set_defaults(fn=cmd_run_pipeline)
+
+    g = sub.add_parser(
+        "run-reanalysis",
+        help="reanalysis.nf DAG: folder-glob mztab+mzid -> index files "
+        "stamped with the reanalysis accession",
+    )
+    g.add_argument("--project", required=True)
+    g.add_argument("--reanalysis-accession", required=True)
+    g.add_argument("--reanalysis-folder", required=True)
+    g.add_argument("--output-dir", required=True)
+    g.add_argument("--qvalue-threshold", type=float, default=0.01)
+    g.add_argument("--peptide-length", type=int, default=7)
+    g.add_argument("--min-psms", type=int, default=1000)
+    g.add_argument("--score-better", choices=("higher", "lower"), default="higher")
+    g.add_argument("--no-gates", action="store_true", help="skip the F11 validity gate")
+    g.set_defaults(fn=cmd_run_reanalysis)
 
     g = sub.add_parser("generate-mgf-files", help="MGF export of archive spectra (K5)")
     g.add_argument("--archive-json", required=True)

@@ -99,7 +99,7 @@ def build_ivf_index(
     )
     cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
-    nearest, order = _nearest_centroids_expr(F.col(vec_col), cents)
+    nearest, order = _nearest_centroids_expr(vec_col, cents)
     bucket = (
         nearest
         if assign_replicas <= 1
@@ -119,7 +119,7 @@ def build_ivf_index(
         # narrow table keeps the floats for the re-rank point lookups
         assigned = df.select(
             F.col(id_col).alias("nbr_id"),
-            pq_encode_expr(F.col(vec_col), pq_codebooks).alias("codes"),
+            pq_encode_expr(vec_col, pq_codebooks).alias("codes"),
             bucket.alias("centroid_id"),
         )
         df.select(
@@ -165,7 +165,7 @@ def search_ivf_index(
     cents = [list(r["centroid"]) for r in cents_rows]
     n_probe = n_probe or meta["n_centroids"]
 
-    _nearest, order = _nearest_centroids_expr(F.col(vec_col), cents)
+    _nearest, order = _nearest_centroids_expr(vec_col, cents)
     probed = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -234,13 +234,13 @@ def search_ivf_pq_index(
     cents = [list(r["centroid"]) for r in cents_rows]
     n_probe = n_probe or meta["n_centroids"]
 
-    _nearest, order = _nearest_centroids_expr(F.col(vec_col), cents)
+    _nearest, order = _nearest_centroids_expr(vec_col, cents)
     probed = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         # the m x k dot folds run once per query row, before the join;
         # per candidate pair the ADC score is m array lookups
-        pq_luts_expr(F.col(vec_col), books).alias("__luts"),
+        pq_luts_expr(vec_col, books).alias("__luts"),
         F.explode(F.transform(F.slice(order, 1, n_probe), lambda s: s["cid"])).alias(
             "centroid_id"
         ),

@@ -302,7 +302,15 @@ def connected_components(
     # materializes the checkpoint in a job of its own, so round 1 starts
     # from stored rows either way.  On graphs that DO need contraction
     # the signatures differ and the loop proceeds exactly as before.
-    row0 = cur.agg(
+    # The signature is taken over cur.DISTINCT() so the base-vs-round-1
+    # comparison is both-sides-deduped like every later round-to-round
+    # one: duplicate pairs cancel in bit_xor(xxhash64), so a raw base
+    # containing dups could in principle match a distinct round-1
+    # multiset on count+xor and break prematurely.  Cost: one extra
+    # groupBy shuffle of the edge list in the probe — paid once, and
+    # only here; on the graphs the early exit targets the base is
+    # already deduped so the shuffle carries no fan-in.
+    row0 = cur.distinct().agg(
         F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
     ).first()
     prev_sig = (row0["n"], row0["h"])

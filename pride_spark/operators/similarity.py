@@ -22,6 +22,22 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def lit_vec(vals) -> Column:
+    """``array<double>`` literal in ONE py4j call.
+
+    ``F.array(*[F.lit(x) for x in vals])`` costs a JVM round trip per
+    element (~0.5 ms each); with hundreds of floats per centroid table /
+    codebook that turns plan CONSTRUCTION — not execution — into the
+    dominant per-run cost of the ANN queries (measured: pq_topk plan
+    build 2.85 s vs 0.7 s execution at sf0.01).  Rendering the values
+    into one SQL array literal parses JVM-side in a single call (6×
+    faster per array, N× fewer calls).  ``repr`` is Python's shortest
+    round-trip form and Spark's double parse is correctly rounded, so
+    the parsed values are BIT-IDENTICAL to ``F.lit`` (asserted over
+    denormals/extremes in tests) — fold order and results unchanged."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
@@ -90,7 +106,7 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        lit_plane = lit_vec(plane)
         bit = F.when(dot(vec, lit_plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return bucket
@@ -336,7 +352,35 @@ def _kmeans_centroids(
     return [[round(float(v), 8) for v in c] for c in cents]
 
 
-def _nearest_centroids_expr(vec: Column, cents: list[list[float]]) -> tuple[Column, Column]:
+def _arr_sql(vals) -> str:
+    """SQL text of an ``array<double>`` literal (see :func:`lit_vec`)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
+def _dot_sql(vec_sql: str, vals) -> str:
+    """SQL text of :func:`dot` against a literal vector — the EXACT same
+    ``aggregate(zip_with(...))`` left-to-right fold, rendered as one
+    string so a codebook of hundreds of dots costs one py4j call instead
+    of two higher-order-function round trips per dot (measured ~11 ms
+    each — construction, not execution, dominated the ANN rows)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_arr_sql(vals)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _vec_sql(vec: Column | str) -> str | None:
+    """Column NAME (str input) → backtick-quoted SQL fragment; Column
+    input → None (callers fall back to the Column-tree builder)."""
+    if isinstance(vec, str):
+        return "`" + vec.replace("`", "``") + "`"
+    return None
+
+
+def _nearest_centroids_expr(
+    vec: Column | str, cents: list[list[float]]
+) -> tuple[Column, Column]:
     """(nearest-centroid id, centroid ids ordered nearest-first) as pure
     Column expressions over a driver-side centroid list — assignment and
     probe selection cost zero shuffles.
@@ -346,16 +390,30 @@ def _nearest_centroids_expr(vec: Column, cents: list[list[float]]) -> tuple[Colu
     the degenerate ``||vec|| = 0`` row ties every key either way), while
     the centroid norms are Python-side constants — so each row pays
     ``n_centroids`` dot folds instead of ``n_centroids`` dots plus
-    ``2 · n_centroids`` norm folds."""
+    ``2 · n_centroids`` norm folds.
+
+    ``vec`` as a str (column name) selects the one-py4j-call SQL-text
+    path (:func:`_dot_sql`); a Column builds the same tree op-by-op —
+    both parse to the IDENTICAL expression (equality asserted in
+    tests/test_dedup_similarity_text.py)."""
     # the cast names the struct fields; aliases inside F.struct are not
     # reliably preserved through array_sort's type merge
     entry_t = "struct<neg:double,cid:int>"
     norms = [max(sum(x * x for x in c) ** 0.5, 1e-12) for c in cents]
+    vs = _vec_sql(vec)
+    if vs is not None:
+        entries = ",".join(
+            f"CAST(struct(-({_dot_sql(vs, c)}) / {float(norms[ci])!r}D, {ci}) "
+            f"AS {entry_t})"
+            for ci, c in enumerate(cents)
+        )
+        order_sql = f"array_sort(array({entries}))"
+        return F.expr(f"element_at({order_sql}, 1).cid"), F.expr(order_sql)
     order = F.array_sort(
         F.array(
             *[
                 F.struct(
-                    -dot(vec, F.array(*[F.lit(x) for x in c])) / F.lit(norms[ci]),
+                    -dot(vec, lit_vec(c)) / F.lit(norms[ci]),
                     F.lit(ci),
                 ).cast(entry_t)
                 for ci, c in enumerate(cents)
@@ -375,6 +433,7 @@ def ivf_topk(
     probe: DataFrame | None = None,
     kmeans_iters: int = 2,
     assign_replicas: int = 1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer → per-bucket search (scale path).
 
@@ -396,15 +455,24 @@ def ivf_topk(
     invisible to neighboring buckets — measured recall@3 on the sf0.01
     embeddings fixture jumps 0.78 → 0.97 at ``n_probe = n_centroids/2``,
     ``assign_replicas = 2``.
+
+    ``centroids`` supplies a pre-trained quantizer and skips the k-means
+    job entirely — the train-once / search-many pattern a production
+    index uses (the caller trains on one bounded sample, then every
+    search reuses the same driver-side centroid literals).
     """
     n_probe = n_probe or n_centroids
-    cents = _kmeans_centroids(df, id_col, vec_col, n_centroids, kmeans_iters)
+    cents = (
+        centroids
+        if centroids is not None
+        else _kmeans_centroids(df, id_col, vec_col, n_centroids, kmeans_iters)
+    )
     if not cents:  # empty table: empty result with the output schema
         id_t = dict(df.dtypes)[id_col]
         return df.sparkSession.createDataFrame(
             [], f"query_id {id_t}, nbr_id {id_t}, cosine double, rank int"
         )
-    nearest, order = _nearest_centroids_expr(F.col(vec_col), cents)
+    nearest, order = _nearest_centroids_expr(vec_col, cents)
     bucket = (
         nearest
         if assign_replicas <= 1
@@ -554,15 +622,31 @@ def pq_train(
     return _lloyd_subspace_books(x, m, k, iters)
 
 
-def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+def pq_encode_expr(vec: Column | str, codebooks: list[list[list[float]]]) -> Column:
     """``array<int>`` of ``m`` code ids — per subspace, the L2-nearest
     codebook centroid.  Ranks by ``|c|^2 - 2 * dot(sub, c)`` (expanding
     ``|sub - c|^2`` and dropping the row-constant ``|sub|^2``, which
     cannot change the per-subspace argmin), so each row pays one dot fold
     per centroid instead of a full difference-norm fold.  Ties (exactly
     equal distances) break toward the LOWER code id in both engines via
-    the struct sort's second field."""
+    the struct sort's second field.
+
+    ``vec`` as a str (column name) takes the one-py4j-call SQL-text path
+    — same expression, see :func:`_dot_sql`."""
     entry_t = "struct<d:double,code:int>"
+    vs = _vec_sql(vec)
+    if vs is not None:
+        codes_sql = []
+        for j, book in enumerate(codebooks):
+            sub = len(book[0])
+            s = f"slice({vs}, {j * sub + 1}, {sub})"
+            entries = ",".join(
+                f"CAST(struct({float(round(sum(x * x for x in c), 10))!r}D "
+                f"- 2.0D * {_dot_sql(s, c)}, {ci}) AS {entry_t})"
+                for ci, c in enumerate(book)
+            )
+            codes_sql.append(f"element_at(array_sort(array({entries})), 1).code")
+        return F.expr("array(" + ",".join(codes_sql) + ")")
     codes = []
     for j, book in enumerate(codebooks):
         sub = len(book[0])
@@ -572,7 +656,7 @@ def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
                 *[
                     F.struct(
                         F.lit(round(sum(x * x for x in c), 10))
-                        - F.lit(2.0) * dot(s, F.array(*[F.lit(x) for x in c])),
+                        - F.lit(2.0) * dot(s, lit_vec(c)),
                         F.lit(ci),
                     ).cast(entry_t)
                     for ci, c in enumerate(book)
@@ -583,17 +667,28 @@ def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     return F.array(*codes)
 
 
-def pq_luts_expr(q_vec: Column, codebooks: list[list[list[float]]]) -> Column:
+def pq_luts_expr(q_vec: Column | str, codebooks: list[list[list[float]]]) -> Column:
     """Per-query ADC lookup tables: ``array<array<double>>`` of shape
     ``m x k`` where ``lut[j][c] = dot(q_sub_j, book_j[c])``.  This is the
     expensive half of ADC (``m x k`` dot folds) — compute it on the PROBE
     side before the candidate join so it runs once per query row;
-    per-pair work is then ``m`` array lookups (:func:`pq_adc_from_luts`)."""
+    per-pair work is then ``m`` array lookups (:func:`pq_adc_from_luts`).
+
+    ``q_vec`` as a str (column name) takes the one-py4j-call SQL-text
+    path — same expression, see :func:`_dot_sql`."""
+    vs = _vec_sql(q_vec)
+    if vs is not None:
+        parts = []
+        for j, book in enumerate(codebooks):
+            sub = len(book[0])
+            s = f"slice({vs}, {j * sub + 1}, {sub})"
+            parts.append("array(" + ",".join(_dot_sql(s, c) for c in book) + ")")
+        return F.expr("array(" + ",".join(parts) + ")")
     luts = []
     for j, book in enumerate(codebooks):
         sub = len(book[0])
         s = F.slice(q_vec, j * sub + 1, sub)
-        luts.append(F.array(*[dot(s, F.array(*[F.lit(x) for x in c])) for c in book]))
+        luts.append(F.array(*[dot(s, lit_vec(c)) for c in book]))
     return F.array(*luts)
 
 
@@ -674,7 +769,7 @@ def pq_topk(
     if codes_df is None:
         codes_df = df.select(
             F.col(id_col).alias("nbr_id"),
-            pq_encode_expr(F.col(vec_col), codebooks).alias("codes"),
+            pq_encode_expr(vec_col, codebooks).alias("codes"),
         )
     q = probe if probe is not None else df
     probed = q.select(
@@ -682,7 +777,7 @@ def pq_topk(
         F.col(vec_col).alias("q_vec"),
         # the m x k dot folds run HERE, once per query row, before the
         # broadcast — per pair the score is m array lookups
-        pq_luts_expr(F.col(vec_col), codebooks).alias("__luts"),
+        pq_luts_expr(vec_col, codebooks).alias("__luts"),
     )
     pairs = codes_df.join(F.broadcast(probed), F.col("query_id") != F.col("nbr_id"))
     scored = pairs.select(

@@ -505,13 +505,19 @@ def _restore_retired_partitions(path: str) -> None:
     swap: a ``.retired-part_date=d`` sibling whose live partition is
     MISSING marks a crash between retire and replace — rename it back.
     One that still has a live partition marks a crash after the swap
-    succeeded but before cleanup — delete it."""
+    succeeded but before cleanup — delete it.  Leftover ``.staging-*``
+    dirs (a hard kill during the staging write, before any rename) are
+    swept too: staging content is only meaningful to the writer that
+    created it, so removal is always safe."""
     import os
     import shutil
 
     if not os.path.isdir(path):
         return
     for entry in os.listdir(path):
+        if entry.startswith(".staging-"):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            continue
         if not entry.startswith(".retired-part_date="):
             continue
         retired = os.path.join(path, entry)

@@ -87,8 +87,21 @@ def validity_gate(psms: DataFrame, filtered: DataFrame, cfg: IndexConfig) -> Non
         )
 
 
-def stage2_spectrum_join(filtered: DataFrame, spectra: DataFrame, project: str) -> DataFrame:
-    """J5 big join + USI build (C2–C4) → T1-shaped archive spectra."""
+def stage2_spectrum_join(
+    filtered: DataFrame,
+    spectra: DataFrame,
+    project: str,
+    reanalysis: str | None = None,
+) -> DataFrame:
+    """J5 big join + USI build (C2–C4) → T1-shaped archive spectra.
+
+    ``reanalysis`` mirrors the reference's reanalysis semantics
+    (PrideAnalysisAssayService.java:563-571): the PUBLISHED ``usi``
+    carries the reanalysis accession, while ``spectraUsi`` keeps
+    pointing at the ORIGINAL project's spectrum — derived from the
+    project-based USI before the swap — and the rows are stamped with
+    ``reanalysisAccession`` (:713,:750).
+    """
     joined = filtered.join(spectra, ["fileName", "spectrumKey"], "inner")
     usi = build_usi(
         F.lit(project), F.col("fileName"), F.lit("index"), F.col("spectrumKey").cast("string")
@@ -110,10 +123,19 @@ def stage2_spectrum_join(filtered: DataFrame, spectra: DataFrame, project: str) 
         ).alias("name"),
         F.col("score").cast("string").alias("value"),
     )
+    out = joined.withColumn("usi", usi).withColumn(
+        "spectraUsi", spectra_usi(F.col("usi"))
+    )
+    if reanalysis:
+        out = out.withColumn(
+            "usi",
+            build_usi(
+                F.lit(reanalysis), F.col("fileName"), F.lit("index"),
+                F.col("spectrumKey").cast("string"),
+            ),
+        ).withColumn("reanalysisAccession", F.lit(reanalysis))
     return (
-        joined.withColumn("usi", usi)
-        .withColumn("spectraUsi", spectra_usi(F.col("usi")))
-        .withColumn("numPeaks", F.size("masses"))
+        out.withColumn("numPeaks", F.size("masses"))
         .withColumn("bestSearchEngineScore", best_param)
         .withColumn("scores", F.array(best_param))
     )
@@ -141,17 +163,39 @@ def generate_index_files(
     project: str,
     cfg: IndexConfig | None = None,
     enforce_gates: bool = True,
+    reanalysis: str | None = None,
+    sample_props: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full §3.1 plan; returns the three output tables as DataFrames.
 
     Callers pick sinks (``sources.jsonlines.write_jsonlines`` for parity
     with the reference's JSON-lines outputs, parquet for the native path).
+
+    ``reanalysis`` — reanalysis accession; see :func:`stage2_spectrum_join`.
+    ``sample_props`` — per-file SDRF sample characteristics as
+    ``(fileName, sampleProperties: array<Param>)``; broadcast-joined onto
+    the archive rows (J6) with an empty-array fallback, mirroring the
+    reference's localSampleProperties attachment
+    (PrideAnalysisAssayService.java:574-579).
     """
     cfg = cfg or IndexConfig()
     filtered = stage1_filter_and_fdr(psms, cfg)
     if enforce_gates:
         validity_gate(psms, filtered, cfg)
-    archive = stage2_spectrum_join(filtered, spectra, project)
+    archive = stage2_spectrum_join(filtered, spectra, project, reanalysis)
+    if sample_props is not None:
+        from pyspark.sql.types import ArrayType
+
+        from pride_spark.operators.joins import broadcast_props_join
+        from pride_spark.schemas import PARAM
+
+        archive = broadcast_props_join(
+            archive,
+            sample_props.withColumnRenamed("sampleProperties", "__props"),
+            "fileName",
+            "__props",
+            F.array().cast(ArrayType(PARAM)),
+        ).drop("__props")
     proteins = stage3_protein_rollup(archive)
     summary = archive.drop("masses", "intensities")
     return {"archive_spectra": archive, "summary_spectra": summary, "protein_evidence": proteins}

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from pride_spark.functions.proforma import encode_peptidoform
 from pride_spark.functions.spectrum_id import normalize_spectrum_id
+from pride_spark.sources.apl import read_apl
 from pride_spark.sources.mgf import read_mgf
 from pride_spark.sources.mzid import read_mzid_psms
 from pride_spark.sources.dispatch import sniff_pride_xml
@@ -33,6 +34,7 @@ def _ext(path: str) -> str:
 
 #: spectra extension → (reader, id-format tag fed to C9, join key column)
 _SPECTRA_READERS = {
+    "apl": (read_apl, "MULTI_PEAK", "index"),
     "mgf": (read_mgf, "MULTI_PEAK", "index"),
     "mzml": (read_mzml, "MZML", "spectrumId"),
     "mzxml": (read_mzxml, "NATIVE", "spectrumId"),
@@ -162,13 +164,37 @@ def read_psms_any(
 
 def _mztab_as_canonical(spark: SparkSession, path: str) -> DataFrame:
     psms = read_mztab_psms(spark, path)
+    # mzTab PSM `modifications` is a comma list of `{pos}-{accession}`
+    # entries ("3-UNIMOD:21", ambiguous "3|4-UNIMOD:21", "null"/"" for
+    # none) — parse into the canonical mod struct the mzid reader
+    # produces (ambiguity resolves to the FIRST listed position, the
+    # same first-wins the reference's PIA intermediate applies).  mzTab
+    # carries no mod NAME inline, so `name` is the accession text —
+    # keeps modificationNames/peptidoform non-null downstream.
+    mod_t = "array<struct<position:int,accession:string,name:string>>"
+    if "modificationsRaw" in psms.columns:
+        entries = F.filter(
+            F.split(F.col("modificationsRaw"), ","),
+            lambda s: s.rlike(r"^[0-9]"),  # drops 'null' / '' markers
+        )
+        acc = lambda s: F.regexp_extract(s, r"^[0-9|]+-(.*)$", 1)  # noqa: E731
+        mods = F.transform(
+            entries,
+            lambda s: F.struct(
+                F.regexp_extract(s, r"^(\d+)", 1).cast("int").alias("position"),
+                acc(s).alias("accession"),
+                acc(s).alias("name"),
+            ),
+        ).cast(mod_t)
+    else:
+        mods = F.lit(None).cast(mod_t)
     return psms.select(
         F.element_at(F.split(F.lit(path), "/"), -1).alias("fileName"),
         F.col("psmId"),
         F.col("sourceId"),
         F.concat(F.lit("ms_run["), F.col("msRun"), F.lit("]")).alias("spectraDataRef"),
         F.col("peptideSequence"),
-        F.col("modifications"),
+        mods.alias("modifications"),
         F.col("precursorCharge"),
         F.col("massToCharge"),
         F.col("score"),

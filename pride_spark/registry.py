@@ -63,6 +63,18 @@ def queries() -> dict[str, QueryFn]:
     return {k: v[0] for k, v in _REGISTRY.items()}
 
 
+def bench_fixtures() -> "dict[str, QueryFn]":
+    """One-time BUILD-stage work some registry queries share, exposed so
+    bench.py can run (and time) it before the battery: q43's timed row
+    then measures the four ANN searches, with index build + codebook
+    training reported as its own line.  Each callable is idempotent —
+    running it twice is a memo hit."""
+    def _q43(spark: SparkSession, sf_dir: str):
+        q43_build_artifacts(spark, sf_dir)
+
+    return {"q43_ann_build": _q43}
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for k, (fn, orc) in _REGISTRY.items():
@@ -1968,21 +1980,12 @@ def _pq_oracle_sql() -> str:
     """
 
 
-def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
-    """Build-once path for q43's persistent IVF-PQ index: keyed by a
-    CONTENT fingerprint of the corpus (file names + sizes + mtimes of
-    embeddings.parquet), so regenerating the corpus at the same path
-    gets a fresh index instead of silently reusing a stale one.  The
-    build lands in a process-unique sibling dir and is published with
-    one atomic ``os.rename`` — two concurrent builders cannot
-    interleave writes into the served directory; the rename loser
-    discards its copy and serves the winner's."""
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """12-hex content fingerprint of ``sf_dir``'s embeddings corpus
+    (path + file names/sizes/mtimes) — the cache key for everything q43
+    builds once per corpus: the persistent IVF-PQ index AND the
+    in-process training artifacts (IVF centroids, trained codebooks)."""
     import hashlib
-    import shutil
-    import tempfile
-    import uuid
-
-    from pride_spark.operators import ann_index
 
     h = hashlib.md5(sf_dir.encode())
     emb_path = _os.path.join(sf_dir, "embeddings.parquet")
@@ -1993,10 +1996,37 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
     elif _os.path.exists(emb_path):
         st = _os.stat(emb_path)
         h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    path = _os.path.join(
-        tempfile.gettempdir(), f"pride_spark_ivfpq_v2_{h.hexdigest()[:12]}"
-    )
+    return h.hexdigest()[:12]
+
+
+def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
+    """Build-once path for q43's persistent IVF-PQ index: keyed by a
+    CONTENT fingerprint of the corpus (file names + sizes + mtimes of
+    embeddings.parquet), so regenerating the corpus at the same path
+    gets a fresh index instead of silently reusing a stale one.  The
+    build lands in a process-unique sibling dir and is published with
+    one atomic ``os.rename`` — two concurrent builders cannot
+    interleave writes into the served directory; the rename loser
+    discards its copy and serves the winner's."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pride_spark.operators import ann_index
+
+    tmp = tempfile.gettempdir()
+    path = _os.path.join(tmp, f"pride_spark_ivfpq_v2_{_corpus_fingerprint(sf_dir)}")
     if not _os.path.exists(_os.path.join(path, "meta.json")):
+        # GC before building: (a) '*.build-<uuid>' siblings leaked by a
+        # builder that crashed between build and rename; (b) old
+        # fingerprint dirs orphaned when the corpus was regenerated
+        # (mtime_ns is part of the key, so stale dirs are never served
+        # again — without this sweep nothing ever deletes them).
+        base = _os.path.basename(path)
+        for entry in _os.listdir(tmp):
+            if entry == base or not entry.startswith("pride_spark_ivfpq_v2_"):
+                continue
+            shutil.rmtree(_os.path.join(tmp, entry), ignore_errors=True)
         build_dir = path + f".build-{uuid.uuid4().hex}"
         emb = _t(spark, sf_dir, "embeddings")
         ann_index.build_ivf_index(
@@ -2009,38 +2039,73 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
     return path
 
 
+#: per-corpus-fingerprint memo of q43's BUILD-stage artifacts (IVF
+#: centroids, seeded + trained codebooks, persistent index path).
+#: Holds only the most recent corpus so a long-lived session that walks
+#: many sf dirs doesn't accumulate centroid tables.
+_Q43_BUILD_CACHE: dict[str, dict] = {}
+
+
+def q43_build_artifacts(spark: SparkSession, sf_dir: str) -> dict:
+    """Build/train everything q43's four searches share, once per corpus
+    content fingerprint: the IVF coarse quantizer (spherical k-means
+    over a bounded sample), the seeded and data-trained PQ codebooks,
+    and the persistent on-disk IVF-PQ index.  This is the round-5/6
+    verdict's bench-scope split — a production index is built once and
+    searched many times, so the timed q43 row should measure SEARCH
+    latency; bench.py runs this as a separately-timed fixture stage
+    (see ``bench_fixtures``).  All four artifacts are deterministic
+    functions of the corpus, so memoizing them changes no result."""
+    fp = _corpus_fingerprint(sf_dir)
+    cached = _Q43_BUILD_CACHE.get(fp)
+    if cached is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        books = similarity.pq_codebooks_seeded(m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+        cached = {
+            "ivf_centroids": similarity._kmeans_centroids(
+                emb, "vec_id", "embedding", 8, 2
+            ),
+            "books_seeded": books,
+            "books_trained": similarity.pq_train(
+                spark.read.parquet(f"{_PQ_TRAIN_DIR}/embeddings.parquet"),
+                "vec_id", "embedding", m=_PQ_M, k=_PQ_K, order_by_id=True,
+            ),
+            "index_path": _ivfpq_index_path(spark, sf_dir, books),
+        }
+        _Q43_BUILD_CACHE.clear()
+        _Q43_BUILD_CACHE[fp] = cached
+    return cached
+
+
 @register("q43_ivf_ann", _pq_oracle_sql)  # lazy: resolved on oracle_sql()
 def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pride_spark.operators import ann_index
 
+    art = q43_build_artifacts(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") < 50)
     ivf = similarity.ivf_topk(
-        emb, "vec_id", "embedding", k=3, n_centroids=8, n_probe=8, probe=probe
+        emb, "vec_id", "embedding", k=3, n_centroids=8, n_probe=8,
+        probe=probe, centroids=art["ivf_centroids"],
     ).select(
         F.lit("ivf").alias("method"), "query_id", "nbr_id",
         F.col("cosine").alias("score"), "rank",
     )
-    books = similarity.pq_codebooks_seeded(m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
     pq = similarity.pq_topk(
-        emb, "vec_id", "embedding", books, k=3, probe=probe
+        emb, "vec_id", "embedding", art["books_seeded"], k=3, probe=probe
     ).select(
         F.lit("pq").alias("method"), "query_id", "nbr_id",
         F.col("adc").alias("score"), "rank",
     )
-    idx = _ivfpq_index_path(spark, sf_dir, books)
     ivfpq = ann_index.search_ivf_pq_index(
-        spark, idx, probe, "vec_id", "embedding", k=3, n_probe=8, rerank=_PQ_RERANK
+        spark, art["index_path"], probe, "vec_id", "embedding",
+        k=3, n_probe=8, rerank=_PQ_RERANK,
     ).select(
         F.lit("ivf_pq").alias("method"), "query_id", "nbr_id",
         F.col("cosine").alias("score"), "rank",
     )
-    books_t = similarity.pq_train(
-        spark.read.parquet(f"{_PQ_TRAIN_DIR}/embeddings.parquet"),
-        "vec_id", "embedding", m=_PQ_M, k=_PQ_K, order_by_id=True,
-    )
     pq_t = similarity.pq_topk(
-        emb, "vec_id", "embedding", books_t, k=3, probe=probe
+        emb, "vec_id", "embedding", art["books_trained"], k=3, probe=probe
     ).select(
         F.lit("pq_trained").alias("method"), "query_id", "nbr_id",
         F.col("adc").alias("score"), "rank",
@@ -2376,6 +2441,10 @@ def q47_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q48_spectral_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q48_cluster(spark, sf_dir, ("block", "lsh"))
+
+
+def _q48_cluster(spark: SparkSession, sf_dir: str, methods) -> DataFrame:
     from pride_spark.operators.spectral_cluster import cluster_spectra_multi
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2389,12 +2458,30 @@ def q48_spectral_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(dims, lambda x: F.abs(x) * 100.0 + 1.0).alias("intensities"),
     )
     # one shared binning/signature pass + ONE connected-components run over
-    # the tagged disjoint union of both methods' edges — half the CC fixed
-    # cost of two cluster_spectra calls (bench: 8.9s -> see BENCH_r04)
+    # the tagged disjoint union of all requested methods' edges — half the
+    # CC fixed cost of two cluster_spectra calls (bench: 8.9s -> BENCH_r04)
     return cluster_spectra_multi(
-        spectra, "usi", methods=("block", "lsh"), top_k=24, threshold=0.5,
+        spectra, "usi", methods=tuple(methods), top_k=24, threshold=0.5,
         hash_fn="md5",
     ).select("method", F.col("key").alias("usi"), "clusterId")
+
+
+def q48_production_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q48's PRODUCTION path in isolation: banded-LSH candidate
+    generation only — the O(bucket²) exact block baseline (gate scope,
+    `spectral_cluster.py` block mode) never runs.  This is the variant
+    the sf1 scale gate times against the ≤12 s factor-10 bar; the
+    registry row keeps both methods because the block mode is the
+    oracle-grade exactness baseline the LSH path is judged against."""
+    return _q48_cluster(spark, sf_dir, ("lsh",))
+
+
+def q48_production_lsh_oracle_sql() -> str:
+    """The lsh half of q48's oracle — the registry SQL with the block
+    branch filtered out (DuckDB prunes the UNION ALL branch under the
+    constant-false predicate)."""
+    sql = oracle_sql()["q48_spectral_cluster"]
+    return f"SELECT * FROM ({sql}) WHERE method = 'lsh'"
 
 
 # ---------------------------------------------------------------------------

@@ -262,13 +262,51 @@ def write_mzid(specs: list[dict]) -> None:
         fh.write(doc)
 
 
+def write_mztab(specs: list[dict]) -> None:
+    """The SAME identifications as :func:`write_mzid`, in genuine mzTab —
+    identical decoy flags, scores (same LCG stream), and modifications,
+    so the two result formats must drive ``run-pipeline`` to IDENTICAL
+    golden counts (cross-format fidelity is the regression)."""
+    rng = _lcg(99)
+    lines = [
+        "MTD\tmzTab-version\t1.0.0",
+        "MTD\tmzTab-mode\tComplete",
+        "MTD\tmzTab-type\tIdentification",
+        "MTD\tms_run[1]-location\tfile:///data/BSA1_F1.mzML",
+        "MTD\tpsm_search_engine_score[1]\t[MS, MS:1002257, Comet:expectation value, ]",
+        "PSH\tsequence\tPSM_ID\taccession\tunique\tdatabase\tdatabase_version\t"
+        "search_engine\tsearch_engine_score[1]\tmodifications\tspectra_ref\t"
+        "retention_time\tcharge\texp_mass_to_charge\tcalc_mass_to_charge\t"
+        "opt_global_cv_MS:1002217_decoy_peptide",
+    ]
+    for i, s in enumerate(specs):
+        decoy = i % 4 == 3
+        acc = ("rev_" + s["acc"]) if decoy else s["acc"]
+        mods = []
+        for pos, a in enumerate(s["seq"], start=1):
+            if a == "C":
+                mods.append(f"{pos}-UNIMOD:4")
+            elif a == "M" and i % 2 == 0:
+                mods.append(f"{pos}-UNIMOD:35")
+        score = round((0.35 + 0.25 * next(rng)) if decoy else (0.80 + 0.19 * next(rng)), 6)
+        lines.append(
+            f"PSM\t{s['seq']}\t{i}\t{acc}\t1\tsp_target_decoy\t2020_01\t"
+            f"[MS, MS:1002251, Comet, ]\t{score}\t{','.join(mods) or 'null'}\t"
+            f"ms_run[1]:{s['id']}\t{s['rt']}\t{s['z']}\t{s['mz']}\t{s['mz']}\t"
+            f"{1 if decoy else 0}"
+        )
+    with open(os.path.join(OUT, "bsa_fixture", "bsa.mztab"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
 def main() -> None:
     os.makedirs(os.path.join(OUT, "bsa_fixture"), exist_ok=True)
     specs = spectra()
     write_mzml(specs)
     write_mzid(specs)
-    print("wrote BSA1_F1.mzML + bsa.mzid; run the pipeline once and freeze "
-          "golden_counts.json (see tests/test_golden_fixture.py)")
+    write_mztab(specs)
+    print("wrote BSA1_F1.mzML + bsa.mzid + bsa.mztab; run the pipeline once "
+          "and freeze golden_counts.json (see tests/test_golden_fixture.py)")
 
 
 if __name__ == "__main__":

@@ -176,3 +176,60 @@ def test_run_pipeline_single_app(spark, project_dir, tmp_path):
     best = _read_jsonl(outdir / "cluster_best")
     assert best and all("usi" in r for r in best)
     assert (outdir / "protein_evidence_final").exists()
+
+
+def test_run_reanalysis_folder_glob(spark, tmp_path):
+    """reanalysis.nf parity (reanalysis.nf:76-92): identification files
+    discovered by folder glob, outputs stamped with the reanalysis
+    accession — published usi carries the REANALYSIS accession while
+    spectraUsi keeps the original project's
+    (PrideAnalysisAssayService.java:563-571) — and SDRF characteristics
+    land in sampleProperties (J6)."""
+    folder = tmp_path / "reanalysis"
+    folder.mkdir()
+    (folder / "a.mzid").write_text(_mzid())
+    (folder / "run1.mgf").write_text(_mgf())
+    (folder / "samples.sdrf.tsv").write_text(
+        "comment[data file]\tcharacteristics[organism]\tcharacteristics[disease]\n"
+        "run1.mgf\tHomo sapiens\tnone\n"
+    )
+    outdir = tmp_path / "re_out"
+    rc = main(
+        [
+            "run-reanalysis",
+            "--project", "PXD777",
+            "--reanalysis-accession", "RPXD000042",
+            "--reanalysis-folder", str(folder),
+            "--output-dir", str(outdir),
+            "--qvalue-threshold", "0.1",
+            "--min-psms", "5",
+            "--score-better", "lower",
+        ]
+    )
+    assert rc == 0
+    archive = _read_jsonl(outdir / "archive_spectra")
+    assert archive
+    for r in archive:
+        assert r["usi"].startswith("mzspec:RPXD000042:run1.mgf:")
+        assert r["spectraUsi"].startswith("mzspec:PXD777:run1.mgf:")
+        assert r["reanalysisAccession"] == "RPXD000042"
+        names = {p["name"]: p["value"] for p in r["sampleProperties"]}
+        assert names == {"organism": "Homo sapiens", "disease": "none"}
+    # summary + protein outputs exist with rows
+    assert _read_jsonl(outdir / "summary_spectra")
+    assert _read_jsonl(outdir / "protein_evidence")
+
+
+def test_run_reanalysis_missing_inputs(tmp_path):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rc = main(
+        [
+            "run-reanalysis",
+            "--project", "PXD777",
+            "--reanalysis-accession", "RPXD000042",
+            "--reanalysis-folder", str(empty),
+            "--output-dir", str(tmp_path / "never"),
+        ]
+    )
+    assert rc == 1

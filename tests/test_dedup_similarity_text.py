@@ -558,3 +558,45 @@ def test_pq_train_order_by_id_matches_engine_free_replica(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     spark_books = pq_train(emb, "vec_id", "embedding", m=4, k=8, order_by_id=True)
     assert spark_books == _pq_trained_books()
+
+
+def test_sql_text_path_equals_column_path(spark):
+    """The one-py4j-call SQL-text builders (str column-name input) must
+    produce byte-identical results to the legacy Column-tree builders —
+    same fold order, same literal parse (repr round-trip + correctly-
+    rounded double parse).  Covers lit_vec against denormal/extreme
+    values and all three centroid/codebook expression builders."""
+    import struct
+
+    # lit_vec bit-exactness over extremes
+    vals = [1e-08, -2.5e16, 0.1, -0.0, 5e-324, 1.7976931348623157e308, 3.14]
+    got = spark.range(1).select(similarity.lit_vec(vals).alias("x")).collect()[0]["x"]
+    assert all(
+        struct.pack("d", a) == struct.pack("d", b) for a, b in zip(got, vals)
+    )
+
+    rows = [(i, [((i * 31 + j * 7) % 17 - 8) / 3.0 for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[((c * 13 + j) % 11 - 5) / 4.0 for j in range(8)] for c in range(4)]
+    books = [
+        [[((m * 7 + c * 3 + j) % 9 - 4) / 5.0 for j in range(4)] for c in range(3)]
+        for m in range(2)
+    ]
+
+    n_sql, o_sql = similarity._nearest_centroids_expr("embedding", cents)
+    n_col, o_col = similarity._nearest_centroids_expr(F.col("embedding"), cents)
+    a = df.select("vec_id", n_sql.alias("n"), o_sql.alias("o")).orderBy("vec_id").collect()
+    b = df.select("vec_id", n_col.alias("n"), o_col.alias("o")).orderBy("vec_id").collect()
+    assert a == b
+
+    e_sql = df.select("vec_id", similarity.pq_encode_expr("embedding", books).alias("c"))
+    e_col = df.select(
+        "vec_id", similarity.pq_encode_expr(F.col("embedding"), books).alias("c")
+    )
+    assert e_sql.orderBy("vec_id").collect() == e_col.orderBy("vec_id").collect()
+
+    l_sql = df.select("vec_id", similarity.pq_luts_expr("embedding", books).alias("l"))
+    l_col = df.select(
+        "vec_id", similarity.pq_luts_expr(F.col("embedding"), books).alias("l")
+    )
+    assert l_sql.orderBy("vec_id").collect() == l_col.orderBy("vec_id").collect()

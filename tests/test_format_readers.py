@@ -15,6 +15,17 @@ MZTAB = (
     "modifications\tspectra_ref\tretention_time\tcharge\texp_mass_to_charge\n"
     "PSM\tPEPTIDEK\t1\tP12345\t1\t0.001\t3-UNIMOD:21\tms_run[1]:scan=42\t55.2\t2\t445.12\n"
     "PSM\tLNGVK\t2\tQ99999\t0\tnull\tnull\tms_run[2]:index=7\tnull\t3\t512.9\n"
+    "PRH\taccession\tdescription\ttaxid\tspecies\tdatabase\tdatabase_version\t"
+    "best_search_engine_score[1]\tambiguity_members\tmodifications\t"
+    "protein_coverage\topt_global_cv_PRIDE:0000303_decoy_hit\n"
+    "PRT\tP12345\tAlbumin\t9606\tHomo sapiens\tUniProt\t2020_01\t0.002\t"
+    "P12345-2,Q11111\t3-UNIMOD:21\t0.45\t0\n"
+    "PRT\tDECOY_Q99999\tshuffled\tnull\tnull\tUniProt\t2020_01\tnull\tnull\t"
+    "null\tnull\t1\n"
+    "PEH\tsequence\taccession\tunique\tbest_search_engine_score[1]\t"
+    "modifications\tretention_time\tcharge\tmass_to_charge\tspectra_ref\n"
+    "PEP\tPEPTIDEK\tP12345\t1\t0.001\t3-UNIMOD:21\t55.2\t2\t445.12\tms_run[1]:scan=42\n"
+    "PEP\tLNGVK\tQ99999\t0\tnull\tnull\tnull\t3\t512.9\tms_run[2]:index=7\n"
 )
 
 MZID = textwrap.dedent("""\
@@ -641,3 +652,91 @@ def test_mzxml_iterparse_memory_bounded(tmp_path):
     # peak retained memory well under the file size (whole-DOM would be
     # >= file_bytes); allow generous slack for parser internals
     assert peak < base + file_bytes / 4, (peak, base, file_bytes)
+
+
+def test_mztab_proteins_and_peptides(spark, tmp_path):
+    """PRT/PEP pass-through fidelity (PIAModelerService.java:162-189
+    consumes full mzTab, author protein/peptide rows included)."""
+    from pride_spark.sources.mztab import read_mztab_peptides, read_mztab_proteins
+
+    p = tmp_path / "a.mztab"
+    p.write_text(MZTAB)
+
+    prots = {r["accession"]: r for r in read_mztab_proteins(spark, str(p)).collect()}
+    assert set(prots) == {"P12345", "DECOY_Q99999"}
+    alb = prots["P12345"]
+    assert alb["description"] == "Albumin" and alb["taxid"] == 9606
+    assert alb["species"] == "Homo sapiens"
+    assert alb["database"] == "UniProt" and alb["databaseVersion"] == "2020_01"
+    assert alb["bestSearchEngineScore"] == 0.002
+    assert alb["ambiguityMembers"] == ["P12345-2", "Q11111"]
+    assert alb["proteinCoverage"] == 0.45 and alb["isDecoy"] is False
+    dec = prots["DECOY_Q99999"]
+    assert dec["isDecoy"] is True and dec["taxid"] is None
+    assert dec["bestSearchEngineScore"] is None and dec["ambiguityMembers"] == []
+
+    peps = {r["peptideSequence"]: r for r in read_mztab_peptides(spark, str(p)).collect()}
+    assert set(peps) == {"PEPTIDEK", "LNGVK"}
+    pk = peps["PEPTIDEK"]
+    assert pk["proteinAccession"] == "P12345" and pk["unique"] is True
+    assert pk["bestSearchEngineScore"] == 0.001 and pk["retentionTime"] == 55.2
+    assert pk["precursorCharge"] == 2 and pk["massToCharge"] == 445.12
+    assert pk["msRun"] == 1 and pk["sourceId"] == "scan=42"
+    lv = peps["LNGVK"]
+    assert lv["unique"] is False and lv["retentionTime"] is None
+    assert lv["msRun"] == 2 and lv["sourceId"] == "index=7"
+
+
+def test_apl_reader_mgf_parity(spark, tmp_path):
+    """S6/S8 — APL (Andromeda peak list) parity with MGF on a converted
+    fixture: same spectra written in both formats must produce identical
+    canonical rows (modulo spectrumId text and APL's absent retention
+    time).  Closes the reference's own gap: dispatch recognizes APL
+    (SubmissionPipelineUtils.java:130-147, MS:1002996) but
+    JmzReaderSpectrumService.java:40-55 ships no reader for it."""
+    from pride_spark.sources.apl import read_apl
+    from pride_spark.sources.mgf import read_mgf
+
+    spectra = [
+        (445.12, 2, [100.25, 200.5, 300.75], [10.0, 20.0, 30.0]),
+        (512.9, 3, [150.1, 250.2], [5.5, 7.75]),
+    ]
+    mgf_lines, apl_lines = [], []
+    for i, (pmz, z, mz, inten) in enumerate(spectra):
+        peaks = "".join(f"{m}\t{x}\n" for m, x in zip(mz, inten))
+        mgf_lines.append(
+            f"BEGIN IONS\nTITLE=spec{i}\nPEPMASS={pmz}\nCHARGE={z}+\n{peaks}END IONS\n"
+        )
+        apl_lines.append(
+            f"peaklist start\nmz={pmz}\nfragmentation=HCD\ncharge={z}\n"
+            f"header=RawFile: run1 Index: {i}\n{peaks}peaklist end\n\n"
+        )
+    (tmp_path / "run1.mgf").write_text("".join(mgf_lines))
+    (tmp_path / "run1.apl").write_text("".join(apl_lines))
+
+    mgf = read_mgf(spark, str(tmp_path / "run1.mgf")).orderBy("index").collect()
+    apl = read_apl(spark, str(tmp_path / "run1.apl")).orderBy("index").collect()
+    assert [r.asDict() for r in mgf] and len(mgf) == len(apl) == 2
+    assert read_mgf(spark, str(tmp_path / "run1.mgf")).columns == read_apl(
+        spark, str(tmp_path / "run1.apl")
+    ).columns
+    for m, a in zip(mgf, apl):
+        assert a["index"] == m["index"] and a["msLevel"] == m["msLevel"] == 2
+        assert a["precursorMz"] == m["precursorMz"]
+        assert a["precursorCharge"] == m["precursorCharge"]
+        assert a["masses"] == m["masses"] and a["intensities"] == m["intensities"]
+        assert a["numPeaks"] == m["numPeaks"]
+        assert a["spectrumId"] == f"RawFile: run1 Index: {a['index']}"
+        assert a["retentionTime"] is None
+
+
+def test_apl_through_read_spectra_any(spark, tmp_path):
+    from pride_spark.plans.ingest import read_spectra_any
+
+    (tmp_path / "x.apl").write_text(
+        "peaklist start\nmz=445.12\ncharge=2\nheader=RawFile: r Index: 0\n"
+        "100.25\t10.0\npeaklist end\n"
+    )
+    rows = read_spectra_any(spark, [str(tmp_path / "x.apl")]).collect()
+    assert len(rows) == 1 and rows[0]["fileName"] == "x.apl"
+    assert rows[0]["masses"] == [100.25]

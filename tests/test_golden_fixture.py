@@ -36,17 +36,17 @@ def _jsonl_rows(outdir: str) -> list[dict]:
     return rows
 
 
-def pipeline_counts(out: str) -> dict:
+def pipeline_counts(out: str, result_file: str = "bsa.mzid") -> dict:
     """Run the full §3.3 DAG on the fixture and measure every stage."""
     rc = main([
         "run-pipeline",
         "--project", "PXBSA000",
-        "--result-files", os.path.join(DATA, "bsa.mzid"),
+        "--result-files", os.path.join(DATA, result_file),
         "--spectra-files", os.path.join(DATA, "BSA1_F1.mzML"),
         "--output-dir", out,
         "--min-psms", "10",
     ])
-    assert rc == 0, "run-pipeline failed on the BSA fixture"
+    assert rc == 0, f"run-pipeline failed on the BSA fixture ({result_file})"
     archive = _jsonl_rows(os.path.join(out, "archive_spectra"))
     mgf_text = ""
     for name in sorted(os.listdir(os.path.join(out, "export.mgf"))):
@@ -98,3 +98,19 @@ def test_bsa_fixture_counts_are_meaningful():
     assert want["mgf_records"] == want["archive_spectra"]
     assert want["archive_modified_rows"] > 0
     assert 1 <= want["archive_distinct_proteins"] <= 3
+
+
+def test_bsa_mztab_fixture_matches_mzid_golden_counts(tmp_path):
+    """Cross-format fidelity gate: ``bsa.mztab`` carries the SAME
+    identifications as ``bsa.mzid`` (same decoy flags, same LCG score
+    stream, same UNIMOD mods — see gen_bsa_fixture.write_mztab), so the
+    full §3.3 DAG must land on the IDENTICAL frozen counts.  Any drift
+    in the mzTab PSM parse (PSH column map, spectra_ref split, decoy
+    opt column, modification-string parse) breaks equality here."""
+    got = pipeline_counts(str(tmp_path / "out"), result_file="bsa.mztab")
+    want = json.load(open(GOLDEN))
+    assert got == want, {
+        k: (want.get(k), got.get(k))
+        for k in sorted(set(want) | set(got))
+        if want.get(k) != got.get(k)
+    }

@@ -105,8 +105,16 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pattern}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # Extra gate-only row (not a registry entry — the driver gate is
+    # capped at 50): q48's PRODUCTION lsh path in isolation, so the
+    # factor-10 timing isn't dominated by the O(bucket²) exact block
+    # baseline that exists only as oracle-grade gate scope.
+    from pride_spark import registry as _reg
+
+    qs["q48_spectral_cluster_lsh"] = _reg.q48_production_lsh
+    oracles["q48_spectral_cluster_lsh"] = _reg.q48_production_lsh_oracle_sql()
     if args.queries.strip() == "heavy":
-        names = HEAVY
+        names = HEAVY + ["q48_spectral_cluster_lsh"]
     elif args.queries.strip():
         names = [n.strip() for n in args.queries.split(",")]
     else:
