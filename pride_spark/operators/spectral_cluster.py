@@ -369,6 +369,7 @@ def cluster_spectra(
     method: str = "lsh",
     hash_fn: str = "xx64",
     max_bucket: int | None = None,
+    collapse_duplicates: bool | None = None,
 ) -> DataFrame:
     """→ ``(key, clusterId)`` — one row per input spectrum; singletons keep
     their own key as clusterId (MaraCluster's TSV likewise lists every
@@ -415,7 +416,14 @@ def cluster_spectra(
         spectra, key_col, masses_col, intensities_col, precursor_col, top_k,
         bin_width,
     )
-    if max_bucket is None:
+    if collapse_duplicates is None:
+        # default: collapse exactly when it is PROVABLY label-preserving
+        # (uncapped).  With a cap, collapse changes which buckets exceed
+        # it (caps then meter DISTINCT content, not raw rows) — strictly
+        # better recall on duplicate-heavy corpora, but an opt-in because
+        # the uncollapsed cap accounting is the documented r4 contract.
+        collapse_duplicates = max_bucket is None
+    if collapse_duplicates:
         # exact-duplicate collapse (see _rep_collapse): candidates and CC
         # run over one representative per distinct (pmz, bins); labels
         # are provably identical and the quadratic duplicate term is gone
@@ -456,6 +464,7 @@ def cluster_spectra_multi(
     threshold: float = 0.5,
     hash_fn: str = "xx64",
     max_bucket: int | None = None,
+    collapse_duplicates: bool | None = None,
 ) -> DataFrame:
     """→ ``(method, key, clusterId)`` — every method's full labeling, with
     the shared work paid ONCE.
@@ -486,7 +495,9 @@ def cluster_spectra_multi(
         spectra, key_col, masses_col, intensities_col, precursor_col, top_k,
         bin_width,
     )
-    if max_bucket is None:  # see _rep_collapse / cluster_spectra
+    if collapse_duplicates is None:  # see cluster_spectra
+        collapse_duplicates = max_bucket is None
+    if collapse_duplicates:  # see _rep_collapse
         base = _rep_collapse(base)
     else:
         base = base.withColumn("rep", F.col("key"))

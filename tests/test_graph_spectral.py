@@ -321,3 +321,31 @@ def test_rep_collapse_labels_identical_on_duplicated_corpus(spark):
         for i in range(40):
             assert len({labels[(m, f"{i:03d}_{c}")] for c in range(8)}) == 1
             assert labels[(m, f"{i:03d}_0")] <= f"{i:03d}_0"
+
+
+def test_collapse_duplicates_composes_with_cap(spark):
+    """collapse_duplicates=True + max_bucket: the cap meters DISTINCT
+    content, so a duplicate mass that would blow the raw-row cap
+    survives as one representative — every dup group still unifies."""
+    from pride_spark.operators.spectral_cluster import cluster_spectra
+
+    rows = []
+    for i in range(6):
+        for c in range(40):  # 40 copies; raw bucket size 240 >> cap 50
+            rows.append((
+                f"{i}_{c:02d}", 400.0,
+                [100.0 + j * 13.7 + i for j in range(12)],
+                [float(j + 1) for j in range(12)],
+            ))
+    spectra = spark.createDataFrame(
+        rows, "usi string, precursorMz double, masses array<double>, intensities array<double>"
+    )
+    out = cluster_spectra(
+        spectra, "usi", method="lsh", top_k=12, threshold=0.5,
+        max_bucket=50, collapse_duplicates=True,
+    )
+    labels = {r["key"]: r["clusterId"] for r in out.collect()}
+    assert len(labels) == 240
+    for i in range(6):
+        group = {labels[f"{i}_{c:02d}"] for c in range(40)}
+        assert group == {f"{i}_00"}
