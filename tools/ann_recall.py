@@ -45,6 +45,8 @@ def main() -> int:
     ap.add_argument("--n-queries", type=int, default=50)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--pq-m", type=int, default=4)
+    ap.add_argument("--pq-k", type=int, default=8)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -71,8 +73,8 @@ def main() -> int:
         truth.setdefault(r["query_id"], set()).add(r["nbr_id"])
 
     # build the IVF-PQ index once (reported separately, never in a row)
-    books = similarity.pq_codebooks_seeded(m=4, k=8, dim=dim)
-    idx = os.path.join(tempfile.gettempdir(), "ann_recall_ivfpq")
+    books = similarity.pq_codebooks_seeded(m=args.pq_m, k=args.pq_k, dim=dim)
+    idx = os.path.join(tempfile.gettempdir(), f"ann_recall_ivfpq_m{args.pq_m}k{args.pq_k}")
     import shutil
 
     shutil.rmtree(idx, ignore_errors=True)
@@ -132,7 +134,7 @@ def main() -> int:
         "k": args.k,
         "n_queries": args.n_queries,
         "n_centroids": args.n_centroids,
-        "pq": {"m": 4, "k": 8},
+        "pq": {"m": args.pq_m, "k": args.pq_k},
         "sec_exact_baseline": t_exact,
         "sec_index_build": t_build,
         "sweep": rows,
@@ -145,7 +147,7 @@ def main() -> int:
         "",
         f"Corpus `{args.sf_dir}` ({n_corpus:,} × {dim}d), {args.n_queries} queries, "
         f"recall@{args.k} vs exact cosine (`brute_force_topk`, {t_exact}s).",
-        f"Index: {args.n_centroids} centroids, PQ m=4 k=8, built once in "
+        f"Index: {args.n_centroids} centroids, PQ m={args.pq_m} k={args.pq_k}, built once in "
         f"{t_build}s (amortized — never inside a timed search).",
         "",
         "| n_probe | rerank | recall@%d | sec | exact |" % args.k,
