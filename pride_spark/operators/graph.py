@@ -302,17 +302,19 @@ def connected_components(
     # materializes the checkpoint in a job of its own, so round 1 starts
     # from stored rows either way.  On graphs that DO need contraction
     # the signatures differ and the loop proceeds exactly as before.
-    # The signature is taken over cur.DISTINCT() so the base-vs-round-1
-    # comparison is both-sides-deduped like every later round-to-round
-    # one: duplicate pairs cancel in bit_xor(xxhash64), so a raw base
-    # containing dups could in principle match a distinct round-1
-    # multiset on count+xor and break prematurely.  Cost: one extra
-    # groupBy shuffle of the edge list in the probe — paid once, and
-    # only here; on the graphs the early exit targets the base is
-    # already deduped so the shuffle carries no fan-in.
-    row0 = cur.distinct().agg(
-        F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
-    ).first()
+    # The signature hash is a decimal SUM of per-row xxhash64 (not a
+    # bit_xor): xor cancels duplicate pairs, so a raw base containing
+    # dups could in principle match a distinct round-1 multiset on
+    # count+xor and break prematurely (ADVICE r6).  Sum is
+    # multiset-sensitive — duplicates add their multiplicity — which
+    # closes that hole WITHOUT the alternative fix's extra dedup
+    # shuffle (cur.distinct() cost q47/q48 +0.3-1.4 s at sf0.1: the
+    # probe is on the hot path of every CC call).  decimal(28,0)
+    # operands sum into decimal(38,0): overflow-free past 10^19 edges
+    # under ANSI.  Same aggregate on every side, so all comparisons
+    # stay like-for-like.
+    sig_h = F.sum(F.xxhash64("u", "v").cast("decimal(28,0)")).alias("h")
+    row0 = cur.agg(F.count(F.lit(1)).alias("n"), sig_h).first()
     prev_sig = (row0["n"], row0["h"])
     # Checkpoint hygiene tracks each round's checkpoint RDD by DIRECT
     # handle (the LogicalRDD's rdd — see _checkpoint_rdd), so concurrent
@@ -336,7 +338,7 @@ def connected_components(
         # round's hub size with zero extra shuffles or jobs.
         aggs = [
             F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            sig_h,
         ]
         if probing:
             aggs.append(F.max("__deg").alias("maxd"))
