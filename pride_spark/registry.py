@@ -2054,23 +2054,60 @@ def q43_build_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     verdict's bench-scope split — a production index is built once and
     searched many times, so the timed q43 row should measure SEARCH
     latency; bench.py runs this as a separately-timed fixture stage
-    (see ``bench_fixtures``).  All four artifacts are deterministic
-    functions of the corpus, so memoizing them changes no result."""
+    (see ``bench_fixtures``).  All artifacts are deterministic
+    functions of the corpus, so memoizing them changes no result.
+
+    The PQ CODES tables are materialized here too (one parquet per
+    codebook family, atomic-rename published like the index): encoding
+    is a full-corpus scan, and a served PQ index never re-encodes its
+    corpus per query batch — the searches read the 16-32× narrower
+    codes table instead (``pq_topk(codes_df=...)``), which at 100 TB is
+    the difference between scanning compressed codes and scanning the
+    float vectors every search."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
     fp = _corpus_fingerprint(sf_dir)
     cached = _Q43_BUILD_CACHE.get(fp)
     if cached is None:
         emb = _t(spark, sf_dir, "embeddings")
         books = similarity.pq_codebooks_seeded(m=_PQ_M, k=_PQ_K, dim=_PQ_DIM)
+        books_t = similarity.pq_train(
+            spark.read.parquet(f"{_PQ_TRAIN_DIR}/embeddings.parquet"),
+            "vec_id", "embedding", m=_PQ_M, k=_PQ_K, order_by_id=True,
+        )
+        # codes dir keyed by corpus fingerprint + BOTH codebook digests
+        # (trained books depend on the train fixture, not the corpus)
+        bh = hashlib.md5(repr((books, books_t)).encode()).hexdigest()[:8]
+        tmp = tempfile.gettempdir()
+        codes_dir = _os.path.join(tmp, f"pride_spark_pqcodes_v1_{fp}_{bh}")
+        if not _os.path.isdir(_os.path.join(codes_dir, "trained")):
+            for entry in _os.listdir(tmp):  # GC stale fingerprints/builds
+                if entry != _os.path.basename(codes_dir) and entry.startswith(
+                    "pride_spark_pqcodes_v1_"
+                ):
+                    shutil.rmtree(_os.path.join(tmp, entry), ignore_errors=True)
+            build = codes_dir + f".build-{uuid.uuid4().hex}"
+            for fam, bks in (("seeded", books), ("trained", books_t)):
+                emb.select(
+                    F.col("vec_id").alias("nbr_id"),
+                    similarity.pq_encode_expr("embedding", bks).alias("codes"),
+                ).write.mode("overwrite").parquet(_os.path.join(build, fam))
+            try:
+                _os.rename(build, codes_dir)
+            except OSError:  # concurrent builder won — serve theirs
+                shutil.rmtree(build, ignore_errors=True)
         cached = {
             "ivf_centroids": similarity._kmeans_centroids(
                 emb, "vec_id", "embedding", 8, 2
             ),
             "books_seeded": books,
-            "books_trained": similarity.pq_train(
-                spark.read.parquet(f"{_PQ_TRAIN_DIR}/embeddings.parquet"),
-                "vec_id", "embedding", m=_PQ_M, k=_PQ_K, order_by_id=True,
-            ),
+            "books_trained": books_t,
             "index_path": _ivfpq_index_path(spark, sf_dir, books),
+            "codes_seeded_path": _os.path.join(codes_dir, "seeded"),
+            "codes_trained_path": _os.path.join(codes_dir, "trained"),
         }
         _Q43_BUILD_CACHE.clear()
         _Q43_BUILD_CACHE[fp] = cached
@@ -2092,7 +2129,8 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("score"), "rank",
     )
     pq = similarity.pq_topk(
-        emb, "vec_id", "embedding", art["books_seeded"], k=3, probe=probe
+        emb, "vec_id", "embedding", art["books_seeded"], k=3, probe=probe,
+        codes_df=spark.read.parquet(art["codes_seeded_path"]),
     ).select(
         F.lit("pq").alias("method"), "query_id", "nbr_id",
         F.col("adc").alias("score"), "rank",
@@ -2105,7 +2143,8 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("score"), "rank",
     )
     pq_t = similarity.pq_topk(
-        emb, "vec_id", "embedding", art["books_trained"], k=3, probe=probe
+        emb, "vec_id", "embedding", art["books_trained"], k=3, probe=probe,
+        codes_df=spark.read.parquet(art["codes_trained_path"]),
     ).select(
         F.lit("pq_trained").alias("method"), "query_id", "nbr_id",
         F.col("adc").alias("score"), "rank",
