@@ -183,6 +183,14 @@ def search_ivf_index(
     assigned = spark.read.parquet(f"{path}/assignments").filter(
         F.col("centroid_id").isin(probe_cids)
     )
+    if meta.get("pq_codebooks"):
+        # PQ index: posting lists carry codes only — recover the floats
+        # by joining the PRUNED membership rows back to the vectors
+        # table (an id equi-join on the already-bucket-filtered subset,
+        # so the scan volume stays proportional to the probed lists)
+        assigned = assigned.select("centroid_id", "nbr_id").join(
+            spark.read.parquet(f"{path}/vectors"), "nbr_id"
+        )
     pairs = probed.join(assigned, "centroid_id").filter(
         F.col("query_id") != F.col("nbr_id")
     )
