@@ -17,6 +17,7 @@ Numeric-parity rules (so value hashes match DuckDB bit-for-bit):
 from __future__ import annotations
 
 import os as _os
+import time as _time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2026,7 +2027,17 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
         for entry in _os.listdir(tmp):
             if entry == base or not entry.startswith("pride_spark_ivfpq_v2_"):
                 continue
-            shutil.rmtree(_os.path.join(tmp, entry), ignore_errors=True)
+            # age guard: never sweep an entry younger than an hour — a
+            # CONCURRENT builder's in-progress .build-* dir must survive
+            # until its atomic rename (the stale-leak classes this GC
+            # targets are all hours-to-days old)
+            full = _os.path.join(tmp, entry)
+            try:
+                if _time.time() - _os.path.getmtime(full) < 3600:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
         build_dir = path + f".build-{uuid.uuid4().hex}"
         emb = _t(spark, sf_dir, "embeddings")
         ann_index.build_ivf_index(
@@ -2088,7 +2099,13 @@ def q43_build_artifacts(spark: SparkSession, sf_dir: str) -> dict:
                 if entry != _os.path.basename(codes_dir) and entry.startswith(
                     "pride_spark_pqcodes_v1_"
                 ):
-                    shutil.rmtree(_os.path.join(tmp, entry), ignore_errors=True)
+                    full = _os.path.join(tmp, entry)
+                    try:  # same age guard as _ivfpq_index_path's GC
+                        if _time.time() - _os.path.getmtime(full) < 3600:
+                            continue
+                    except OSError:
+                        continue
+                    shutil.rmtree(full, ignore_errors=True)
             build = codes_dir + f".build-{uuid.uuid4().hex}"
             for fam, bks in (("seeded", books), ("trained", books_t)):
                 emb.select(
