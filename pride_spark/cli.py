@@ -83,12 +83,21 @@ def _index_outputs(spark, args):
     if sample_files:
         from pride_spark.sources.tabular import read_sdrf
 
-        # (fileName, array<Param>) — one broadcastable row per data file;
+        from pride_spark.functions.strings import file_name_no_extension
+
+        # (__skey, array<Param>) — one broadcastable row per data file;
+        # keyed by the lower-cased EXTENSION-STRIPPED name, the same key
+        # the reference's sample map uses (PrideAnalysisAssayService
+        # initGlobalSampleMetadata / :574-579): real SDRFs list raw files
+        # (.raw) while archive rows carry spectra file names (.mzML/.mgf),
+        # so a full-fileName equi-join silently matches nothing.
         # array_sort pins a deterministic param order regardless of the
         # melt's partitioning
         sample_props = (
             read_sdrf(spark, sample_files)
-            .groupBy(F.col("dataFile").alias("fileName"))
+            .groupBy(
+                F.lower(file_name_no_extension(F.col("dataFile"))).alias("__skey")
+            )
             .agg(
                 F.array_sort(
                     F.collect_list(

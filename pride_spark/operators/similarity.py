@@ -9,8 +9,26 @@ IVF-style coarse quantizer built from a sampled centroid table.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _d(x) -> str:
+    """SQL text of one double literal.  ``repr`` is Python's shortest
+    round-trip form and Spark's double parse is correctly rounded, so
+    finite values parse BIT-IDENTICAL to ``F.lit`` — but repr renders
+    non-finite values as ``nan``/``inf``, which the SQL parser rejects
+    (``nanD`` is not a literal).  Degenerate/NaN input vectors can put
+    those into centroids and codebooks, so map them to the string-cast
+    forms Spark defines for them (same values ``F.lit`` would produce)."""
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'' if x > 0 else '-'}Infinity' AS DOUBLE)"
+    return f"{x!r}D"
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -35,7 +53,7 @@ def lit_vec(vals) -> Column:
     round-trip form and Spark's double parse is correctly rounded, so
     the parsed values are BIT-IDENTICAL to ``F.lit`` (asserted over
     denormals/extremes in tests) — fold order and results unchanged."""
-    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+    return F.expr("array(" + ",".join(_d(x) for x in vals) + ")")
 
 
 def l2_norm(a: Column) -> Column:
@@ -354,7 +372,7 @@ def _kmeans_centroids(
 
 def _arr_sql(vals) -> str:
     """SQL text of an ``array<double>`` literal (see :func:`lit_vec`)."""
-    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+    return "array(" + ",".join(_d(x) for x in vals) + ")"
 
 
 def _dot_sql(vec_sql: str, vals) -> str:
@@ -403,7 +421,7 @@ def _nearest_centroids_expr(
     vs = _vec_sql(vec)
     if vs is not None:
         entries = ",".join(
-            f"CAST(struct(-({_dot_sql(vs, c)}) / {float(norms[ci])!r}D, {ci}) "
+            f"CAST(struct(-({_dot_sql(vs, c)}) / {_d(norms[ci])}, {ci}) "
             f"AS {entry_t})"
             for ci, c in enumerate(cents)
         )
@@ -641,7 +659,7 @@ def pq_encode_expr(vec: Column | str, codebooks: list[list[list[float]]]) -> Col
             sub = len(book[0])
             s = f"slice({vs}, {j * sub + 1}, {sub})"
             entries = ",".join(
-                f"CAST(struct({float(round(sum(x * x for x in c), 10))!r}D "
+                f"CAST(struct({_d(round(sum(x * x for x in c), 10))} "
                 f"- 2.0D * {_dot_sql(s, c)}, {ci}) AS {entry_t})"
                 for ci, c in enumerate(book)
             )

@@ -173,9 +173,11 @@ def generate_index_files(
 
     ``reanalysis`` — reanalysis accession; see :func:`stage2_spectrum_join`.
     ``sample_props`` — per-file SDRF sample characteristics as
-    ``(fileName, sampleProperties: array<Param>)``; broadcast-joined onto
-    the archive rows (J6) with an empty-array fallback, mirroring the
-    reference's localSampleProperties attachment
+    ``(__skey, sampleProperties: array<Param>)`` where ``__skey`` is the
+    lower-cased extension-stripped file name; broadcast-joined onto the
+    archive rows (J6) with an empty-array fallback, mirroring the
+    reference's localSampleProperties attachment and its
+    extension-stripped sample-map key
     (PrideAnalysisAssayService.java:574-579).
     """
     cfg = cfg or IndexConfig()
@@ -189,13 +191,20 @@ def generate_index_files(
         from pride_spark.operators.joins import broadcast_props_join
         from pride_spark.schemas import PARAM
 
+        from pride_spark.functions.strings import file_name_no_extension
+
+        # both sides keyed by lower-cased extension-stripped name — the
+        # reference's sample-map key (PrideAnalysisAssayService:574-579);
+        # SDRF rows name raw files, archive rows name spectra files
         archive = broadcast_props_join(
-            archive,
+            archive.withColumn(
+                "__skey", F.lower(file_name_no_extension(F.col("fileName")))
+            ),
             sample_props.withColumnRenamed("sampleProperties", "__props"),
-            "fileName",
+            "__skey",
             "__props",
             F.array().cast(ArrayType(PARAM)),
-        ).drop("__props")
+        ).drop("__props", "__skey")
     proteins = stage3_protein_rollup(archive)
     summary = archive.drop("masses", "intensities")
     return {"archive_spectra": archive, "summary_spectra": summary, "protein_evidence": proteins}

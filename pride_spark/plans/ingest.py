@@ -173,11 +173,18 @@ def _mztab_as_canonical(spark: SparkSession, path: str) -> DataFrame:
     # keeps modificationNames/peptidoform non-null downstream.
     mod_t = "array<struct<position:int,accession:string,name:string>>"
     if "modificationsRaw" in psms.columns:
+        # split only on commas OUTSIDE a bracketed CV-param block — the
+        # qualifier itself contains commas ("3[MS,MS:1001876,...]-...")
         entries = F.filter(
-            F.split(F.col("modificationsRaw"), ","),
+            F.split(F.col("modificationsRaw"), r",(?![^\[]*\])"),
             lambda s: s.rlike(r"^[0-9]"),  # drops 'null' / '' markers
         )
-        acc = lambda s: F.regexp_extract(s, r"^[0-9|]+-(.*)$", 1)  # noqa: E731
+        # each position may carry a bracketed CV-param qualifier, e.g.
+        # "3[MS,MS:1001876,probability,0.8]-UNIMOD:21" (also on each arm
+        # of an ambiguous "3[..]|4[..]" list) — skip them, keep the acc
+        acc = lambda s: F.regexp_extract(  # noqa: E731
+            s, r"^\d+(?:\[[^\]]*\])?(?:\|\d+(?:\[[^\]]*\])?)*-(.*)$", 1
+        )
         mods = F.transform(
             entries,
             lambda s: F.struct(

@@ -2000,6 +2000,40 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:12]
 
 
+def _gc_tmp_siblings(tmp: str, prefix: str, keep: str) -> None:
+    """GC stale build artifacts under ``tmp``, called only when a NEW
+    fingerprint is about to be built: ``.build-*`` orphans after one
+    hour (a builder that crashed between build and rename), but
+    PUBLISHED sibling dirs only after 24 h WITHOUT a serve — every
+    serve touches the dir mtime (:func:`_touch_served`), so a
+    long-lived session (streaming ANN serving, a gate run on another
+    sf dir) that is actively reading an index built hours ago never
+    has it rmtree'd out from under in-flight parquet reads."""
+    import shutil
+
+    for entry in _os.listdir(tmp):
+        if entry == keep or not entry.startswith(prefix):
+            continue
+        full = _os.path.join(tmp, entry)
+        limit = 3600 if ".build-" in entry else 86400
+        try:
+            if _time.time() - _os.path.getmtime(full) < limit:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+
+
+def _touch_served(path: str) -> None:
+    """Bump a served artifact dir's mtime so the 24 h GC window in
+    :func:`_gc_tmp_siblings` is measured from the LAST SERVE, not the
+    build."""
+    try:
+        _os.utime(path, None)
+    except OSError:
+        pass
+
+
 def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
     """Build-once path for q43's persistent IVF-PQ index: keyed by a
     CONTENT fingerprint of the corpus (file names + sizes + mtimes of
@@ -2019,25 +2053,13 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
     path = _os.path.join(tmp, f"pride_spark_ivfpq_v2_{_corpus_fingerprint(sf_dir)}")
     if not _os.path.exists(_os.path.join(path, "meta.json")):
         # GC before building: (a) '*.build-<uuid>' siblings leaked by a
-        # builder that crashed between build and rename; (b) old
-        # fingerprint dirs orphaned when the corpus was regenerated
-        # (mtime_ns is part of the key, so stale dirs are never served
-        # again — without this sweep nothing ever deletes them).
-        base = _os.path.basename(path)
-        for entry in _os.listdir(tmp):
-            if entry == base or not entry.startswith("pride_spark_ivfpq_v2_"):
-                continue
-            # age guard: never sweep an entry younger than an hour — a
-            # CONCURRENT builder's in-progress .build-* dir must survive
-            # until its atomic rename (the stale-leak classes this GC
-            # targets are all hours-to-days old)
-            full = _os.path.join(tmp, entry)
-            try:
-                if _time.time() - _os.path.getmtime(full) < 3600:
-                    continue
-            except OSError:
-                continue
-            shutil.rmtree(full, ignore_errors=True)
+        # builder that crashed between build and rename (1 h age guard —
+        # a CONCURRENT builder's in-progress dir must survive until its
+        # atomic rename); (b) old fingerprint dirs orphaned when the
+        # corpus was regenerated (mtime_ns is part of the key, so stale
+        # dirs are never served again) — these only after 24 h without a
+        # serve, see _gc_tmp_siblings.
+        _gc_tmp_siblings(tmp, "pride_spark_ivfpq_v2_", _os.path.basename(path))
         build_dir = path + f".build-{uuid.uuid4().hex}"
         emb = _t(spark, sf_dir, "embeddings")
         ann_index.build_ivf_index(
@@ -2047,6 +2069,7 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
             _os.rename(build_dir, path)
         except OSError:  # concurrent builder published first — use theirs
             shutil.rmtree(build_dir, ignore_errors=True)
+    _touch_served(path)
     return path
 
 
@@ -2095,17 +2118,9 @@ def q43_build_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         tmp = tempfile.gettempdir()
         codes_dir = _os.path.join(tmp, f"pride_spark_pqcodes_v1_{fp}_{bh}")
         if not _os.path.isdir(_os.path.join(codes_dir, "trained")):
-            for entry in _os.listdir(tmp):  # GC stale fingerprints/builds
-                if entry != _os.path.basename(codes_dir) and entry.startswith(
-                    "pride_spark_pqcodes_v1_"
-                ):
-                    full = _os.path.join(tmp, entry)
-                    try:  # same age guard as _ivfpq_index_path's GC
-                        if _time.time() - _os.path.getmtime(full) < 3600:
-                            continue
-                    except OSError:
-                        continue
-                    shutil.rmtree(full, ignore_errors=True)
+            # GC stale fingerprints/builds — same serve-aware age policy
+            # as _ivfpq_index_path (see _gc_tmp_siblings)
+            _gc_tmp_siblings(tmp, "pride_spark_pqcodes_v1_", _os.path.basename(codes_dir))
             build = codes_dir + f".build-{uuid.uuid4().hex}"
             for fam, bks in (("seeded", books), ("trained", books_t)):
                 emb.select(
@@ -2128,6 +2143,11 @@ def q43_build_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         }
         _Q43_BUILD_CACHE.clear()
         _Q43_BUILD_CACHE[fp] = cached
+    # serve-touch on EVERY access (memo hits included): the 24 h GC
+    # window is measured from the last serve, so another process's GC
+    # can't reap a dir this session is actively reading
+    _touch_served(_os.path.dirname(cached["codes_seeded_path"]))
+    _touch_served(cached["index_path"])
     return cached
 
 

@@ -189,9 +189,12 @@ def test_run_reanalysis_folder_glob(spark, tmp_path):
     folder.mkdir()
     (folder / "a.mzid").write_text(_mzid())
     (folder / "run1.mgf").write_text(_mgf())
+    # SDRF names the RAW acquisition file (the realistic case) — the join
+    # must match it to the run1.mgf archive rows via the extension-
+    # stripped lower-cased key the reference's sample map uses
     (folder / "samples.sdrf.tsv").write_text(
         "comment[data file]\tcharacteristics[organism]\tcharacteristics[disease]\n"
-        "run1.mgf\tHomo sapiens\tnone\n"
+        "Run1.raw\tHomo sapiens\tnone\n"
     )
     outdir = tmp_path / "re_out"
     rc = main(

@@ -600,3 +600,34 @@ def test_sql_text_path_equals_column_path(spark):
         "vec_id", similarity.pq_luts_expr(F.col("embedding"), books).alias("l")
     )
     assert l_sql.orderBy("vec_id").collect() == l_col.orderBy("vec_id").collect()
+
+
+def test_sql_text_non_finite_literals(spark):
+    """r8 (ADVICE): repr renders NaN/Infinity as ``nan``/``inf`` which the
+    SQL parser rejects — degenerate input vectors can put non-finite
+    values into centroids/codebooks, so _d must fall back to the
+    string-cast forms and keep the SQL-text path crash-free AND equal to
+    the Column-tree path."""
+    import math
+
+    nan, inf = float("nan"), float("inf")
+    vals = [nan, inf, -inf, 1.5, -0.0]
+    got = spark.range(1).select(similarity.lit_vec(vals).alias("x")).collect()[0]["x"]
+    assert math.isnan(got[0]) and got[1] == inf and got[2] == -inf and got[3] == 1.5
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = [[nan] * 8, [1.0] * 8, [inf, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, -inf]]
+    n_sql, o_sql = similarity._nearest_centroids_expr("embedding", cents)
+    n_col, o_col = similarity._nearest_centroids_expr(F.col("embedding"), cents)
+    a = df.select("vec_id", n_sql.alias("n"), o_sql.alias("o")).orderBy("vec_id").collect()
+    b = df.select("vec_id", n_col.alias("n"), o_col.alias("o")).orderBy("vec_id").collect()
+    assert repr(a) == repr(b)  # repr: NaN == NaN field-wise
+
+    books = [[[nan, 1.0, 2.0, 3.0], [0.0] * 4, [inf, 0.0, 0.0, 0.0]],
+             [[1.0] * 4, [-inf, 2.0, 2.0, 2.0], [0.5] * 4]]
+    e_sql = df.select("vec_id", similarity.pq_encode_expr("embedding", books).alias("c"))
+    e_col = df.select(
+        "vec_id", similarity.pq_encode_expr(F.col("embedding"), books).alias("c")
+    )
+    assert e_sql.orderBy("vec_id").collect() == e_col.orderBy("vec_id").collect()

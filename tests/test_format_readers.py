@@ -740,3 +740,32 @@ def test_apl_through_read_spectra_any(spark, tmp_path):
     rows = read_spectra_any(spark, [str(tmp_path / "x.apl")]).collect()
     assert len(rows) == 1 and rows[0]["fileName"] == "x.apl"
     assert rows[0]["masses"] == [100.25]
+
+
+def test_mztab_mod_with_cv_param_position(spark, tmp_path):
+    """r8 (ADVICE): mzTab mod positions may carry a bracketed CV-param
+    qualifier ("3[MS,MS:1001876,probability,0.8]-UNIMOD:21", also on each
+    arm of an ambiguous list) — the accession must still be extracted."""
+    from pride_spark.plans.ingest import read_psms_any
+
+    tab = (
+        "MTD\tmzTab-version\t1.0.0\n"
+        "MTD\tms_run[1]-location\tfile:///data/run1.mzML\n"
+        "PSH\tsequence\tPSM_ID\taccession\tunique\tsearch_engine_score[1]\t"
+        "modifications\tspectra_ref\tretention_time\tcharge\texp_mass_to_charge\n"
+        "PSM\tPEPTIDEK\t1\tP12345\t1\t0.001\t"
+        "3[MS,MS:1001876,probability,0.8]-UNIMOD:21\tms_run[1]:scan=42\t55.2\t2\t445.12\n"
+        "PSM\tLNGVK\t2\tQ99999\t0\t0.2\t"
+        "2[MS,MS:1001876,probability,0.6]|4[MS,MS:1001876,probability,0.4]-UNIMOD:35,"
+        "1-UNIMOD:4\tms_run[1]:scan=43\t12.0\t3\t512.9\n"
+    )
+    p = tmp_path / "cvmod.mztab"
+    p.write_text(tab)
+    rows = {r["psmId"]: r for r in read_psms_any(spark, [str(p)]).collect()}
+    m1 = rows["1"]["modifications"]
+    assert [(m["position"], m["accession"]) for m in m1] == [(3, "UNIMOD:21")]
+    m2 = rows["2"]["modifications"]
+    assert [(m["position"], m["accession"]) for m in m2] == [
+        (2, "UNIMOD:35"),
+        (1, "UNIMOD:4"),
+    ]

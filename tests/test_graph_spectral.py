@@ -349,3 +349,49 @@ def test_collapse_duplicates_composes_with_cap(spark):
     for i in range(6):
         group = {labels[f"{i}_{c:02d}"] for c in range(40)}
         assert group == {f"{i}_00"}
+
+
+def test_duplicate_probe_and_null_pmz_collapse(spark):
+    """r8: the collapse window is probe-gated (skipped on duplicate-free
+    corpora, where it measured +2.5 s of pure overhead at sf0.1), and
+    null-pmz rows are NEVER collapsed — they can't co-block in the
+    uncollapsed graph, so merging them would break label identity."""
+    from pride_spark.operators.spectral_cluster import (
+        _has_duplicates,
+        _rep_collapse,
+        cluster_spectra,
+    )
+
+    binned = spark.createDataFrame(
+        [
+            ("a", 400.0, [1, 2, 3]),
+            ("b", 400.0, [4, 5, 6]),
+            ("c", None, [7, 8, 9]),
+            ("d", None, [7, 8, 9]),  # null-pmz dup: must not count
+        ],
+        "key string, pmz double, bins array<int>",
+    )
+    assert _has_duplicates(binned) is False
+    dup = binned.union(
+        spark.createDataFrame([("e", 400.0, [1, 2, 3])], binned.schema)
+    )
+    assert _has_duplicates(dup) is True
+    # null-pmz rows keep rep = key even with identical bins
+    reps = {r["key"]: r["rep"] for r in _rep_collapse(binned).collect()}
+    assert reps == {"a": "a", "b": "b", "c": "c", "d": "d"}
+
+    # end-to-end: identical-peak null-pmz spectra stay singletons while a
+    # real duplicate group (which trips the probe) still unifies
+    rows = [
+        ("n1", None, [100.0 + j * 13.7 for j in range(12)], [float(j + 1) for j in range(12)]),
+        ("n2", None, [100.0 + j * 13.7 for j in range(12)], [float(j + 1) for j in range(12)]),
+        ("p1", 400.0, [100.0 + j * 13.7 for j in range(12)], [float(j + 1) for j in range(12)]),
+        ("p2", 400.0, [100.0 + j * 13.7 for j in range(12)], [float(j + 1) for j in range(12)]),
+    ]
+    spectra = spark.createDataFrame(
+        rows, "usi string, precursorMz double, masses array<double>, intensities array<double>"
+    )
+    out = cluster_spectra(spectra, "usi", method="block", top_k=12, threshold=0.5)
+    labels = {r["key"]: r["clusterId"] for r in out.collect()}
+    assert labels["n1"] == "n1" and labels["n2"] == "n2"
+    assert labels["p1"] == labels["p2"] == "p1"

@@ -1,0 +1,54 @@
+"""Age- and serve-aware GC of q43's tmp artifact dirs (r7 verdict task 9
++ r8 ADVICE): a mis-glob or mis-aged sweep here deletes a served index
+mid-session, so the policy is pinned by test:
+
+- ``.build-*`` orphans: reaped after 1 h (crashed-builder leak class);
+- published fingerprint dirs: reaped only after 24 h WITHOUT a serve
+  (every serve touches the dir mtime);
+- the dir being (re)built and non-matching prefixes: never touched.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pride_spark.registry import _gc_tmp_siblings, _touch_served
+
+PFX = "pride_spark_ivfpq_v2_"
+
+
+def _mk(tmp, name, age_sec):
+    d = tmp / name
+    d.mkdir()
+    (d / "part-0000.parquet").write_text("x")
+    old = time.time() - age_sec
+    os.utime(d, (old, old))
+    return d
+
+
+def test_gc_policy(tmp_path):
+    keep = _mk(tmp_path, f"{PFX}current", 90_000)  # the dir being rebuilt
+    young_build = _mk(tmp_path, f"{PFX}aaaa.build-123", 60)     # in-progress
+    old_build = _mk(tmp_path, f"{PFX}bbbb.build-456", 7_200)    # crashed
+    young_pub = _mk(tmp_path, f"{PFX}cccc", 7_200)              # served 2h ago
+    old_pub = _mk(tmp_path, f"{PFX}dddd", 90_000)               # abandoned >24h
+    other = _mk(tmp_path, "some_other_dir", 90_000)             # foreign prefix
+
+    _gc_tmp_siblings(str(tmp_path), PFX, keep.name)
+
+    assert keep.exists(), "the dir being rebuilt must never be swept"
+    assert young_build.exists(), "in-progress .build-* (<1h) must survive"
+    assert not old_build.exists(), ".build-* orphan (>1h) must be reaped"
+    assert young_pub.exists(), "published dir served <24h ago must survive"
+    assert not old_pub.exists(), "published dir idle >24h must be reaped"
+    assert other.exists(), "non-matching prefixes must never be touched"
+
+
+def test_serve_touch_resets_gc_clock(tmp_path):
+    served = _mk(tmp_path, f"{PFX}eeee", 90_000)  # idle long enough to reap
+    _touch_served(str(served))                    # ... but it just got served
+    _gc_tmp_siblings(str(tmp_path), PFX, f"{PFX}other")
+    assert served.exists(), "a serve-touch must reset the 24h GC window"
+    # and _touch_served on a missing path is a no-op, not an error
+    _touch_served(str(tmp_path / "does_not_exist"))
