@@ -69,6 +69,7 @@ def main() -> int:
 
     runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
     timings: dict[str, float] = {}
+    bands: dict[str, dict] = {}
     for name, fn in registry.queries().items():
         # One UNTIMED discard run per query: it absorbs this query's
         # first-execution costs (codegen for new plan shapes, Arrow/pandas
@@ -92,20 +93,30 @@ def main() -> int:
             # frame) is exactly the one that persists across attempts
             # unless the state is dropped first.
             release_cached_state(spark)
-        best = None
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None or dt < best else best
+                samples.append(time.time() - t0)
             except Exception as ex:  # keep trying the remaining runs
                 print(f"# {name} run FAILED: {ex}", file=sys.stderr)
                 release_cached_state(spark)  # same rationale as above
-        if best is None:
-            best = -1.0
+        if not samples:
             print(f"# {name} FAILED all {runs} runs", file=sys.stderr)
-        timings[name] = round(best, 3)
+            timings[name] = -1.0
+            bands[name] = {"best": -1.0, "median": -1.0}
+        else:
+            s = sorted(samples)
+            timings[name] = round(s[0], 3)
+            # best AND median per row: sub-3 s rows swing ±30-45% between
+            # sessions on untouched code (JIT warm-in — ARCHITECTURE
+            # "Bench variance notes"), and a best-only artifact makes
+            # noise and regression indistinguishable after the fact.
+            bands[name] = {
+                "best": round(s[0], 3),
+                "median": round(s[len(s) // 2], 3),
+            }
         # Between queries, drop the plan pins the finished query left
         # behind (CC round checkpoints, persisted shared frames) so query
         # N+1 is measured against clean executor storage, the way a
@@ -131,6 +142,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "bands": bands,
                 "fixtures": fixture_timings,
                 "sf": sf,
             }

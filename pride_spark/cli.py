@@ -85,6 +85,26 @@ def _index_outputs(spark, args):
 
         from pride_spark.functions.strings import file_name_no_extension
 
+        chars = read_sdrf(spark, sample_files)
+        # J10: every characteristic key is looked up in the EFO ontology
+        # and the resolved term rides on the Param — the reference does
+        # this per characteristic via its OBO mapper
+        # (PrideAnalysisAssayService.java:342-346, mapper built at :99);
+        # unknown names keep a null accession, exactly like the
+        # reference's Param fallback.  Broadcast dim join, never per-row.
+        efo_path = getattr(args, "efo_terms", None)
+        if efo_path:
+            from pride_spark.sources.efo import (
+                enrich_with_efo,
+                read_efo_obo,
+                read_efo_tsv,
+            )
+
+            reader = read_efo_tsv if str(efo_path).endswith(".tsv") else read_efo_obo
+            chars = enrich_with_efo(chars, reader(spark, efo_path))
+        else:
+            chars = chars.withColumn("accession", F.lit(None).cast("string"))
+
         # (__skey, array<Param>) — one broadcastable row per data file;
         # keyed by the lower-cased EXTENSION-STRIPPED name, the same key
         # the reference's sample map uses (PrideAnalysisAssayService
@@ -94,16 +114,20 @@ def _index_outputs(spark, args):
         # array_sort pins a deterministic param order regardless of the
         # melt's partitioning
         sample_props = (
-            read_sdrf(spark, sample_files)
-            .groupBy(
+            chars.groupBy(
                 F.lower(file_name_no_extension(F.col("dataFile"))).alias("__skey")
             )
             .agg(
                 F.array_sort(
                     F.collect_list(
                         F.struct(
-                            F.lit(None).cast("string").alias("cvLabel"),
-                            F.lit(None).cast("string").alias("accession"),
+                            # ontology label = the accession's prefix
+                            # ("EFO:0000408" → "EFO"), null when unmapped
+                            F.when(
+                                F.col("accession").isNotNull(),
+                                F.split(F.col("accession"), "[:_]")[0],
+                            ).alias("cvLabel"),
+                            F.col("accession"),
                             F.col("name"),
                             F.col("value"),
                         )
@@ -286,6 +310,12 @@ def cmd_run_reanalysis(args) -> int:
     args.result_files = result_files
     args.spectra_files = spectra_files
     args.sample_files = sample_files or None
+    if not getattr(args, "efo_terms", None):
+        # reanalysis folders may bundle the ontology dump the SDRF terms
+        # should be resolved against (the reference always has its OBO
+        # mapper in scope; here the dump is an explicit input)
+        obo = sorted(_glob.glob(f"{folder}/*.obo"))
+        args.efo_terms = obo[0] if obo else None
     spark = _spark("run-reanalysis")
     out = _index_outputs(spark, args)
     write_jsonlines(out["archive_spectra"], f"{args.output_dir}/archive_spectra")
@@ -390,6 +420,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--min-psms", type=int, default=1000)
     g.add_argument("--score-better", choices=("higher", "lower"), default="higher")
     g.add_argument("--no-gates", action="store_true", help="skip the F11 validity gate")
+    g.add_argument(
+        "--efo-terms",
+        help="EFO ontology dump (.obo or accession/name .tsv) to resolve SDRF "
+        "characteristic names against (J10); defaults to a *.obo bundled in "
+        "the reanalysis folder",
+    )
     g.set_defaults(fn=cmd_run_reanalysis)
 
     g = sub.add_parser("generate-mgf-files", help="MGF export of archive spectra (K5)")

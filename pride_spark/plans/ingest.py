@@ -148,14 +148,68 @@ def read_psms_any(
     paths = stage_compressed(paths, stage_dir)
     mzids = [p for p in paths if _ext(p) == "mzid"]
     mztabs = [p for p in paths if _ext(p) == "mztab"]
-    unknown = set(paths) - set(mzids) - set(mztabs)
+    # the reference routes a bare '.xml' RESULT file through the S4
+    # content sniff: mzIdentML inside → MZID, otherwise legacy PRIDE XML
+    # (SubmissionPipelineUtils.java:106-128, :403-421 — PIA accepts both)
+    pridexmls = []
+    for p in paths:
+        if _ext(p) != "xml":
+            continue
+        with open(p.removeprefix("file:"), encoding="utf-8", errors="replace") as fh:
+            if sniff_pride_xml(fh.read(2048)) == "MZID":
+                mzids.append(p)
+            else:
+                pridexmls.append(p)
+    unknown = set(paths) - set(mzids) - set(mztabs) - set(pridexmls)
     if unknown:
         raise ValueError(f"unsupported result format(s): {sorted(unknown)}")
     frames = []
     if mzids:
         frames.append(read_mzid_psms(spark, mzids))
+    if pridexmls:
+        from pride_spark.sources.pridexml import read_pridexml_psms
+
+        frames.append(read_pridexml_psms(spark, pridexmls))
     for p in mztabs:  # mzTab carries per-file ms_run context → one scan each
         frames.append(_mztab_as_canonical(spark, p))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def read_author_proteins(
+    spark: SparkSession, paths: list[str], *, stage_dir: str | None = None
+) -> DataFrame | None:
+    """Author-supplied protein rows (mzTab PRH/PRT sections) from the
+    submission's result files — the pass-through fidelity surface: the
+    reference consumes the FULL mzTab through the PIA compiler, so
+    author-reported protein evidence survives into its model
+    (``PIAModelerService.java:162-189``); here the same rows are exposed
+    as one frame (with a ``fileName`` column for multi-file merges) for
+    callers to join as properties into the protein-evidence output (T3)
+    or publish alongside it.
+
+    Returns ``None`` when no result file carries a PRT section — mzid
+    and PRIDE XML submissions have no author-protein table."""
+    from pride_spark.sources.mztab import read_mztab_proteins
+
+    paths = stage_compressed(paths, stage_dir)
+    frames = []
+    for p in paths:
+        if _ext(p) != "mztab":
+            continue
+        try:
+            df = read_mztab_proteins(spark, p)
+        except ValueError:  # no PRH header in this file
+            continue
+        frames.append(
+            df.select(
+                F.element_at(F.split(F.lit(p), "/"), -1).alias("fileName"), "*"
+            )
+        )
+    if not frames:
+        return None
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)

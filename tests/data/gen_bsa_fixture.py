@@ -295,6 +295,41 @@ def write_mztab(specs: list[dict]) -> None:
             f"ms_run[1]:{s['id']}\t{s['rt']}\t{s['z']}\t{s['mz']}\t{s['mz']}\t"
             f"{1 if decoy else 0}"
         )
+    # author-supplied PRT/PEP sections (a Complete-mode mzTab carries
+    # them; the reference's PIA model keeps these rows — the engine's
+    # plans.ingest.read_author_proteins is the pass-through surface):
+    # one PRT row per distinct accession with its best PSM score, one
+    # PEP row per distinct (sequence, accession)
+    prot: dict[str, dict] = {}
+    pep: dict[tuple, dict] = {}
+    rng = _lcg(99)  # same stream → same scores as the PSM rows
+    for i, s in enumerate(specs):
+        decoy = i % 4 == 3
+        acc = ("rev_" + s["acc"]) if decoy else s["acc"]
+        score = round((0.35 + 0.25 * next(rng)) if decoy else (0.80 + 0.19 * next(rng)), 6)
+        p = prot.setdefault(acc, {"decoy": decoy, "best": score, "n": 0})
+        p["best"] = max(p["best"], score)
+        p["n"] += 1
+        pep.setdefault((s["seq"], acc), {"decoy": decoy, "best": score, "ref": s["id"]})
+    lines.append(
+        "PRH\taccession\tdescription\ttaxid\tspecies\tdatabase\tdatabase_version\t"
+        "best_search_engine_score[1]\tambiguity_members\tmodifications\t"
+        "protein_coverage\topt_global_cv_PRIDE:0000303_decoy_hit"
+    )
+    for acc, p in sorted(prot.items()):
+        lines.append(
+            f"PRT\t{acc}\tnull\t9913\tBos taurus\tsp_target_decoy\t2020_01\t"
+            f"{p['best']}\tnull\tnull\tnull\t{1 if p['decoy'] else 0}"
+        )
+    lines.append(
+        "PEH\tsequence\taccession\tunique\tbest_search_engine_score[1]\t"
+        "modifications\tretention_time\tcharge\tmass_to_charge\tspectra_ref"
+    )
+    for (seq, acc), q in sorted(pep.items()):
+        lines.append(
+            f"PEP\t{seq}\t{acc}\t1\t{q['best']}\tnull\tnull\tnull\tnull\t"
+            f"ms_run[1]:{q['ref']}"
+        )
     with open(os.path.join(OUT, "bsa_fixture", "bsa.mztab"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 

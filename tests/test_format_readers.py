@@ -769,3 +769,86 @@ def test_mztab_mod_with_cv_param_position(spark, tmp_path):
         (2, "UNIMOD:35"),
         (1, "UNIMOD:4"),
     ]
+
+
+def _pridexml_with_idents():
+    """The spectra fixture + GelFree/TwoDimensional identifications —
+    PeptideItems reference mzData spectrum 2 (the MS2 scan)."""
+    xml, mz, inten = _pridexml_fixture()
+    idents = """  <GelFreeIdentification>
+   <Accession>P12345</Accession>
+   <Database>UniProt</Database>
+   <PeptideItem>
+    <Sequence>PEPTIDEK</Sequence>
+    <Start>5</Start>
+    <End>12</End>
+    <SpectrumReference>2</SpectrumReference>
+    <ModificationItem>
+     <ModLocation>3</ModLocation>
+     <ModAccession>MOD:00696</ModAccession>
+     <ModDatabase>MOD</ModDatabase>
+     <additional>
+      <cvParam cvLabel="MOD" accession="MOD:00696" name="phosphorylated residue" value=""/>
+     </additional>
+    </ModificationItem>
+    <additional>
+     <cvParam cvLabel="PRIDE" accession="PRIDE:0000069" name="Mascot score" value="55.2"/>
+    </additional>
+   </PeptideItem>
+   <Score>123.0</Score>
+   <SearchEngine>Mascot</SearchEngine>
+  </GelFreeIdentification>
+  <TwoDimensionalIdentification>
+   <Accession>DECOY_Q99999</Accession>
+   <Database>UniProt</Database>
+   <PeptideItem>
+    <Sequence>LNGVK</Sequence>
+    <SpectrumReference>1</SpectrumReference>
+   </PeptideItem>
+   <Score>7.5</Score>
+  </TwoDimensionalIdentification>
+ </Experiment>"""
+    return xml.replace(" </Experiment>", idents)
+
+
+def test_pridexml_psms_reader(spark, tmp_path):
+    """S3 (r8): legacy PRIDE XML identifications land on the SAME
+    canonical psms frame as mzid/mzTab — precursor mz/charge resolved
+    from the referenced embedded mzData spectrum, Mascot-score cvParam
+    preferred over the identification Score, PRIDE decoy conventions."""
+    from pride_spark.sources.pridexml import read_pridexml_psms
+
+    p = tmp_path / "legacy.xml"
+    p.write_text(_pridexml_with_idents())
+    rows = {r["sourceId"]: r for r in read_pridexml_psms(spark, [str(p)]).collect()}
+    assert set(rows) == {"1", "2"}
+
+    r2 = rows["2"]  # GelFree PeptideItem -> MS2 spectrum with precursor
+    assert r2["peptideSequence"] == "PEPTIDEK"
+    assert r2["proteinAccessions"] == ["P12345"]
+    assert r2["precursorCharge"] == 2 and r2["massToCharge"] == 445.12
+    assert r2["score"] == 55.2 and r2["scoreAccession"] == "PRIDE:0000069"
+    assert r2["isDecoy"] is False and r2["rank"] == 1
+    assert [(m["position"], m["accession"], m["name"]) for m in r2["modifications"]] == [
+        (3, "MOD:00696", "phosphorylated residue")
+    ]
+
+    r1 = rows["1"]  # TwoDimensional item: no cvParam score -> ident Score
+    assert r1["peptideSequence"] == "LNGVK"
+    assert r1["isDecoy"] is True  # DECOY_ accession prefix
+    assert r1["score"] == 7.5 and r1["scoreAccession"] is None
+    assert r1["precursorCharge"] is None  # MS1 spectrum has no precursor
+
+
+def test_pridexml_through_read_psms_any(spark, tmp_path):
+    """Dispatch parity: a bare .xml RESULT file is content-sniffed
+    (SubmissionPipelineUtils.java:403-421) and a PRIDE document routes
+    to the PRIDE XML reader; schema identical to the mzid frame."""
+    from pride_spark.plans.ingest import read_psms_any
+    from pride_spark.sources.mzid import MZID_PSM_SCHEMA
+
+    p = tmp_path / "legacy.pride.xml"
+    p.write_text(_pridexml_with_idents())
+    out = read_psms_any(spark, [str(p)])
+    assert out.schema == MZID_PSM_SCHEMA
+    assert out.count() == 2

@@ -114,3 +114,29 @@ def test_bsa_mztab_fixture_matches_mzid_golden_counts(tmp_path):
         for k in sorted(set(want) | set(got))
         if want.get(k) != got.get(k)
     }
+
+
+def test_bsa_mztab_author_proteins_surface(spark):
+    """r8 (verdict task 7): the PRT/PEP sections the BSA mzTab carries
+    reach an output surface — ``read_author_proteins`` merges every
+    result file's author-reported protein rows into one frame (None for
+    mzid-only submissions, which have no author table)."""
+    from pride_spark.plans.ingest import read_author_proteins
+
+    out = read_author_proteins(spark, [os.path.join(DATA, "bsa.mztab")])
+    rows = {r["accession"]: r for r in out.collect()}
+    # the fixture's identifications span 3 proteins, target + rev_ decoy
+    targets = {a for a in rows if not a.startswith("rev_")}
+    decoys = {a for a in rows if a.startswith("rev_")}
+    assert targets == {
+        "sp|P02769|ALBU_BOVIN", "sp|P00761|TRYP_PIG", "sp|P00921|CAH2_BOVIN",
+    }
+    assert decoys == {f"rev_{t}" for t in targets}
+    for acc, r in rows.items():
+        assert r["fileName"] == "bsa.mztab"
+        assert r["isDecoy"] is acc.startswith("rev_")
+        assert r["bestSearchEngineScore"] is not None
+        assert r["species"] == "Bos taurus" and r["taxid"] == 9913
+
+    # mzid submissions carry no author-protein table
+    assert read_author_proteins(spark, [os.path.join(DATA, "bsa.mzid")]) is None

@@ -164,6 +164,13 @@ def main() -> int:
         "sets (asserted in tools/ann_recall.py) — the funnel loses nothing "
         "when opened fully; production settings pick a point on the curve.",
         "",
+        "Non-monotone small-rerank cells (recall falling as n_probe rises at "
+        "fixed rerank) are ADC-shortlist displacement, not noise: the "
+        "full-rerank rows show coverage RISING with the same probe change, "
+        "so the drop happens at the fixed-size shortlist cut — added "
+        "buckets contribute candidates whose quantized-distance scores "
+        "outrank true neighbors'.  Scale rerank with n_probe.",
+        "",
     ]
     with open(f"{args.out}.md", "w") as fh:
         fh.write("\n".join(md))
