@@ -383,6 +383,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--min-psms", type=int, default=1000)
     g.add_argument("--score-better", choices=("higher", "lower"), default="higher")
     g.add_argument("--no-gates", action="store_true", help="skip the F11 validity gate")
+    g.add_argument(
+        "--sample-files", nargs="+",
+        help="SDRF file(s); characteristics become per-file sampleProperties (S12/J6)",
+    )
+    g.add_argument(
+        "--efo-terms",
+        help="EFO ontology dump (.obo or accession/name .tsv) to resolve SDRF "
+        "characteristic names against (J10)",
+    )
     g.set_defaults(fn=cmd_generate_index_files)
 
     g = sub.add_parser("perform-inference", help="cluster-consensus rescoring (§3.2)")
@@ -404,6 +413,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--min-psms", type=int, default=1000)
     g.add_argument("--score-better", choices=("higher", "lower"), default="higher")
     g.add_argument("--no-gates", action="store_true", help="skip the F11 validity gate")
+    g.add_argument(
+        "--sample-files", nargs="+",
+        help="SDRF file(s); characteristics become per-file sampleProperties (S12/J6)",
+    )
+    g.add_argument(
+        "--efo-terms",
+        help="EFO ontology dump (.obo or accession/name .tsv) to resolve SDRF "
+        "characteristic names against (J10)",
+    )
     g.set_defaults(fn=cmd_run_pipeline)
 
     g = sub.add_parser(

@@ -142,7 +142,17 @@ def build_ivf_index(
 
 
 def _load_meta(path: str) -> dict:
-    with open(os.path.join(path.removeprefix("file:"), "meta.json")) as fh:
+    p = path.removeprefix("file:")
+    # serve-touch: every search loads meta first, so bumping the dir
+    # mtime here marks the index as actively served for ANY caller
+    # (batch search, streaming foreachBatch serving, another process) —
+    # the registry's tmp GC only reaps published dirs idle for 24 h
+    # measured from this timestamp (registry._gc_tmp_siblings)
+    try:
+        os.utime(p, None)
+    except OSError:
+        pass
+    with open(os.path.join(p, "meta.json")) as fh:
         return json.load(fh)
 
 
