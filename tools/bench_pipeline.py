@@ -93,6 +93,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--out", default="/tmp/pipe_bench")
+    ap.add_argument(
+        "--runs", type=int, default=1,
+        help="total pipeline executions in ONE process/SparkSession: the "
+        "first is the COLD figure (JVM+codegen+page-cache cost included), "
+        "the rest measure warm STEADY STATE — the r7 verdict's protocol "
+        "ask (the per-invocation numbers warmed up monotonically across "
+        "separate processes, so cold and steady-state were conflated)",
+    )
     args = ap.parse_args()
 
     t0 = time.time()
@@ -102,35 +110,56 @@ def main() -> int:
 
     from pride_spark.cli import main as cli_main
 
-    outdir = os.path.join(args.out, "pipe_out")
-    shutil.rmtree(outdir, ignore_errors=True)
-    t0 = time.time()
-    rc = cli_main(
-        [
-            "run-pipeline",
-            "--project", "PXD777",
-            "--result-files", mzid,
-            "--spectra-files", mgf,
-            "--output-dir", outdir,
-            "--qvalue-threshold", "0.1",
-            "--min-psms", "5",
-            "--score-better", "lower",
-        ]
-    )
-    t_pipe = time.time() - t0
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(
-        json.dumps(
+    secs: list[float] = []
+    rc = 0
+    for r in range(max(args.runs, 1)):
+        outdir = os.path.join(args.out, "pipe_out")
+        shutil.rmtree(outdir, ignore_errors=True)
+        t0 = time.time()
+        rc = cli_main(
+            [
+                "run-pipeline",
+                "--project", "PXD777",
+                "--result-files", mzid,
+                "--spectra-files", mgf,
+                "--output-dir", outdir,
+                "--qvalue-threshold", "0.1",
+                "--min-psms", "5",
+                "--score-better", "lower",
+            ]
+        )
+        secs.append(round(time.time() - t0, 1))
+        print(f"run {r + 1}/{args.runs}: {secs[-1]}s rc={rc}", file=sys.stderr)
+        if rc:
+            break
+    warm = sorted(secs[1:]) if len(secs) > 1 else []
+    result = {
+        "n_psms": args.n,
+        "rc": rc,
+        "fixture_sec": round(t_build, 1),
+        "cold_sec": secs[0],
+        "cold_psm_per_sec_per_core": round(args.n / secs[0] / cores, 2),
+        # backward-compat keys (= cold when --runs 1, the old behavior)
+        "pipeline_sec": secs[0],
+        "psm_per_sec": round(args.n / secs[0], 1),
+        "psm_per_sec_per_core": round(args.n / secs[0] / cores, 2),
+    }
+    if warm:
+        result.update(
             {
-                "n_psms": args.n,
-                "rc": rc,
-                "fixture_sec": round(t_build, 1),
-                "pipeline_sec": round(t_pipe, 1),
-                "psm_per_sec": round(args.n / t_pipe, 1),
-                "psm_per_sec_per_core": round(args.n / t_pipe / cores, 2),
+                "warm_runs_sec": secs[1:],
+                "warm_best_sec": warm[0],
+                "warm_median_sec": warm[len(warm) // 2],
+                "warm_best_psm_per_sec_per_core": round(
+                    args.n / warm[0] / cores, 2
+                ),
+                "warm_median_psm_per_sec_per_core": round(
+                    args.n / warm[len(warm) // 2] / cores, 2
+                ),
             }
         )
-    )
+    print(json.dumps(result))
     return rc
 
 
