@@ -142,9 +142,10 @@ def read_spectra_any(
 def read_psms_any(
     spark: SparkSession, paths: list[str], *, stage_dir: str | None = None
 ) -> DataFrame:
-    """S3 — mzIdentML / mzTab dispatch to one canonical psms frame.
-    Zipped result files are expanded first (S14 — the reference accepts
-    .zip result files too, ``SubmissionPipelineUtils.java:175``)."""
+    """S3 — mzIdentML / mzTab / legacy PRIDE XML dispatch to one
+    canonical psms frame.  Zipped result files are expanded first (S14 —
+    the reference accepts .zip result files too,
+    ``SubmissionPipelineUtils.java:175``)."""
     paths = stage_compressed(paths, stage_dir)
     mzids = [p for p in paths if _ext(p) == "mzid"]
     mztabs = [p for p in paths if _ext(p) == "mztab"]
