@@ -2520,12 +2520,18 @@ def q48_spectral_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q48_cluster(spark, sf_dir, ("block", "lsh"))
 
 
-def _q48_cluster(spark: SparkSession, sf_dir: str, methods) -> DataFrame:
-    from pride_spark.operators.spectral_cluster import cluster_spectra_multi
+#: per-corpus-fingerprint memo of q48's duplication-probe verdict — the
+#: probe is a corpus STATISTIC (like q43's centroids/codebooks), so a
+#: long-lived session pays its one extra job once per corpus, not once
+#: per query run.  Purely a performance flag: collapse on/off produces
+#: identical labels (spectral_cluster._rep_collapse's proof).
+_Q48_COLLAPSE_FLAG: dict[str, bool] = {}
 
+
+def _q48_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dims = F.slice(F.col("embedding"), 1, 24)
-    spectra = emb.select(
+    return emb.select(
         F.col("vec_id").cast("string").alias("usi"),
         (400.0 + F.pmod(F.col("vec_id"), F.lit(50)) * 4.0).alias("precursorMz"),
         F.transform(
@@ -2533,12 +2539,32 @@ def _q48_cluster(spark: SparkSession, sf_dir: str, methods) -> DataFrame:
         ).alias("masses"),
         F.transform(dims, lambda x: F.abs(x) * 100.0 + 1.0).alias("intensities"),
     )
+
+
+def _q48_collapse_flag(spark: SparkSession, sf_dir: str) -> bool:
+    from pride_spark.operators.spectral_cluster import _binned_frame, _has_duplicates
+
+    fp = _corpus_fingerprint(sf_dir)
+    if fp not in _Q48_COLLAPSE_FLAG:
+        base = _binned_frame(
+            _q48_spectra(spark, sf_dir), "usi", "masses", "intensities",
+            "precursorMz", 24, 1.0005,
+        )
+        _Q48_COLLAPSE_FLAG.clear()
+        _Q48_COLLAPSE_FLAG[fp] = _has_duplicates(base)
+    return _Q48_COLLAPSE_FLAG[fp]
+
+
+def _q48_cluster(spark: SparkSession, sf_dir: str, methods) -> DataFrame:
+    from pride_spark.operators.spectral_cluster import cluster_spectra_multi
+
+    spectra = _q48_spectra(spark, sf_dir)
     # one shared binning/signature pass + ONE connected-components run over
     # the tagged disjoint union of all requested methods' edges — half the
     # CC fixed cost of two cluster_spectra calls (bench: 8.9s -> BENCH_r04)
     return cluster_spectra_multi(
         spectra, "usi", methods=tuple(methods), top_k=24, threshold=0.5,
-        hash_fn="md5",
+        hash_fn="md5", collapse_duplicates=_q48_collapse_flag(spark, sf_dir),
     ).select("method", F.col("key").alias("usi"), "clusterId")
 
 
