@@ -39,6 +39,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from pride_spark.sources import xmlsplit
 from pride_spark.sources.mzid import MZID_PSM_SCHEMA, _paths_df
@@ -181,13 +182,7 @@ def _parse_one(path: str) -> list[tuple]:
     return rows
 
 
-def read_pridexml_psms(spark: SparkSession, paths: str | list[str]) -> DataFrame:
-    """S3 — PRIDE XML identifications → canonical psms frame (one
-    Arrow-batched parse task per file, same executor-side strategy and
-    output schema as ``read_mzid_psms_whole``)."""
-    if isinstance(paths, str):
-        paths = [paths]
-
+def _read_pridexml_psms_whole(spark: SparkSession, paths: list[str]) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -196,3 +191,87 @@ def read_pridexml_psms(spark: SparkSession, paths: str | list[str]) -> DataFrame
             yield pd.DataFrame(rows, columns=[f.name for f in MZID_PSM_SCHEMA.fields])
 
     return _paths_df(spark, paths).mapInPandas(kernel, MZID_PSM_SCHEMA)
+
+
+_SPLIT_SCHEMA = StructType(
+    [StructField("__off", LongType()), StructField("__seq", IntegerType())]
+    + list(MZID_PSM_SCHEMA.fields)
+)
+
+
+def _ident_split_rows(fn: str, off: int, rec: str) -> Iterator[tuple]:
+    """One Identification record fragment → PSM rows tagged with the
+    record's byte offset + the item's within-record sequence (together a
+    total document order).  Precursor mz/charge stay NULL here — the
+    split path fills them with a distributed join against the mzData
+    spectra scan instead of a per-task dict."""
+    elem = xmlsplit.fromstring(rec)
+    counter = [0]
+    for row in _ident_rows(elem, fn, counter, {}):
+        yield (off, counter[0], *row)
+
+
+def _read_pridexml_psms_split(spark: SparkSession, paths: list[str]) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pride_spark.operators.joins import global_row_index
+    from pride_spark.sources.mzml import read_pridexml
+
+    out = None
+    for p in paths:  # offsets order WITHIN one file; number files separately
+        recs = None
+        for tag in (b"GelFreeIdentification", b"TwoDimensionalIdentification"):
+            df = xmlsplit.scan_df(
+                spark, [p], tag, False, _ident_split_rows, _SPLIT_SCHEMA,
+                with_offset=True,
+            )
+            recs = df if recs is None else recs.unionByName(df)
+        # recover the whole-mode document-order PSM numbering with the
+        # same two-pass distributed row index read_pridexml uses for
+        # spectrum indices — no single-task sort
+        numbered = global_row_index(recs, ("__off", "__seq"), "__idx").withColumn(
+            "psmId", F.concat(F.lit("PSM_"), (F.col("__idx") + 1).cast("string"))
+        )
+        # precursor mz/charge live on the referenced mzData spectrum; the
+        # whole-mode dict lookup becomes an equi-join against the (also
+        # range-parallel) spectra scan — both sides of a giant legacy
+        # file parse at cluster parallelism
+        spect = read_pridexml(spark, [p]).select(
+            F.col("spectrumId").alias("sourceId"),
+            F.col("precursorMz").alias("__mz"),
+            F.col("precursorCharge").alias("__z"),
+        )
+        joined = (
+            numbered.drop("__off", "__seq", "__idx", "precursorCharge", "massToCharge")
+            .join(spect, "sourceId", "left")
+            .withColumnsRenamed({"__z": "precursorCharge", "__mz": "massToCharge"})
+            .select(*[f.name for f in MZID_PSM_SCHEMA.fields])
+        )
+        out = joined if out is None else out.unionByName(joined)
+    return out
+
+
+def read_pridexml_psms(
+    spark: SparkSession, paths: str | list[str], mode: str = "auto"
+) -> DataFrame:
+    """S3 — PRIDE XML identifications → canonical psms frame.
+
+    ``mode="whole"`` (default for small files): one streaming-iterparse
+    task per file, same executor-side strategy and output schema as
+    ``read_mzid_psms_whole``; memory is one-element-bounded but a single
+    giant file parses serially.
+
+    ``mode="split"`` (auto past ``xmlsplit.SPLIT_THRESHOLD_MB``):
+    ``GelFreeIdentification`` / ``TwoDimensionalIdentification`` records
+    are byte-range partitioned across executors (they are self-contained
+    and never nest), document-order PSM ids are recovered with the
+    two-pass distributed row index, and precursor mz/charge resolve via
+    an equi-join against the range-parallel mzData spectra scan — one
+    multi-GB legacy submission file parses at cluster parallelism.
+    Both modes produce identical rows (asserted in
+    tests/test_format_readers.py)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    if xmlsplit.pick_mode(paths, mode) == "split":
+        return _read_pridexml_psms_split(spark, paths)
+    return _read_pridexml_psms_whole(spark, paths)
