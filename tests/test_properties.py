@@ -373,3 +373,75 @@ def test_occams_razor_distributed_matches_driver(spark, rows):
     driver = _canon_inference(occams_razor(psms, max_groups=1_000_000))
     dist = _canon_inference(occams_razor(psms, max_groups=0))  # force joins path
     assert driver == dist
+
+
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_sql_double_literal_bit_identity(spark, vals):
+    """similarity._d: for ANY float64 (denormals, -0.0, extremes, NaN,
+    ±Infinity) the SQL-text literal must parse to the bit pattern F.lit
+    produces — the guarantee the one-py4j-call ANN plan construction
+    rests on."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pride_spark.operators import similarity
+
+    row = spark.range(1).select(
+        similarity.lit_vec(vals).alias("sql"),
+        F.array(*[F.lit(float(v)) for v in vals]).alias("col"),
+    ).collect()[0]
+    a = [struct.pack("d", v) for v in row["sql"]]
+    b = [struct.pack("d", v) for v in row["col"]]
+    assert a == b
+
+
+_MOD_POS = st.integers(min_value=1, max_value=30)
+_MOD_ACC = st.sampled_from(["UNIMOD:4", "UNIMOD:21", "UNIMOD:35", "MOD:00696"])
+_MOD_PARAM = st.sampled_from(
+    [None, "[MS,MS:1001876,probability,0.8]", "[MS,MS:1001876,probability,0.33]"]
+)
+
+
+@given(
+    mods=st.lists(
+        st.tuples(st.lists(st.tuples(_MOD_POS, _MOD_PARAM), min_size=1, max_size=3), _MOD_ACC),
+        min_size=0,
+        max_size=4,
+    )
+)
+@_SETTINGS
+def test_mztab_modification_parse_any_qualifier_shape(spark, tmp_path_factory, mods):
+    """plans.ingest mzTab mod parse (through the REAL reader): any mix of
+    plain / CV-param-qualified / ambiguous ('3[..]|4[..]') positions must
+    yield (first position, accession) per entry — the qualifier commas
+    must not split entries, and 'null' stays an empty list."""
+    from pride_spark.plans.ingest import read_psms_any
+
+    entries = []
+    want = []
+    for positions, acc in mods:
+        arms = "|".join(f"{p}{q or ''}" for p, q in positions)
+        entries.append(f"{arms}-{acc}")
+        want.append((positions[0][0], acc))
+    raw = ",".join(entries) if entries else "null"
+
+    tab = (
+        "MTD\tmzTab-version\t1.0.0\n"
+        "MTD\tms_run[1]-location\tfile:///data/run1.mzML\n"
+        "PSH\tsequence\tPSM_ID\taccession\tunique\tsearch_engine_score[1]\t"
+        "modifications\tspectra_ref\tretention_time\tcharge\texp_mass_to_charge\n"
+        f"PSM\tPEPTIDEK\t1\tP12345\t1\t0.001\t{raw}\tms_run[1]:scan=42\t55.2\t2\t445.12\n"
+    )
+    p = tmp_path_factory.mktemp("mztab_prop") / "m.mztab"
+    p.write_text(tab)
+    row = read_psms_any(spark, [str(p)]).collect()[0]
+    got = [(m["position"], m["accession"]) for m in row["modifications"]]
+    assert got == want
