@@ -883,3 +883,25 @@ def test_pridexml_psms_split_multirange(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(X, "SPLIT_RANGE_MB", 0.002)  # ~2 KB ranges
     split = sorted(map(repr, read_pridexml_psms(spark, [str(p)], mode="split").collect()))
     assert whole == split and len(whole) == 40
+
+
+def test_read_psms_any_mixed_formats(spark, tmp_path):
+    """One submission mixing all three result formats (mzid + mzTab +
+    PRIDE XML) must union onto the single canonical frame — the
+    format-blind contract everything downstream relies on."""
+    from pride_spark.plans.ingest import read_psms_any
+    from pride_spark.sources.mzid import MZID_PSM_SCHEMA
+
+    (tmp_path / "a.mzid").write_text(MZID)
+    (tmp_path / "b.mztab").write_text(MZTAB)
+    (tmp_path / "c.xml").write_text(_pridexml_with_idents())
+    out = read_psms_any(
+        spark,
+        [str(tmp_path / "a.mzid"), str(tmp_path / "b.mztab"), str(tmp_path / "c.xml")],
+    )
+    assert out.schema == MZID_PSM_SCHEMA
+    by_file = {
+        r["fileName"]: r["n"]
+        for r in out.groupBy("fileName").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_file == {"a.mzid": 2, "b.mztab": 2, "c.xml": 2}
