@@ -147,7 +147,9 @@ def read_psms_any(
     the reference accepts .zip result files too,
     ``SubmissionPipelineUtils.java:175``)."""
     paths = stage_compressed(paths, stage_dir)
-    mzids = [p for p in paths if _ext(p) == "mzid"]
+    # '.mzidentml' is an accepted alias for '.mzid'
+    # (SubmissionPipelineUtils.java:107 routes both to MZID)
+    mzids = [p for p in paths if _ext(p) in ("mzid", "mzidentml")]
     mztabs = [p for p in paths if _ext(p) == "mztab"]
     # the reference routes a bare '.xml' RESULT file through the S4
     # content sniff: mzIdentML inside → MZID, otherwise legacy PRIDE XML

@@ -905,3 +905,11 @@ def test_read_psms_any_mixed_formats(spark, tmp_path):
         for r in out.groupBy("fileName").count().withColumnRenamed("count", "n").collect()
     }
     assert by_file == {"a.mzid": 2, "b.mztab": 2, "c.xml": 2}
+
+
+def test_mzidentml_extension_alias(spark, tmp_path):
+    """'.mzidentml' routes as MZID (SubmissionPipelineUtils.java:107)."""
+    from pride_spark.plans.ingest import read_psms_any
+
+    (tmp_path / "a.mzidentml").write_text(MZID)
+    assert read_psms_any(spark, [str(tmp_path / "a.mzidentml")]).count() == 2
