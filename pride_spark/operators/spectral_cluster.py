@@ -445,6 +445,15 @@ def cluster_spectra(
     bucket survives — so block mode is deterministic and exact only with
     ``max_bucket=None`` (the oracle configuration); with a cap it shares
     the LSH path's cap contract.
+
+    EAGER-PROBE NOTE: with ``collapse_duplicates=None`` (the default)
+    and ``max_bucket=None``, plan CONSTRUCTION runs one Spark action —
+    an ``approx_count_distinct`` probe over the binned frame deciding
+    whether duplicate collapse pays for itself (see ``_has_duplicates``).
+    Callers that need a fully lazy plan (inspection, conditional
+    pipelines) should pass ``collapse_duplicates=True/False`` explicitly;
+    the probe verdict is memoized per corpus by callers that loop (e.g.
+    the bench registry), so repeated builds pay it once.
     """
     # persisted for the same reason as cluster_spectra_multi: the binning
     # pass feeds BOTH the candidate subtree (materialized once into the CC
@@ -535,6 +544,11 @@ def cluster_spectra_multi(
     This is the shape the registry's q48 uses to oracle-gate the block
     baseline and the production md5-LSH path side by side without paying
     for two clustering runs.
+
+    EAGER-PROBE NOTE: as in :func:`cluster_spectra`, the default
+    ``collapse_duplicates=None`` with ``max_bucket=None`` runs one
+    eager ``approx_count_distinct`` probe at plan-construction time;
+    pass an explicit boolean for a fully lazy build.
     """
     base = _binned_frame(
         spectra, key_col, masses_col, intensities_col, precursor_col, top_k,

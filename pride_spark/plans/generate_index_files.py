@@ -193,8 +193,14 @@ def generate_index_files(
 
         from pride_spark.functions.strings import file_name_no_extension
 
-        # both sides keyed by lower-cased extension-stripped name — the
-        # reference's sample-map key (PrideAnalysisAssayService:574-579);
+        # both sides keyed by lower-cased extension-stripped name.
+        # DELIBERATE DEVIATION (superset): the reference's sample-map key
+        # (SubmissionPipelineUtils.getFileNameNoExtension, used at
+        # PrideAnalysisAssayService.java:574-579) is CASE-SENSITIVE — when
+        # SDRF and archive file names differ only by case the reference
+        # attaches nothing; this engine normalizes both sides and attaches
+        # the properties.  Fidelity audits comparing J6 output should
+        # expect extra matches only on case-mismatched corpora.
         # SDRF rows name raw files, archive rows name spectra files
         archive = broadcast_props_join(
             archive.withColumn(

@@ -32,6 +32,18 @@ def _ext(path: str) -> str:
     return os.path.splitext(base)[1].lstrip(".")
 
 
+def _sniff_xml(path: str) -> str:
+    """Content-sniff a ``.xml`` (possibly ``.xml.gz``) file.  ``_ext``
+    strips the ``.gz`` suffix, so a gzipped file reaches the sniff too —
+    read through :func:`xmlsplit.open_xml`, which decompresses, instead
+    of raw bytes (raw gzip bytes decode to garbage and every gzipped
+    mzIdentML-in-``.xml`` would misroute to the PRIDE XML reader)."""
+    from pride_spark.sources import xmlsplit
+
+    with xmlsplit.open_xml(path) as fh:
+        return sniff_pride_xml(fh.read(2048).decode("utf-8", errors="replace"))
+
+
 #: spectra extension → (reader, id-format tag fed to C9, join key column)
 _SPECTRA_READERS = {
     "apl": (read_apl, "MULTI_PEAK", "index"),
@@ -126,9 +138,8 @@ def read_spectra_any(
         if e not in _SPECTRA_READERS:
             raise ValueError(f"unsupported spectra format: {p}")
         if e == "xml":
-            with open(p.removeprefix("file:"), encoding="utf-8", errors="replace") as fh:
-                if sniff_pride_xml(fh.read(2048)) != "PRIDE":
-                    raise ValueError(f"{p} is mzIdentML (a result file), not PRIDE XML spectra")
+            if _sniff_xml(p) != "PRIDE":
+                raise ValueError(f"{p} is mzIdentML (a result file), not PRIDE XML spectra")
         by_fmt.setdefault(e, []).append(p)
     out = None
     for e, group in by_fmt.items():
@@ -158,11 +169,10 @@ def read_psms_any(
     for p in paths:
         if _ext(p) != "xml":
             continue
-        with open(p.removeprefix("file:"), encoding="utf-8", errors="replace") as fh:
-            if sniff_pride_xml(fh.read(2048)) == "MZID":
-                mzids.append(p)
-            else:
-                pridexmls.append(p)
+        if _sniff_xml(p) == "MZID":
+            mzids.append(p)
+        else:
+            pridexmls.append(p)
     unknown = set(paths) - set(mzids) - set(mztabs) - set(pridexmls)
     if unknown:
         raise ValueError(f"unsupported result format(s): {sorted(unknown)}")

@@ -110,10 +110,13 @@ def _score_of(pep_cvs, ident_score) -> tuple[float | None, str | None, str | Non
 def _is_decoy(acc: str | None, *cv_lists) -> bool:
     if acc and acc.upper().startswith("DECOY"):
         return True
+    # any-of across every cv list: a peptide-level decoy param with value
+    # '0'/'false' must not shadow an identification-level affirmative one
     for cvs in cv_lists:
         for p in cvs:
             if p.get("accession") == _DECOY_ACC:
-                return (p.get("value") or "1").strip().lower() not in ("0", "false")
+                if (p.get("value") or "1").strip().lower() not in ("0", "false"):
+                    return True
     return False
 
 
@@ -138,7 +141,11 @@ def _ident_rows(elem, base: str, counter: list[int], precursors: dict) -> Iterat
             macc = _findtext_local(m, "ModAccession")
             mcvs = _additional_cvparams(m)
             name = next((p.get("name") for p in mcvs if p.get("name")), macc)
-            mods.append((int(loc) if loc else None, macc, name))
+            try:
+                loc_i = int(loc.strip()) if loc and loc.strip() else None
+            except ValueError:  # malformed legacy content — keep the mod, drop the position
+                loc_i = None
+            mods.append((loc_i, macc, name))
         pep_cvs = _additional_cvparams(pep)
         score, score_acc, score_name = _score_of(pep_cvs, ident_score)
         mz, z = precursors.get(spec_ref, (None, None))

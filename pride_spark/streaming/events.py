@@ -187,10 +187,17 @@ def dedup_within_watermark(
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str | None = None,
+    *,
+    max_rows: int = 1_000_000,
 ) -> list:
     """Drain the stream with the availableNow trigger into a memory sink;
-    returns collected rows (test/backfill helper).
+    returns collected rows (test/demo helper — NOT a production sink: the
+    memory format buffers the whole result on the driver by design, so
+    the collect is bounded by ``max_rows`` and raises past it rather
+    than silently truncating or OOMing the driver).
 
     Default mode is ``complete`` (aggregations); stream-stream joins only
     support ``append`` — pass ``output_mode="append"`` for those.
@@ -205,4 +212,14 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+    rows = (
+        stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"memory sink '{query_name}' exceeded max_rows={max_rows}; "
+            "use a file sink for results this large"
+        )
+    return rows

@@ -913,3 +913,88 @@ def test_mzidentml_extension_alias(spark, tmp_path):
 
     (tmp_path / "a.mzidentml").write_text(MZID)
     assert read_psms_any(spark, [str(tmp_path / "a.mzidentml")]).count() == 2
+
+
+def test_read_psms_any_gzipped_xml_sniffs_through_gzip(spark, tmp_path):
+    """r9 (ADVICE): _ext strips .gz, so a gzipped result file named
+    ident.xml.gz reaches the content sniff — the sniff must read
+    DECOMPRESSED bytes (via xmlsplit.open_xml), else gzip garbage
+    misroutes an mzIdentML to the PRIDE XML reader (silent zero PSMs)."""
+    import gzip
+
+    from pride_spark.plans.ingest import read_psms_any
+
+    mz = tmp_path / "ident.xml.gz"
+    with gzip.open(mz, "wt") as fh:
+        fh.write(MZID)
+    px = tmp_path / "legacy.xml.gz"
+    with gzip.open(px, "wt") as fh:
+        fh.write(_pridexml_with_idents())
+    out = read_psms_any(spark, [str(mz), str(px)])
+    by_file = {
+        r["fileName"]: r["n"]
+        for r in out.groupBy("fileName").count().withColumnRenamed("count", "n").collect()
+    }
+    # each routes to its own reader and parses its 2 identifications
+    assert by_file == {"ident.xml.gz": 2, "legacy.xml.gz": 2}
+
+
+def test_read_spectra_any_gzipped_xml_sniffs_through_gzip(spark, tmp_path):
+    """r9 (ADVICE): same gzip-aware sniff on the spectra-side guard — a
+    gzipped PRIDE XML spectra file passes, a gzipped mzIdentML-in-.xml
+    is rejected as a result file (not silently parsed as spectra)."""
+    import gzip
+
+    import pytest as _pytest
+
+    from pride_spark.plans.ingest import read_spectra_any
+
+    xml, _, _ = _pridexml_fixture()
+    px = tmp_path / "spectra.xml.gz"
+    with gzip.open(px, "wt") as fh:
+        fh.write(xml)
+    assert read_spectra_any(spark, [str(px)]).count() == 2
+
+    mz = tmp_path / "notspectra.xml.gz"
+    with gzip.open(mz, "wt") as fh:
+        fh.write(MZID)
+    with _pytest.raises(ValueError, match="result file"):
+        read_spectra_any(spark, [str(mz)])
+
+
+def test_pridexml_decoy_any_of_cv_lists(spark, tmp_path):
+    """r9 (ADVICE): a peptide-level PRIDE:0000303 decoy param with value
+    '0' must not short-circuit past an identification-level affirmative
+    decoy param — the lists are any-of."""
+    from pride_spark.sources.pridexml import read_pridexml_psms
+
+    xml, _, _ = _pridexml_fixture()
+    ident = """  <GelFreeIdentification>
+   <Accession>P77777</Accession>
+   <PeptideItem>
+    <Sequence>DECOYPEP</Sequence>
+    <SpectrumReference>2</SpectrumReference>
+    <ModificationItem>
+     <ModLocation> not-a-number </ModLocation>
+     <ModAccession>MOD:00696</ModAccession>
+    </ModificationItem>
+    <additional>
+     <cvParam cvLabel="PRIDE" accession="PRIDE:0000303" name="Decoy hit" value="0"/>
+    </additional>
+   </PeptideItem>
+   <Score>9.9</Score>
+   <additional>
+    <cvParam cvLabel="PRIDE" accession="PRIDE:0000303" name="Decoy hit" value="1"/>
+   </additional>
+  </GelFreeIdentification>
+ </Experiment>"""
+    p = tmp_path / "decoy.xml"
+    p.write_text(xml.replace(" </Experiment>", ident))
+    rows = read_pridexml_psms(spark, [str(p)]).collect()
+    assert len(rows) == 1
+    assert rows[0]["isDecoy"] is True  # identification-level param wins
+    # r9 (ADVICE): malformed ModLocation text degrades to a null position
+    # instead of aborting the file's parse task
+    assert [(m["position"], m["accession"]) for m in rows[0]["modifications"]] == [
+        (None, "MOD:00696")
+    ]
