@@ -143,6 +143,17 @@ def _index_outputs(spark, args):
     # spills rather than OOMs on huge submissions
     psms = read_psms_any(spark, args.result_files).persist(StorageLevel.MEMORY_AND_DISK)
     spectra = read_spectra_any(spark, args.spectra_files)
+    # PIA createPSMSets parity: the reference's merged path is exactly its
+    # multi-file entry point (PIAModelerService.java:111-114 vs the
+    # single-file :64), so 'auto' groups sets iff >1 result file.  The
+    # result-file provenance is preserved as `resultFile` BEFORE
+    # prepare_psms overwrites fileName with the spectra file.
+    psm_sets_mode = getattr(args, "psm_sets", "auto") or "auto"
+    create_psm_sets = (
+        len(args.result_files) > 1 if psm_sets_mode == "auto" else psm_sets_mode == "on"
+    )
+    if create_psm_sets:
+        psms = psms.withColumn("resultFile", F.col("fileName"))
     prepared = prepare_psms(psms, args.spectra_files[0])
     # MULTI_PEAK formats join on the per-file index; XML formats on the
     # C9-NORMALIZED id — both sides through the same normalization
@@ -152,6 +163,7 @@ def _index_outputs(spark, args):
         peptide_length=args.peptide_length,
         min_psms=args.min_psms,
         score_better=args.score_better,
+        create_psm_sets=create_psm_sets,
     )
     return generate_index_files(
         prepared,
@@ -392,6 +404,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="EFO ontology dump (.obo or accession/name .tsv) to resolve SDRF "
         "characteristic names against (J10)",
     )
+    g.add_argument(
+        "--psm-sets", choices=("auto", "on", "off"), default="auto",
+        help="group identical (spectrum, peptidoform, charge) identifications "
+        "from different result files into PSM sets before FDR (PIA "
+        "createPSMSets, PIAModelerService.java:111-114); auto = on iff "
+        "multiple result files",
+    )
     g.set_defaults(fn=cmd_generate_index_files)
 
     g = sub.add_parser("perform-inference", help="cluster-consensus rescoring (§3.2)")
@@ -422,6 +441,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="EFO ontology dump (.obo or accession/name .tsv) to resolve SDRF "
         "characteristic names against (J10)",
     )
+    g.add_argument(
+        "--psm-sets", choices=("auto", "on", "off"), default="auto",
+        help="group identical (spectrum, peptidoform, charge) identifications "
+        "from different result files into PSM sets before FDR (PIA "
+        "createPSMSets, PIAModelerService.java:111-114); auto = on iff "
+        "multiple result files",
+    )
     g.set_defaults(fn=cmd_run_pipeline)
 
     g = sub.add_parser(
@@ -443,6 +469,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="EFO ontology dump (.obo or accession/name .tsv) to resolve SDRF "
         "characteristic names against (J10); defaults to a *.obo bundled in "
         "the reanalysis folder",
+    )
+    g.add_argument(
+        "--psm-sets", choices=("auto", "on", "off"), default="auto",
+        help="group identical (spectrum, peptidoform, charge) identifications "
+        "from different result files into PSM sets before FDR (PIA "
+        "createPSMSets, PIAModelerService.java:111-114); auto = on iff "
+        "multiple result files",
     )
     g.set_defaults(fn=cmd_run_reanalysis)
 

@@ -300,3 +300,101 @@ def combined_fdr_score(
         + (nxt["q"] - prev["q"]) * ((F.col("__k") - prev["x"]) / (nxt["x"] - prev["x"]))
     )
     return d.withColumn(out_col, interp).drop("__k", "__step", "__grp_q")
+
+
+def group_psm_sets(
+    df: DataFrame,
+    *,
+    spectrum_key_col: str = "sourceId",
+    charge_col: str = "precursorCharge",
+    sequence_col: str = "peptideSequence",
+    modifications_col: str = "modifications",
+    consider_modifications: bool = True,
+    form_col: str | None = None,
+    score_col: str = "score",
+    better: str = "higher",
+    file_col: str = "fileName",
+    psm_id_col: str = "psmId",
+    decoy_col: str = "isDecoy",
+    engine_col: str = "scoreAccession",
+    out_engine_set: str = "engineSet",
+    out_members: str = "setMembers",
+    out_size: str = "setSize",
+) -> DataFrame:
+    """PIA's merged-files PSM-SET grouping (``createPSMSets(true)``).
+
+    The reference's multi-file merge path compiles every result file into
+    one PIA model and groups identical identifications — same spectrum,
+    same peptidoform, same charge — coming from DIFFERENT result files
+    into one ReportPSMSet BEFORE FDR (``PIAModelerService.java:111-114``;
+    the single-file path sets ``false`` at ``:64``, which is what a plain
+    ``unionByName`` merge matches).  Without this step a three-engine
+    merged submission counts the same underlying identification three
+    times in every FDR denominator.
+
+    Set semantics (PIA, Uszkoreit et al. 2015):
+
+    - key = (spectrum reference, peptidoform, charge); with
+      ``consider_modifications=False`` the plain sequence replaces the
+      peptidoform (PIA's ``considerModifications`` toggle — the merged
+      path runs ``false``, ``PIAModelerService.java:124``).
+    - the set's score is its BEST member score (FDR then ranks sets);
+      the returned row is the best-scoring member's row (deterministic
+      tie-break on (file, psmId)) so every downstream column keeps its
+      meaning.
+    - a set is decoy only if ALL members are decoy (a target hit anywhere
+      makes the identification a target).
+    - provenance: ``setMembers`` (sorted (file, psmId, score) structs),
+      ``setSize``, and ``engineSet`` — the sorted distinct engine key
+      (score accession, falling back to the file name), which is exactly
+      the grouping column :func:`combined_fdr_score` consumes.
+
+    Plan shape: ONE hash exchange on the set key serves the best-member
+    rank, the provenance collects, and the set-decoy vote (stacked
+    windows over the same partitioning — Catalyst reuses the exchange).
+    Set cardinality is bounded by the number of result files in the
+    submission (a handful), so partitions stay balanced at any corpus
+    size.
+    """
+    from pride_spark.functions.proforma import encode_peptidoform
+
+    if better not in ("higher", "lower"):
+        raise ValueError("better must be 'higher' or 'lower'")
+    if form_col is not None:
+        # caller already carries the peptidoform (e.g. prepare_psms output,
+        # where `modifications` was renamed away) — use it directly
+        form = F.col(form_col)
+    elif consider_modifications:
+        mods = F.coalesce(
+            F.col(modifications_col),
+            F.array().cast("array<struct<position:int,accession:string,name:string>>"),
+        )
+        form = encode_peptidoform(sequence_col, mods, charge_col)
+    else:
+        form = F.col(sequence_col)
+    keyed = df.withColumn("__setform", form)
+    keys = [spectrum_key_col, "__setform", charge_col]
+    w = Window.partitionBy(*keys)
+    order = [
+        F.col(score_col).desc() if better == "higher" else F.col(score_col).asc(),
+        F.col(file_col),
+        F.col(psm_id_col),
+    ]
+    member = F.struct(
+        F.col(file_col).alias("fileName"),
+        F.col(psm_id_col).alias("psmId"),
+        F.col(score_col).alias("score"),
+    )
+    engine = F.coalesce(F.col(engine_col), F.col(file_col))
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w.orderBy(*order)))
+        .withColumn(out_members, F.sort_array(F.collect_list(member).over(w)))
+        .withColumn(out_size, F.size(F.col(out_members)))
+        .withColumn(
+            out_engine_set,
+            F.array_join(F.sort_array(F.collect_set(engine).over(w)), ";"),
+        )
+        .withColumn(decoy_col, F.bool_and(F.col(decoy_col)).over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__setform")
+    )

@@ -46,18 +46,27 @@ GROUP_SCHEMA = StructType(
 )
 
 
-def peptide_protein_sets(psms: DataFrame) -> DataFrame:
+def peptide_protein_sets(psms: DataFrame, peptide_col: str = "peptideSequence") -> DataFrame:
     """Distributed prep: protein → sorted distinct peptide set.
 
-    Input needs ``peptideSequence`` and ``proteinAccessions`` (array).
+    Input needs ``peptide_col`` and ``proteinAccessions`` (array).
     One explode + one groupBy; this is the only pass over the PSM table.
+
+    ``peptide_col`` is PIA's ``considerModifications`` granularity toggle
+    (``PIAModelerService.java:77`` sets true — peptidoform granularity —
+    on the single-file path, ``:124`` false on the merged path): pass the
+    plain ``peptideSequence`` (default, the merged/``false`` setting) or
+    a ProForma ``peptidoform`` column (``true`` — modified variants of a
+    sequence count as DISTINCT peptides, so two proteins distinguished
+    only by a modification state stop being 'indistinguishable').
     """
     return (
         psms.select(
-            "peptideSequence", F.explode("proteinAccessions").alias("proteinAccession")
+            F.col(peptide_col).alias("__pep"),
+            F.explode("proteinAccessions").alias("proteinAccession"),
         )
         .groupBy("proteinAccession")
-        .agg(F.sort_array(F.collect_set("peptideSequence")).alias("peptides"))
+        .agg(F.sort_array(F.collect_set("__pep")).alias("peptides"))
     )
 
 
@@ -66,12 +75,15 @@ def occams_razor(
     max_groups: int = 2_000_000,
     *,
     max_cover_groups: int = 2_000_000,
+    peptide_col: str = "peptideSequence",
 ) -> DataFrame:
     """Full parsimony inference; returns one row per protein accession.
 
     ``category`` ∈ {'distinguishable', 'indistinguishable', 'subset'};
     ``isLeading`` marks proteins of groups chosen by the greedy cover.
     Deterministic: ties in the greedy step break on smallest groupId.
+    ``peptide_col`` selects the inference granularity — PIA's
+    ``considerModifications`` toggle; see :func:`peptide_protein_sets`.
 
     The iterative steps run on the driver over the aggregated group table
     (one row per distinct peptide set); ``max_groups`` bounds that collect.
@@ -83,7 +95,7 @@ def occams_razor(
     """
     spark = psms.sparkSession
     grouped = (
-        peptide_protein_sets(psms)
+        peptide_protein_sets(psms, peptide_col)
         .groupBy("peptides")
         .agg(F.sort_array(F.collect_set("proteinAccession")).alias("groupMembers"))
         .withColumn("groupId", F.element_at("groupMembers", 1))

@@ -40,6 +40,12 @@ class IndexConfig:
     min_psms: int = 1000
     top_n_per_spectrum: int = 1
     score_better: str = "higher"
+    # PIA createPSMSets: the multi-file merged path groups identical
+    # (spectrum, peptidoform, charge) identifications from different
+    # result files into one PSM SET before FDR
+    # (PIAModelerService.java:111-114; the single-file path runs false,
+    # :64, which this default matches)
+    create_psm_sets: bool = False
 
 
 class AssayValidityError(ValueError):
@@ -48,9 +54,29 @@ class AssayValidityError(ValueError):
 
 
 def stage1_filter_and_fdr(psms: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """Filter stack (F5/F7/F9) + top-N + FDR/q-value windows + A2 repair."""
+    """Filter stack (F5/F7/F9) + top-N + FDR/q-value windows + A2 repair.
+
+    With ``cfg.create_psm_sets`` (the reference's merged multi-file path,
+    ``PIAModelerService.java:111-114``) identical identifications from
+    different result files are grouped into PSM sets FIRST, so the FDR
+    denominators count each underlying identification once; provenance
+    lands in ``setMembers``/``setSize``/``engineSet``.  The set key uses
+    the prepared frame's ``peptidoform`` column and the result-file
+    provenance column (``resultFile`` when present — ``prepare_psms``
+    overwrites ``fileName`` with the spectra file)."""
     out = source_id_filter(psms)
     out = peptide_length_filter(out, cfg.peptide_length)
+    if cfg.create_psm_sets:
+        from pride_spark.operators.fdr import group_psm_sets
+
+        out = group_psm_sets(
+            out,
+            spectrum_key_col="spectrumKey",
+            form_col="peptidoform",
+            score_col="score",
+            better=cfg.score_better,
+            file_col="resultFile" if "resultFile" in out.columns else "fileName",
+        )
     out = top_n_per_spectrum(
         out,
         cfg.top_n_per_spectrum,

@@ -322,3 +322,52 @@ def test_run_pipeline_pride_xml_submission(spark, tmp_path):
     # decoys never reach the archive output
     assert all(not any(a.startswith("DECOY_") for a in r.get("proteinAccessions", [])) for r in archive)
     assert _read_jsonl(outdir / "protein_evidence")
+
+
+def test_run_pipeline_merged_psm_sets(spark, project_dir, tmp_path):
+    """PIA createPSMSets parity (PIAModelerService.java:111-114): a
+    two-result-file submission over the same spectra auto-enables set
+    grouping ('--psm-sets auto' = on iff multiple result files); the
+    archive rows carry set provenance and the row count matches the
+    single-file run (each identification counted once)."""
+    (project_dir / "b.mzid").write_text(_mzid())  # second engine, same IDs
+
+    single = tmp_path / "single"
+    rc = main(
+        [
+            "run-pipeline",
+            "--project", "PXD777",
+            "--result-files", str(project_dir / "a.mzid"),
+            "--spectra-files", str(project_dir / "run1.mgf"),
+            "--output-dir", str(single),
+            "--qvalue-threshold", "0.1", "--min-psms", "5",
+            "--score-better", "lower",
+        ]
+    )
+    assert rc == 0
+    merged = tmp_path / "merged"
+    rc = main(
+        [
+            "run-pipeline",
+            "--project", "PXD777",
+            "--result-files", str(project_dir / "a.mzid"), str(project_dir / "b.mzid"),
+            "--spectra-files", str(project_dir / "run1.mgf"),
+            "--output-dir", str(merged),
+            "--qvalue-threshold", "0.1", "--min-psms", "5",
+            "--score-better", "lower",
+        ]
+    )
+    assert rc == 0
+    rows_1 = _read_jsonl(single / "archive_spectra")
+    rows_2 = _read_jsonl(merged / "archive_spectra")
+    # identical identifications from the two files group into one set per
+    # spectrum — same spectra survive as the single-file run
+    assert {r["usi"] for r in rows_2} == {r["usi"] for r in rows_1}
+    assert all(r["setSize"] == 2 for r in rows_2)
+    assert all(
+        sorted(m["fileName"] for m in r["setMembers"]) == ["a.mzid", "b.mzid"]
+        for r in rows_2
+    )
+    assert all(r["engineSet"] == "MS:1002257" for r in rows_2)
+    # single-file runs carry no set columns (createPSMSets=false path)
+    assert "setSize" not in rows_1[0]

@@ -180,3 +180,35 @@ def test_occams_razor_64x_duplicated_adversarial_corpus(spark):
     assert by_acc["CHAIN7"][5] == "distinguishable" and by_acc["CHAIN7"][4]
     # solos are leading distinguishable singletons
     assert by_acc["SOLO0"][5] == "distinguishable" and by_acc["SOLO0"][4]
+
+
+def test_occams_razor_consider_modifications_granularity(spark):
+    """PIA considerModifications toggle (PIAModelerService.java:77,124)
+    as occams_razor(peptide_col=...): at PLAIN-SEQUENCE granularity P1
+    and P2 share the one peptide set {PEP K} and merge as
+    indistinguishable; at PEPTIDOFORM granularity P1 carries only the
+    unmodified form and P2 only the phosphorylated one, so they become
+    distinct proteins — P1 a strict subset once a shared form exists."""
+    rows = [
+        # (sequence, peptidoform, proteins)
+        ("PEPK", "PEPK/2", ["P1", "P2"]),
+        ("PEPK", "PEP[UNIMOD:21]K/2", ["P2"]),
+    ]
+    psms = spark.createDataFrame(
+        rows,
+        "peptideSequence string, peptidoform string, proteinAccessions array<string>",
+    )
+    # considerModifications=false (merged-path default): one peptide
+    # 'PEPK' -> identical sets -> indistinguishable group
+    seq = {r["proteinAccession"]: r for r in occams_razor(psms).collect()}
+    assert seq["P1"]["category"] == "indistinguishable"
+    assert seq["P1"]["groupId"] == seq["P2"]["groupId"]
+
+    # considerModifications=true: P1={PEPK/2}, P2={PEPK/2, PEP[phospho]K/2}
+    # -> P1 is a strict SUBSET of P2; P2 leads alone
+    form = {
+        r["proteinAccession"]: r
+        for r in occams_razor(psms, peptide_col="peptidoform").collect()
+    }
+    assert form["P1"]["category"] == "subset" and form["P1"]["isLeading"] is False
+    assert form["P2"]["category"] == "distinguishable" and form["P2"]["isLeading"] is True

@@ -172,3 +172,124 @@ def test_combined_fdr_score_tie_stable_across_partitionings(spark):
     for (rid_, s, _, _) in rows:
         by_score.setdefault(s, set()).add(a[rid_])
     assert all(len(v) == 1 for v in by_score.values()), by_score
+
+
+def _psm_row(file, pid, spec, seq, mods, z, score, decoy, acc="MS:1002257"):
+    return (file, pid, spec, seq, mods, z, float(score), decoy, acc)
+
+
+_PSM_COLS = [
+    "fileName", "psmId", "sourceId", "peptideSequence", "modifications",
+    "precursorCharge", "score", "isDecoy", "scoreAccession",
+]
+_PSM_SCHEMA = (
+    "fileName string, psmId string, sourceId string, peptideSequence string, "
+    "modifications array<struct<position:int,accession:string,name:string>>, "
+    "precursorCharge int, score double, isDecoy boolean, scoreAccession string"
+)
+
+
+def test_group_psm_sets_merged_files(spark):
+    """PIA createPSMSets(true) parity (PIAModelerService.java:111-114):
+    identical (spectrum, peptidoform, charge) identifications from
+    DIFFERENT result files collapse into one set with the best member's
+    score; a target member anywhere makes the set a target; distinct
+    peptidoforms on the same spectrum stay separate sets."""
+    from pride_spark.operators.fdr import group_psm_sets
+
+    phos = [(3, "UNIMOD:21", "Phospho")]
+    rows = [
+        # spectrum s1, PEPTIDEK/2 identified by BOTH engines -> one set
+        _psm_row("a.mzid", "A1", "s1", "PEPTIDEK", [], 2, 10.0, False, "MS:A"),
+        _psm_row("b.mzid", "B1", "s1", "PEPTIDEK", [], 2, 30.0, False, "MS:B"),
+        # same spectrum+sequence but phosphorylated in b -> SEPARATE set
+        _psm_row("b.mzid", "B2", "s1", "PEPTIDEK", phos, 2, 20.0, False, "MS:B"),
+        # same sequence, different charge -> separate set
+        _psm_row("a.mzid", "A2", "s1", "PEPTIDEK", [], 3, 5.0, False, "MS:A"),
+        # decoy in a + target in b on s2 -> set is TARGET
+        _psm_row("a.mzid", "A3", "s2", "LNGVK", [], 2, 8.0, True, "MS:A"),
+        _psm_row("b.mzid", "B3", "s2", "LNGVK", [], 2, 7.0, False, "MS:B"),
+        # decoy in both on s3 -> set stays decoy
+        _psm_row("a.mzid", "A4", "s3", "DECOYP", [], 2, 3.0, True, "MS:A"),
+        _psm_row("b.mzid", "B4", "s3", "DECOYP", [], 2, 4.0, True, "MS:B"),
+    ]
+    df = spark.createDataFrame(rows, _PSM_SCHEMA)
+    out = group_psm_sets(df).collect()
+    sets = {(r["sourceId"], r["peptideSequence"], r["precursorCharge"],
+             len(r["modifications"] or [])): r for r in out}
+    assert len(out) == 5  # 8 PSMs -> 5 sets
+
+    merged = sets[("s1", "PEPTIDEK", 2, 0)]
+    assert merged["score"] == 30.0 and merged["psmId"] == "B1"  # best member wins
+    assert merged["setSize"] == 2
+    assert [(m["fileName"], m["psmId"]) for m in merged["setMembers"]] == [
+        ("a.mzid", "A1"), ("b.mzid", "B1")]
+    assert merged["engineSet"] == "MS:A;MS:B"
+
+    assert sets[("s1", "PEPTIDEK", 2, 1)]["setSize"] == 1  # peptidoform split
+    assert sets[("s1", "PEPTIDEK", 3, 0)]["setSize"] == 1  # charge split
+
+    mixed = sets[("s2", "LNGVK", 2, 0)]
+    assert mixed["isDecoy"] is False and mixed["score"] == 8.0  # any-target
+    assert sets[("s3", "DECOYP", 2, 0)]["isDecoy"] is True  # all-decoy
+
+
+def test_group_psm_sets_consider_modifications_false(spark):
+    """PIA considerModifications=false (the merged path's setting,
+    PIAModelerService.java:124): the plain sequence is the set key, so
+    peptidoform variants of one sequence merge."""
+    from pride_spark.operators.fdr import group_psm_sets
+
+    phos = [(3, "UNIMOD:21", "Phospho")]
+    rows = [
+        _psm_row("a.mzid", "A1", "s1", "PEPTIDEK", [], 2, 10.0, False, "MS:A"),
+        _psm_row("b.mzid", "B2", "s1", "PEPTIDEK", phos, 2, 20.0, False, "MS:B"),
+    ]
+    df = spark.createDataFrame(rows, _PSM_SCHEMA)
+    assert group_psm_sets(df).count() == 2
+    merged = group_psm_sets(df, consider_modifications=False).collect()
+    assert len(merged) == 1 and merged[0]["score"] == 20.0
+
+
+def test_group_psm_sets_fdr_hand_oracle(spark):
+    """The full merged-analysis composition (PIAModelerService.java
+    :111-124): set grouping -> top-1 per spectrum -> FDR -> combined FDR
+    score, against hand-computed counts on a two-engine fixture where
+    every spectrum is identified by both files."""
+    from pride_spark.operators.fdr import (
+        combined_fdr_score,
+        group_psm_sets,
+        top_n_per_spectrum,
+    )
+
+    rows = []
+    # 10 spectra; both engines agree on every identification; spectra
+    # s7..s9 are decoys.  Scores descend with the spectrum index.
+    for i in range(10):
+        decoy = i >= 7
+        seq = f"PEP{i}K"
+        rows.append(_psm_row("a.mzid", f"A{i}", f"s{i}", seq, [], 2, 100 - i, decoy, "MS:A"))
+        rows.append(_psm_row("b.mzid", f"B{i}", f"s{i}", seq, [], 2, 90 - i, decoy, "MS:B"))
+    df = spark.createDataFrame(rows, _PSM_SCHEMA)
+
+    # WITHOUT set grouping every identification double-counts: 20 rows
+    naive = add_fdr_qvalue(df, "score", "isDecoy", scalable=False)
+    assert naive.count() == 20
+
+    sets = group_psm_sets(df)
+    top1 = top_n_per_spectrum(
+        sets, 1, spectrum_cols=("sourceId",), score_col="score", tie_cols=("psmId",)
+    )
+    out = add_fdr_qvalue(top1, "score", "isDecoy", scalable=False)
+    got = {r["sourceId"]: r for r in out.collect()}
+    assert len(got) == 10  # one set per spectrum, single-counted
+    # every set took engine A's (higher) score and carries both engines
+    assert all(r["engineSet"] == "MS:A;MS:B" and r["setSize"] == 2 for r in got.values())
+    # hand FDR: best-first s0..s6 targets then s7..s9 decoys ->
+    # fdr 0 through s6; s7 1/7, s8 2/7, s9 3/7
+    assert got["s6"]["fdr"] == 0.0
+    assert got["s7"]["fdr"] == pytest.approx(1 / 7)
+    assert got["s9"]["fdr"] == pytest.approx(3 / 7)
+    # combined FDR score composes on the set frame's engineSet column
+    comb = combined_fdr_score(out, "score", "isDecoy", "engineSet")
+    assert comb.count() == 10 and "combinedFdrScore" in comb.columns
