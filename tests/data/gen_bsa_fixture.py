@@ -334,14 +334,106 @@ def write_mztab(specs: list[dict]) -> None:
         fh.write("\n".join(lines) + "\n")
 
 
+def write_pridexml(specs: list[dict]) -> None:
+    """The SAME identifications again, as a legacy PRIDE XML document —
+    the third result format of the cross-format fidelity gate.  Identical
+    decoy flags (via the PRIDE:0000303 cvParam — legacy accessions carry
+    no ``rev_``-style marker the reader recognizes), identical scores
+    (same LCG stream), identical UNIMOD modifications; precursor mz and
+    charge resolve from an embedded mzData spectrum per scan whose id
+    equals the mzML scan number, so ``SpectrumReference`` lands on the
+    same normalized spectrumKey as the mzid's Thermo nativeID."""
+    rng = _lcg(99)
+    mzdata, idents = [], []
+    for i, s in enumerate(specs):
+        mzdata.append(
+            f'''    <spectrum id="{s['scan']}">
+     <spectrumDesc><spectrumSettings>
+      <spectrumInstrument msLevel="2"/>
+     </spectrumSettings>
+      <precursorList count="1"><precursor msLevel="1" spectrumRef="0">
+       <ionSelection>
+        <cvParam cvLabel="PSI" accession="PSI:1000040" name="MassToChargeRatio" value="{s['mz']}"/>
+        <cvParam cvLabel="PSI" accession="PSI:1000041" name="ChargeState" value="{s['z']}"/>
+       </ionSelection>
+      </precursor></precursorList>
+     </spectrumDesc>
+     <mzArrayBinary><data precision="64" endian="little" length="0"></data></mzArrayBinary>
+     <intenArrayBinary><data precision="64" endian="little" length="0"></data></intenArrayBinary>
+    </spectrum>'''
+        )
+        decoy = i % 4 == 3
+        acc = ("rev_" + s["acc"]) if decoy else s["acc"]
+        mods = []
+        for pos, a in enumerate(s["seq"], start=1):
+            if a == "C":
+                mods.append(
+                    f'''    <ModificationItem>
+     <ModLocation>{pos}</ModLocation>
+     <ModAccession>UNIMOD:4</ModAccession>
+     <ModDatabase>UNIMOD</ModDatabase>
+     <additional><cvParam cvLabel="UNIMOD" accession="UNIMOD:4" name="Carbamidomethyl" value=""/></additional>
+    </ModificationItem>'''
+                )
+            elif a == "M" and i % 2 == 0:
+                mods.append(
+                    f'''    <ModificationItem>
+     <ModLocation>{pos}</ModLocation>
+     <ModAccession>UNIMOD:35</ModAccession>
+     <ModDatabase>UNIMOD</ModDatabase>
+     <additional><cvParam cvLabel="UNIMOD" accession="UNIMOD:35" name="Oxidation" value=""/></additional>
+    </ModificationItem>'''
+                )
+        score = round((0.35 + 0.25 * next(rng)) if decoy else (0.80 + 0.19 * next(rng)), 6)
+        decoy_cv = (
+            '\n   <additional><cvParam cvLabel="PRIDE" accession="PRIDE:0000303" '
+            'name="Decoy hit" value="1"/></additional>'
+            if decoy
+            else ""
+        )
+        idents.append(
+            f'''  <GelFreeIdentification>
+   <Accession>{acc}</Accession>
+   <Database>sp_target_decoy</Database>
+   <DatabaseVersion>2020_01</DatabaseVersion>
+   <PeptideItem>
+    <Sequence>{s['seq']}</Sequence>
+    <SpectrumReference>{s['scan']}</SpectrumReference>
+{chr(10).join(mods)}
+    <additional>
+     <cvParam cvLabel="PSI-MS" accession="MS:1002257" name="Comet expectation score" value="{score}"/>
+    </additional>
+   </PeptideItem>
+   <Score>{score}</Score>
+   <SearchEngine>Comet</SearchEngine>{decoy_cv}
+  </GelFreeIdentification>'''
+        )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<ExperimentCollection version="2.1">\n'
+        " <Experiment>\n"
+        "  <Title>BSA golden fixture (legacy PRIDE XML)</Title>\n"
+        '  <mzData version="1.05" accessionNumber="0">\n'
+        f'   <spectrumList count="{len(specs)}">\n'
+        + "\n".join(mzdata)
+        + "\n   </spectrumList>\n  </mzData>\n"
+        + "\n".join(idents)
+        + "\n </Experiment>\n</ExperimentCollection>\n"
+    )
+    with open(os.path.join(OUT, "bsa_fixture", "bsa.pride.xml"), "w") as fh:
+        fh.write(doc)
+
+
 def main() -> None:
     os.makedirs(os.path.join(OUT, "bsa_fixture"), exist_ok=True)
     specs = spectra()
     write_mzml(specs)
     write_mzid(specs)
     write_mztab(specs)
-    print("wrote BSA1_F1.mzML + bsa.mzid + bsa.mztab; run the pipeline once "
-          "and freeze golden_counts.json (see tests/test_golden_fixture.py)")
+    write_pridexml(specs)
+    print("wrote BSA1_F1.mzML + bsa.mzid + bsa.mztab + bsa.pride.xml; run the "
+          "pipeline once and freeze golden_counts.json "
+          "(see tests/test_golden_fixture.py)")
 
 
 if __name__ == "__main__":

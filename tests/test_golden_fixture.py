@@ -140,3 +140,20 @@ def test_bsa_mztab_author_proteins_surface(spark):
 
     # mzid submissions carry no author-protein table
     assert read_author_proteins(spark, [os.path.join(DATA, "bsa.mzid")]) is None
+
+
+def test_bsa_pridexml_fixture_matches_mzid_golden_counts(tmp_path):
+    """r9 (verdict task 4): the THIRD format of the cross-format gate —
+    ``bsa.pride.xml`` carries the same identifications as ``bsa.mzid``
+    and ``bsa.mztab`` (same LCG score stream, same PRIDE:0000303-flagged
+    decoys, same UNIMOD mods; precursors resolved from the embedded
+    mzData spectra), so the full §3.3 DAG must land on the IDENTICAL
+    frozen counts.  Pins the legacy PRIDE XML reader's numerics to the
+    other two formats."""
+    got = pipeline_counts(str(tmp_path / "out"), result_file="bsa.pride.xml")
+    want = json.load(open(GOLDEN))
+    assert got == want, {
+        k: (want.get(k), got.get(k))
+        for k in sorted(set(want) | set(got))
+        if want.get(k) != got.get(k)
+    }
