@@ -74,6 +74,7 @@ def _index_outputs(spark, args):
     from pride_spark.plans.ingest import (
         keyed_spectra,
         prepare_psms,
+        read_author_proteins,
         read_psms_any,
         read_spectra_any,
     )
@@ -173,6 +174,9 @@ def _index_outputs(spark, args):
         enforce_gates=not args.no_gates,
         reanalysis=getattr(args, "reanalysis_accession", None),
         sample_props=sample_props,
+        # mzTab PRH/PRT author rows (None for mzid/PRIDE-XML submissions)
+        # merge into the T3 protein-evidence output as authorProperties
+        author_proteins=read_author_proteins(spark, args.result_files),
     )
 
 

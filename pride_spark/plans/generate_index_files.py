@@ -183,6 +183,75 @@ def stage3_protein_rollup(archive: DataFrame) -> DataFrame:
     return protein_rollup(explode_protein_accessions(slim))
 
 
+def merge_author_proteins(proteins: DataFrame, author: DataFrame) -> DataFrame:
+    """Attach author-reported protein attributes (mzTab PRH/PRT rows, via
+    ``plans.ingest.read_author_proteins``) onto the T3 protein-evidence
+    table as an ``authorProperties`` Param array.
+
+    The reference compiles the FULL mzTab through PIA
+    (``PIAModelerService.java:162-189``), so author-supplied protein rows
+    ride into its protein model; this is the Spark-side equivalent: a
+    broadcast left join on accession (the author table is one row per
+    protein per file — dimension-sized at any corpus scale), each
+    non-null author attribute rendered as one Param, multi-file rows
+    concatenated.  Engine-derived columns are never overwritten — author
+    data is additive evidence, not an override."""
+    from pride_spark.schemas import PARAM
+
+    def _p(name: str, col) -> F.Column:
+        return F.when(
+            col.isNotNull(),
+            F.struct(
+                F.lit(None).cast("string").alias("cvLabel"),
+                F.lit(None).cast("string").alias("accession"),
+                F.lit(name).alias("name"),
+                col.cast("string").alias("value"),
+            ),
+        )
+
+    cols = {c: F.col(c) for c in author.columns}
+    params = F.filter(
+        F.array(
+            _p("author protein description", cols.get("description", F.lit(None))),
+            _p("species", cols.get("species", F.lit(None))),
+            _p("taxid", cols.get("taxid", F.lit(None))),
+            _p("protein coverage", cols.get("proteinCoverage", F.lit(None))),
+            _p(
+                "author best search-engine score",
+                cols.get("bestSearchEngineScore", F.lit(None)),
+            ),
+            _p(
+                "ambiguity members",
+                F.when(
+                    F.size(cols.get("ambiguityMembers", F.array())) > 0,
+                    F.array_join(cols.get("ambiguityMembers", F.array()), ","),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    from pyspark.sql.types import ArrayType
+
+    from pride_spark.operators.joins import broadcast_props_join
+
+    by_acc = (
+        author.select(F.col("accession").alias("__acc"), params.alias("__p"))
+        .groupBy("__acc")
+        .agg(F.flatten(F.collect_list("__p")).alias("__props"))
+    )
+    return (
+        broadcast_props_join(
+            proteins.withColumn("__acc", F.col("proteinAccession")),
+            by_acc,
+            "__acc",
+            "__props",
+            F.array().cast(ArrayType(PARAM)),
+            out_col="authorProperties",
+        )
+        .drop("__props", "__acc")
+    )
+
+
 def generate_index_files(
     psms: DataFrame,
     spectra: DataFrame,
@@ -191,6 +260,7 @@ def generate_index_files(
     enforce_gates: bool = True,
     reanalysis: str | None = None,
     sample_props: DataFrame | None = None,
+    author_proteins: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full §3.1 plan; returns the three output tables as DataFrames.
 
@@ -238,5 +308,7 @@ def generate_index_files(
             F.array().cast(ArrayType(PARAM)),
         ).drop("__props", "__skey")
     proteins = stage3_protein_rollup(archive)
+    if author_proteins is not None:
+        proteins = merge_author_proteins(proteins, author_proteins)
     summary = archive.drop("masses", "intensities")
     return {"archive_spectra": archive, "summary_spectra": summary, "protein_evidence": proteins}

@@ -157,3 +157,41 @@ def test_bsa_pridexml_fixture_matches_mzid_golden_counts(tmp_path):
         for k in sorted(set(want) | set(got))
         if want.get(k) != got.get(k)
     }
+
+
+def test_bsa_mztab_author_properties_reach_t3_output(tmp_path):
+    """r9 (verdict task 5): author PRT rows don't stop at the
+    read_author_proteins pass-through — generate-index-files merges them
+    into the T3 protein-evidence output as authorProperties Params
+    (broadcast join on accession); mzid submissions (no author table)
+    emit no such column."""
+    out = str(tmp_path / "t3")
+    rc = main([
+        "generate-index-files",
+        "--project", "PXBSA000",
+        "--result-files", os.path.join(DATA, "bsa.mztab"),
+        "--spectra-files", os.path.join(DATA, "BSA1_F1.mzML"),
+        "--output-dir", out,
+        "--min-psms", "10",
+    ])
+    assert rc == 0
+    rows = {r["proteinAccession"]: r for r in _jsonl_rows(os.path.join(out, "protein_evidence"))}
+    assert rows, "no protein evidence written"
+    for acc, r in rows.items():
+        props = {p["name"]: p["value"] for p in r["authorProperties"]}
+        assert props["species"] == "Bos taurus"
+        assert props["taxid"] == "9913"
+        assert float(props["author best search-engine score"]) > 0
+
+    out2 = str(tmp_path / "t3_mzid")
+    rc = main([
+        "generate-index-files",
+        "--project", "PXBSA000",
+        "--result-files", os.path.join(DATA, "bsa.mzid"),
+        "--spectra-files", os.path.join(DATA, "BSA1_F1.mzML"),
+        "--output-dir", out2,
+        "--min-psms", "10",
+    ])
+    assert rc == 0
+    rows2 = _jsonl_rows(os.path.join(out2, "protein_evidence"))
+    assert rows2 and all("authorProperties" not in r for r in rows2)
