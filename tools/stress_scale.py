@@ -109,6 +109,13 @@ def main() -> int:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument(
+        "--runs", type=int, default=1,
+        help="timed runs per query (best+median reported; a run count >1 "
+        "adds one untimed discard run first, like bench.py) — the "
+        "isolated clean re-measure mode for gate rows whose interleaved "
+        "timing needs attribution",
+    )
+    ap.add_argument(
         "--tables",
         default=None,
         help="comma list: build only these tables (adversarial runs that "
@@ -157,12 +164,25 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            df = qs[name](spark, args.out)
-            # noop sink, not count(): count would let Spark prune every
-            # unused column and skip the map-side work entirely
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            results[name] = {"sec": round(dt, 2)}
+            if args.runs > 1:  # discard run: same rationale as bench.py
+                qs[name](spark, args.out).write.format("noop").mode("overwrite").save()
+                release_cached_state(spark)
+            samples = []
+            for _ in range(args.runs):
+                t0 = time.time()
+                df = qs[name](spark, args.out)
+                # noop sink, not count(): count would let Spark prune every
+                # unused column and skip the map-side work entirely
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+                if args.runs > 1:
+                    release_cached_state(spark)
+            s = sorted(samples)
+            dt = s[0]
+            results[name] = {"sec": round(s[0], 2)}
+            if args.runs > 1:
+                results[name]["median_sec"] = round(s[len(s) // 2], 2)
+                results[name]["runs"] = args.runs
         except Exception as exc:  # keep going; a stall/OOM is the finding
             dt = time.time() - t0
             results[name] = {"sec": round(dt, 2), "err": repr(exc)[:200]}
