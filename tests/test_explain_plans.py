@@ -98,3 +98,29 @@ def test_protein_rollup_single_exchange(spark):
     plan = _plan(spark, "q28_protein_rollup")
     nodes = re.findall(r"\(\d+\) Exchange", plan)
     assert len(nodes) == 1, plan
+
+
+def test_group_psm_sets_single_exchange(spark):
+    # r9: the PSM-set grouping's best-member rank, provenance collects,
+    # and all-decoy vote are windows over the SAME (spectrum, form,
+    # charge) partitioning — Catalyst must plan ONE exchange for all of
+    # them (plus the leaf scan side has none: in-memory frame)
+    import contextlib
+    import io
+    import re
+
+    from pride_spark.operators.fdr import group_psm_sets
+
+    df = spark.createDataFrame(
+        [("f1", "P1", "s1", "PEPK", [], 2, 1.0, False, "MS:A")],
+        "fileName string, psmId string, sourceId string, peptideSequence string, "
+        "modifications array<struct<position:int,accession:string,name:string>>, "
+        "precursorCharge int, score double, isDecoy boolean, scoreAccession string",
+    )
+    out = group_psm_sets(df)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    nodes = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(nodes) == 1, plan
