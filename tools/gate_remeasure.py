@@ -1,0 +1,109 @@
+"""Post-gate clean re-measure: patch a CORRECTNESS_sf1 artifact with
+isolated best-of-N timings for its slow rows.
+
+The sf1 gate runs each Spark query interleaved with its DuckDB oracle
+(which can hold the machine for 20+ minutes on the recursive-CTE rows),
+so gate-row `sec_spark` values measure correctness-run conditions, not
+the query.  Round-8 established the protocol: keep the gate timings
+(with an explicit `timing_caveat`) and attach a `clean_remeasure` block
+measured in a fresh, idle-machine session.  Round 9 commits the tool and
+extends coverage to EVERY row whose gate timing exceeds a threshold
+(verdict r8 task 8: no committed sf1 timing should be caveat-only).
+
+Usage:
+    python tools/gate_remeasure.py --artifact CORRECTNESS_sf1_r09.json \
+        [--sf-dir /tmp/sf1] [--threshold 30] [--runs 3] [--queries ...]
+
+Patches the artifact in place: adds/updates `clean_remeasure` with
+{query: {best, median, runs}} plus a protocol note.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", required=True)
+    ap.add_argument("--sf-dir", default="/tmp/sf1")
+    ap.add_argument("--threshold", type=float, default=30.0,
+                    help="re-measure rows whose gate sec_spark exceeds this")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--queries", default=None,
+                    help="comma list overriding the threshold selection")
+    args = ap.parse_args()
+
+    with open(args.artifact) as fh:
+        art = json.load(fh)
+    if args.queries:
+        targets = [q.strip() for q in args.queries.split(",") if q.strip()]
+    else:
+        targets = [
+            q for q, row in art.get("queries", {}).items()
+            if row.get("sec_spark", 0) > args.threshold
+        ]
+    if not targets:
+        print("no rows over threshold; nothing to do", file=sys.stderr)
+        return 0
+    print(f"re-measuring {targets} at {args.sf_dir}", file=sys.stderr)
+
+    from pride_spark import registry
+    from pride_spark.session import get_spark, release_cached_state
+
+    spark = get_spark(
+        "gate-remeasure",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.cleaner.periodicGC.interval": "15s",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    block = art.setdefault("clean_remeasure", {})
+    block["protocol"] = (
+        f"isolated best-of-{args.runs} (one discard run first), fresh "
+        "session on an otherwise idle machine, noop sink — the gate-row "
+        "sec_spark values above ran interleaved with DuckDB oracle "
+        "execution and measure correctness-run conditions, not the query"
+    )
+    for q in targets:
+        if q not in qs:
+            print(f"unknown query {q}", file=sys.stderr)
+            continue
+        qs[q](spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        release_cached_state(spark)
+        samples = []
+        for _ in range(args.runs):
+            t0 = time.time()
+            qs[q](spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+            release_cached_state(spark)
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            time.sleep(0.2)
+        s = sorted(samples)
+        block[q] = {
+            "best": round(s[0], 2),
+            "median": round(s[len(s) // 2], 2),
+            "runs": args.runs,
+        }
+        print(json.dumps({q: block[q]}), file=sys.stderr)
+    with open(args.artifact, "w") as fh:
+        json.dump(art, fh, indent=1)
+    print(f"patched {args.artifact}", file=sys.stderr)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    main()
