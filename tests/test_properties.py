@@ -445,3 +445,63 @@ def test_mztab_modification_parse_any_qualifier_shape(spark, tmp_path_factory, m
     row = read_psms_any(spark, [str(p)]).collect()[0]
     got = [(m["position"], m["accession"]) for m in row["modifications"]]
     assert got == want
+
+
+# --- r9: PSM-set grouping vs a python reference ---------------------------
+
+_PSM_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a.mzid", "b.mzid", "c.mztab"]),          # file
+        st.integers(0, 5),                                          # spectrum
+        st.sampled_from(["PEPK", "LNGVK", "AEFVEVTK"]),             # sequence
+        st.integers(2, 3),                                          # charge
+        st.integers(0, 40),                                         # score (int -> exact)
+        st.booleans(),                                              # decoy
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_PSM_ROWS)
+@_SETTINGS
+def test_group_psm_sets_matches_python_reference(spark, rows):
+    """For ANY multi-file PSM frame: one output row per distinct
+    (spectrum, sequence, charge) key; the row is the best-scoring
+    member (ties broken on (file, psmId)); the set is decoy iff every
+    member is; engineSet is the sorted distinct engine list."""
+    from pyspark.sql import functions as F
+
+    from pride_spark.operators.fdr import group_psm_sets
+
+    data = [
+        (f, f"{f}:{i}", f"s{spec}", seq, z, float(score), d, f"ENG:{f[0]}")
+        for i, (f, spec, seq, z, score, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "fileName string, psmId string, sourceId string, peptideSequence string, "
+        "precursorCharge int, score double, isDecoy boolean, scoreAccession string",
+    ).withColumn(
+        "modifications",
+        F.array().cast("array<struct<position:int,accession:string,name:string>>"),
+    )
+    got = {
+        (r["sourceId"], r["peptideSequence"], r["precursorCharge"]): r
+        for r in group_psm_sets(df).collect()
+    }
+
+    ref: dict = {}
+    for f, pid, spec, seq, z, score, d, eng in data:
+        ref.setdefault((spec, seq, z), []).append((f, pid, score, d, eng))
+    assert set(got) == set(ref)
+    for k, members in ref.items():
+        best = min(members, key=lambda m: (-m[2], m[0], m[1]))
+        r = got[k]
+        assert r["psmId"] == best[1] and r["score"] == best[2]
+        assert r["isDecoy"] is all(m[3] for m in members)
+        assert r["setSize"] == len(members)
+        assert r["engineSet"] == ";".join(sorted({m[4] for m in members}))
+        assert [(m["fileName"], m["psmId"]) for m in r["setMembers"]] == sorted(
+            (m[0], m[1]) for m in members
+        )

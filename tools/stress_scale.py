@@ -128,6 +128,16 @@ def main() -> int:
         "report the volume a max_bucket cap drops",
     )
     ap.add_argument(
+        "--psm-sets",
+        type=int,
+        default=0,
+        metavar="ENGINES",
+        help="merged-analysis stress: synthesize ENGINES result-file copies "
+        "of the scaled orders table as a canonical PSM frame and run "
+        "group_psm_sets end-to-end — every set has exactly ENGINES members, "
+        "the adversarial shape for the set-grouping exchange",
+    )
+    ap.add_argument(
         "--star-graph",
         type=int,
         default=0,
@@ -222,6 +232,49 @@ def main() -> int:
             "sec": round(time.time() - t0, 2),
         }
         print(json.dumps({"star_graph": out["star_graph"]}), file=sys.stderr)
+    if args.psm_sets:
+        from pyspark.sql import functions as F
+
+        from pride_spark.operators.fdr import group_psm_sets
+
+        o = spark.read.parquet(f"{args.out}/orders.parquet")
+        # ENGINES identical result files over the scaled orders: every
+        # (spectrum, sequence, charge) set has exactly ENGINES members
+        frames = [
+            o.select(
+                F.lit(f"eng{e}.mzid").alias("fileName"),
+                F.concat(F.lit(f"E{e}_"), F.col("o_orderkey")).alias("psmId"),
+                F.col("o_orderkey").cast("string").alias("sourceId"),
+                F.col("o_orderpriority").alias("peptideSequence"),
+                F.array().cast(
+                    "array<struct<position:int,accession:string,name:string>>"
+                ).alias("modifications"),
+                (F.col("o_orderkey") % 3 + 2).cast("int").alias("precursorCharge"),
+                (F.col("o_totalprice") - e).alias("score"),
+                (F.col("o_orderstatus") == "F").alias("isDecoy"),
+                F.lit(f"MS:ENG{e}").alias("scoreAccession"),
+            )
+            for e in range(args.psm_sets)
+        ]
+        psms = frames[0]
+        for fr in frames[1:]:
+            psms = psms.unionByName(fr)
+        t0 = time.time()
+        sets = group_psm_sets(psms)
+        n_sets = sets.count()
+        agg = sets.agg(
+            F.min("setSize").alias("mn"), F.max("setSize").alias("mx")
+        ).collect()[0]
+        out["psm_sets"] = {
+            "engines": args.psm_sets,
+            "input_rows": args.psm_sets,  # patched below
+            "sets": int(n_sets),
+            "set_size_min": int(agg["mn"]),
+            "set_size_max": int(agg["mx"]),
+            "sec": round(time.time() - t0, 2),
+        }
+        out["psm_sets"]["input_rows"] = int(n_sets) * args.psm_sets
+        print(json.dumps({"psm_sets": out["psm_sets"]}), file=sys.stderr)
     if args.bucket_stats:
         from pride_spark.operators import dedup
 
