@@ -27,12 +27,25 @@ def _suspect_interference(timings: dict[str, float], repo_dir: str) -> dict:
     while the other 32 moved 1.28x in aggregate); carrying that context
     IN the artifact lets the judge separate environment from regression
     by reading, not re-running.  Advisory only — annotated rows still
-    report their measured numbers."""
+    report their measured numbers, and ANY failure in here must never
+    lose a finished battery (the whole body is exception-guarded)."""
+    try:
+        return _suspect_interference_inner(timings, repo_dir)
+    except Exception as ex:  # advisory annotation only — never crash
+        print(f"# suspect_interference annotation skipped: {ex!r}", file=sys.stderr)
+        return {}
+
+
+def _suspect_interference_inner(timings: dict[str, float], repo_dir: str) -> dict:
     import glob
 
+    def _round_no(path: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
     prior_rounds = sorted(
-        glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        (p for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")) if _round_no(p) >= 0),
+        key=_round_no,
     )
     if not prior_rounds:
         return {}
@@ -56,11 +69,12 @@ def _suspect_interference(timings: dict[str, float], repo_dir: str) -> dict:
             prior_bands[q] = {"best": float(b), "median": float(md)}
 
     def prior_median(q: str) -> float | None:
-        b = prior_bands.get(q, {}).get("median")
-        if b and b > 0:
-            return b
+        band = prior_bands.get(q)
+        b = band.get("median") if isinstance(band, dict) else None
+        if isinstance(b, (int, float)) and b > 0:
+            return float(b)
         v = prior_best.get(q)
-        return v if v and v > 0 else None
+        return float(v) if isinstance(v, (int, float)) and v > 0 else None
 
     ratios = sorted(
         timings[q] / prior_median(q)

@@ -77,6 +77,7 @@ def _index_outputs(spark, args):
         read_author_proteins,
         read_psms_any,
         read_spectra_any,
+        stage_compressed,
     )
 
     sample_props = None
@@ -142,7 +143,11 @@ def _index_outputs(spark, args):
     # the raw-file parse subtree executes once per app, not per action;
     # canonical PSM rows are narrow (no peak arrays), MEMORY_AND_DISK
     # spills rather than OOMs on huge submissions
-    psms = read_psms_any(spark, args.result_files).persist(StorageLevel.MEMORY_AND_DISK)
+    # stage .zip archives ONCE: both the PSM reader and the author-protein
+    # reader would otherwise each extract the same archive to their own
+    # temp dir (staging is a pass-through for non-zip paths)
+    result_paths = stage_compressed(args.result_files)
+    psms = read_psms_any(spark, result_paths).persist(StorageLevel.MEMORY_AND_DISK)
     spectra = read_spectra_any(spark, args.spectra_files)
     # PIA createPSMSets parity: the reference's merged path is exactly its
     # multi-file entry point (PIAModelerService.java:111-114 vs the
@@ -165,6 +170,7 @@ def _index_outputs(spark, args):
         min_psms=args.min_psms,
         score_better=args.score_better,
         create_psm_sets=create_psm_sets,
+        consider_modifications=getattr(args, "consider_modifications", False),
     )
     return generate_index_files(
         prepared,
@@ -176,7 +182,7 @@ def _index_outputs(spark, args):
         sample_props=sample_props,
         # mzTab PRH/PRT author rows (None for mzid/PRIDE-XML submissions)
         # merge into the T3 protein-evidence output as authorProperties
-        author_proteins=read_author_proteins(spark, args.result_files),
+        author_proteins=read_author_proteins(spark, result_paths),
     )
 
 
@@ -415,6 +421,13 @@ def build_parser() -> argparse.ArgumentParser:
         "createPSMSets, PIAModelerService.java:111-114); auto = on iff "
         "multiple result files",
     )
+    g.add_argument(
+        "--consider-modifications", action="store_true",
+        help="key PSM sets on the peptidoform instead of the plain "
+        "sequence (PIA considerModifications; the reference's merged "
+        "path runs false, PIAModelerService.java:124). Only meaningful "
+        "with --psm-sets",
+    )
     g.set_defaults(fn=cmd_generate_index_files)
 
     g = sub.add_parser("perform-inference", help="cluster-consensus rescoring (§3.2)")
@@ -452,6 +465,13 @@ def build_parser() -> argparse.ArgumentParser:
         "createPSMSets, PIAModelerService.java:111-114); auto = on iff "
         "multiple result files",
     )
+    g.add_argument(
+        "--consider-modifications", action="store_true",
+        help="key PSM sets on the peptidoform instead of the plain "
+        "sequence (PIA considerModifications; the reference's merged "
+        "path runs false, PIAModelerService.java:124). Only meaningful "
+        "with --psm-sets",
+    )
     g.set_defaults(fn=cmd_run_pipeline)
 
     g = sub.add_parser(
@@ -480,6 +500,13 @@ def build_parser() -> argparse.ArgumentParser:
         "from different result files into PSM sets before FDR (PIA "
         "createPSMSets, PIAModelerService.java:111-114); auto = on iff "
         "multiple result files",
+    )
+    g.add_argument(
+        "--consider-modifications", action="store_true",
+        help="key PSM sets on the peptidoform instead of the plain "
+        "sequence (PIA considerModifications; the reference's merged "
+        "path runs false, PIAModelerService.java:124). Only meaningful "
+        "with --psm-sets",
     )
     g.set_defaults(fn=cmd_run_reanalysis)
 

@@ -210,7 +210,13 @@ def top_n_per_spectrum(
     Ref: PIA ``setAllTopIdentifications(0|1)`` at PIAModelerService.java:67,114.
     Deterministic tie-break on ``tie_cols`` so results are reproducible.
     """
-    order = [F.col(score_col).desc() if better == "higher" else F.col(score_col).asc()]
+    # nulls last in BOTH directions: an unscored identification must not
+    # outrank a scored one under better='lower' (asc() is nulls-first)
+    order = [
+        F.col(score_col).desc_nulls_last()
+        if better == "higher"
+        else F.col(score_col).asc_nulls_last()
+    ]
     order += [F.col(c) for c in tie_cols]
     w = Window.partitionBy(*spectrum_cols).orderBy(*order)
     return (
@@ -375,8 +381,14 @@ def group_psm_sets(
     keyed = df.withColumn("__setform", form)
     keys = [spectrum_key_col, "__setform", charge_col]
     w = Window.partitionBy(*keys)
+    # nulls LAST in both directions: a member with no score (e.g. a PRIDE
+    # XML identification whose score didn't parse) must never beat a real
+    # score for set representative (plain asc() is nulls-FIRST in Spark,
+    # which with better='lower' would crown the null row)
     order = [
-        F.col(score_col).desc() if better == "higher" else F.col(score_col).asc(),
+        F.col(score_col).desc_nulls_last()
+        if better == "higher"
+        else F.col(score_col).asc_nulls_last(),
         F.col(file_col),
         F.col(psm_id_col),
     ]

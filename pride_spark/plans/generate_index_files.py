@@ -41,11 +41,16 @@ class IndexConfig:
     top_n_per_spectrum: int = 1
     score_better: str = "higher"
     # PIA createPSMSets: the multi-file merged path groups identical
-    # (spectrum, peptidoform, charge) identifications from different
-    # result files into one PSM SET before FDR
-    # (PIAModelerService.java:111-114; the single-file path runs false,
-    # :64, which this default matches)
+    # identifications from different result files into one PSM SET before
+    # FDR (PIAModelerService.java:111-114; the single-file path runs
+    # false, :64, which this default matches)
     create_psm_sets: bool = False
+    # PIA considerModifications — the SET-KEY granularity: True keys sets
+    # on the peptidoform (modified variants stay distinct), False on the
+    # plain sequence.  The reference's merged path runs FALSE
+    # (PIAModelerService.java:124), so that is the default here; only
+    # read when create_psm_sets is on.
+    consider_modifications: bool = False
 
 
 class AssayValidityError(ValueError):
@@ -60,19 +65,33 @@ def stage1_filter_and_fdr(psms: DataFrame, cfg: IndexConfig) -> DataFrame:
     ``PIAModelerService.java:111-114``) identical identifications from
     different result files are grouped into PSM sets FIRST, so the FDR
     denominators count each underlying identification once; provenance
-    lands in ``setMembers``/``setSize``/``engineSet``.  The set key uses
-    the prepared frame's ``peptidoform`` column and the result-file
-    provenance column (``resultFile`` when present — ``prepare_psms``
-    overwrites ``fileName`` with the spectra file)."""
+    lands in ``setMembers``/``setSize``/``engineSet``, and PIA's
+    Combined FDR Score is computed per engine-set combination
+    (``calculateCombinedFDRScore``, :122) into ``combinedFdrScore``.
+    The set key follows ``cfg.consider_modifications`` (plain sequence
+    by default — the merged reference setting); the result-file
+    provenance column is ``resultFile`` when present (``prepare_psms``
+    overwrites ``fileName`` with the spectra file).
+
+    CAVEAT vs PIA: the set representative and the global q-value rank
+    by the RAW best member score, which assumes the merged files share
+    a comparable score scale (true for same-engine re-searches and the
+    multi-mzTab reanalysis shape).  For heterogeneous engines the
+    cross-engine-comparable statistic is the ``combinedFdrScore`` column
+    this path emits — downstream consumers that merge Mascot-with-
+    X!Tandem-style submissions should rank on it."""
     out = source_id_filter(psms)
     out = peptide_length_filter(out, cfg.peptide_length)
     if cfg.create_psm_sets:
-        from pride_spark.operators.fdr import group_psm_sets
+        from pride_spark.operators.fdr import combined_fdr_score, group_psm_sets
 
         out = group_psm_sets(
             out,
             spectrum_key_col="spectrumKey",
-            form_col="peptidoform",
+            # set-key granularity = PIA considerModifications (the merged
+            # reference path runs false = plain-sequence keys, :124)
+            form_col="peptidoform" if cfg.consider_modifications else None,
+            consider_modifications=False,
             score_col="score",
             better=cfg.score_better,
             file_col="resultFile" if "resultFile" in out.columns else "fileName",
@@ -87,6 +106,13 @@ def stage1_filter_and_fdr(psms: DataFrame, cfg: IndexConfig) -> DataFrame:
     )
     out = add_fdr_qvalue(out, "score", "isDecoy", better=cfg.score_better)
     out = repair_zero_qvalues(out)
+    if cfg.create_psm_sets:
+        # PIA's merged path runs calculateCombinedFDRScore after the FDR
+        # pass (:122): per engine-combination q-values interpolated into
+        # the cross-engine-comparable FDR score, grouped on exactly the
+        # engineSet column group_psm_sets built
+        out = combined_fdr_score(out, "score", "isDecoy", "engineSet",
+                                 better=cfg.score_better)
     return psm_qvalue_filter(out, cfg.q_value_threshold)
 
 
@@ -234,10 +260,14 @@ def merge_author_proteins(proteins: DataFrame, author: DataFrame) -> DataFrame:
 
     from pride_spark.operators.joins import broadcast_props_join
 
+    # array_sort pins a deterministic Param order — multi-file mzTab
+    # submissions contribute one row per file per accession and the
+    # post-shuffle collect_list order is not reproducible otherwise
+    # (sampleProperties applies the same discipline in cli._index_outputs)
     by_acc = (
         author.select(F.col("accession").alias("__acc"), params.alias("__p"))
         .groupBy("__acc")
-        .agg(F.flatten(F.collect_list("__p")).alias("__props"))
+        .agg(F.array_sort(F.flatten(F.collect_list("__p"))).alias("__props"))
     )
     return (
         broadcast_props_join(

@@ -195,9 +195,11 @@ def run_available_now(
 ) -> list:
     """Drain the stream with the availableNow trigger into a memory sink;
     returns collected rows (test/demo helper — NOT a production sink: the
-    memory format buffers the whole result on the driver by design, so
-    the collect is bounded by ``max_rows`` and raises past it rather
-    than silently truncating or OOMing the driver).
+    memory format buffers the whole result on the driver by design;
+    ``max_rows`` raises on oversized results instead of silently handing
+    back an unbounded list, but the sink itself has already buffered the
+    full result by then — results expected to be large belong in a file
+    sink, not here).
 
     Default mode is ``complete`` (aggregations); stream-stream joins only
     support ``append`` — pass ``output_mode="append"`` for those.

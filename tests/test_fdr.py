@@ -293,3 +293,27 @@ def test_group_psm_sets_fdr_hand_oracle(spark):
     # combined FDR score composes on the set frame's engineSet column
     comb = combined_fdr_score(out, "score", "isDecoy", "engineSet")
     assert comb.count() == 10 and "combinedFdrScore" in comb.columns
+
+
+def test_group_psm_sets_null_score_never_wins(spark):
+    """r9 (self-review): with better='lower' a null-score member (e.g. a
+    PRIDE XML identification whose score failed to parse) must not
+    become the set representative — asc() alone is nulls-FIRST."""
+    from pride_spark.operators.fdr import group_psm_sets, top_n_per_spectrum
+
+    rows = [
+        ("a.xml", "A1", "s1", "PEPTIDEK", None, 2, None, False, None),
+        ("b.mzid", "B1", "s1", "PEPTIDEK", None, 2, 0.001, False, "MS:B"),
+    ]
+    df = spark.createDataFrame(rows, _PSM_SCHEMA)
+    out = group_psm_sets(df, better="lower").collect()
+    assert len(out) == 1
+    assert out[0]["psmId"] == "B1" and out[0]["score"] == 0.001
+    # engine key falls back to the file name for the unscored member
+    assert out[0]["engineSet"] == "MS:B;a.xml"
+    # same discipline in top-N per spectrum
+    top = top_n_per_spectrum(
+        df, 1, spectrum_cols=("sourceId",), score_col="score",
+        better="lower", tie_cols=("psmId",),
+    ).collect()
+    assert len(top) == 1 and top[0]["psmId"] == "B1"

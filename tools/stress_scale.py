@@ -259,21 +259,27 @@ def main() -> int:
         psms = frames[0]
         for fr in frames[1:]:
             psms = psms.unionByName(fr)
+        # timed: ONE full materialization through the noop sink — a
+        # count() would let Catalyst prune the provenance-collect windows
+        # this mode exists to stress (see the timed-query loop above)
         t0 = time.time()
         sets = group_psm_sets(psms)
-        n_sets = sets.count()
+        sets.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 2)
+        # stats pass runs UNTIMED (it re-executes the grouping)
         agg = sets.agg(
-            F.min("setSize").alias("mn"), F.max("setSize").alias("mx")
+            F.count("*").alias("n"),
+            F.min("setSize").alias("mn"),
+            F.max("setSize").alias("mx"),
         ).collect()[0]
         out["psm_sets"] = {
             "engines": args.psm_sets,
-            "input_rows": args.psm_sets,  # patched below
-            "sets": int(n_sets),
+            "input_rows": int(agg["n"]) * args.psm_sets,
+            "sets": int(agg["n"]),
             "set_size_min": int(agg["mn"]),
             "set_size_max": int(agg["mx"]),
-            "sec": round(time.time() - t0, 2),
+            "sec": dt,
         }
-        out["psm_sets"]["input_rows"] = int(n_sets) * args.psm_sets
         print(json.dumps({"psm_sets": out["psm_sets"]}), file=sys.stderr)
     if args.bucket_stats:
         from pride_spark.operators import dedup
