@@ -124,3 +124,49 @@ def test_perform_inference_end_to_end(spark):
     assert winners == [f"mzspec:PX:f1:index:{i:03d}" for i in range(0, n, 2)]
     assert out["winner_spectra"].count() == n // 2
     assert out["protein_evidence"].count() == 5
+
+
+def test_stage1_psm_set_granularity_and_combined_score(spark):
+    """r9: stage1 with create_psm_sets keys sets on the PLAIN sequence by
+    default (the reference's merged-path considerModifications=false,
+    PIAModelerService.java:124) — peptidoform variants of one sequence
+    from two result files merge; consider_modifications=True keeps them
+    distinct; and the merged path emits combinedFdrScore."""
+    from pride_spark.plans.generate_index_files import IndexConfig, stage1_filter_and_fdr
+
+    rows = []
+    for i in range(40):  # background population so FDR has decoys
+        decoy = i % 4 == 3
+        rows.append((f"bg{i}", f"r{i % 2}.mzid", "run1.mgf", 100 + i,
+                     "LNGPEPTIDER", "LNGPEPTIDER/2",
+                     float(500 - i if not decoy else 50 - i), decoy,
+                     f"index={100 + i}", 2))
+    # the interesting pair: same spectrum + sequence, different peptidoform
+    rows.append(("x1", "a.mzid", "run1.mgf", 7, "PEPTIDEK", "PEPTIDEK/2",
+                 900.0, False, "index=7", 2))
+    rows.append(("x2", "b.mzid", "run1.mgf", 7, "PEPTIDEK",
+                 "PEP[UNIMOD:21]TIDEK/2", 800.0, False, "index=7", 2))
+    df = spark.createDataFrame(
+        rows,
+        "psmId string, resultFile string, fileName string, spectrumKey int, "
+        "peptideSequence string, peptidoform string, score double, "
+        "isDecoy boolean, sourceId string, precursorCharge int",
+    ).withColumn(
+        "scoreAccession",
+        F.concat(F.lit("MS:"), F.col("resultFile")),  # one engine per file
+    )
+
+    seq_cfg = IndexConfig(q_value_threshold=0.5, peptide_length=5,
+                          create_psm_sets=True)
+    out = stage1_filter_and_fdr(df, seq_cfg)
+    assert "combinedFdrScore" in out.columns
+    x = out.filter(F.col("spectrumKey") == 7).collect()
+    assert len(x) == 1  # one SET (sequence key) -> one survivor
+    assert x[0]["setSize"] == 2 and x[0]["psmId"] == "x1"  # best member
+
+    form_cfg = IndexConfig(q_value_threshold=0.5, peptide_length=5,
+                           create_psm_sets=True, consider_modifications=True)
+    sets = stage1_filter_and_fdr(df, form_cfg)
+    x2 = sets.filter(F.col("spectrumKey") == 7).collect()
+    # two sets (peptidoform keys), then top-1-per-spectrum keeps the best
+    assert len(x2) == 1 and x2[0]["setSize"] == 1 and x2[0]["psmId"] == "x1"
