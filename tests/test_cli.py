@@ -371,3 +371,33 @@ def test_run_pipeline_merged_psm_sets(spark, project_dir, tmp_path):
     assert all(r["engineSet"] == "MS:1002257" for r in rows_2)
     # single-file runs carry no set columns (createPSMSets=false path)
     assert "setSize" not in rows_1[0]
+
+
+def test_generate_index_files_zipped_result_file(spark, tmp_path):
+    """r9 (self-review): result .zip archives are staged ONCE in
+    _index_outputs and the staged paths feed both the PSM reader and the
+    author-protein reader — a zipped mzTab must land on the same outputs
+    as the plain file, authorProperties included."""
+    import os as _os
+    import zipfile
+
+    data = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "data", "bsa_fixture")
+    zpath = tmp_path / "bsa.mztab.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(_os.path.join(data, "bsa.mztab"), arcname="bsa.mztab")
+
+    out = tmp_path / "zipped"
+    rc = main([
+        "generate-index-files",
+        "--project", "PXBSA000",
+        "--result-files", str(zpath),
+        "--spectra-files", _os.path.join(data, "BSA1_F1.mzML"),
+        "--output-dir", str(out),
+        "--min-psms", "10",
+    ])
+    assert rc == 0
+    rows = _read_jsonl(out / "protein_evidence")
+    assert rows
+    for r in rows:
+        props = {p["name"]: p["value"] for p in r["authorProperties"]}
+        assert props["species"] == "Bos taurus"
