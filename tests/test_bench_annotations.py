@@ -58,3 +58,16 @@ def test_failed_and_unknown_rows_skipped(tmp_path):
 
 def test_no_prior_artifact_is_silent(tmp_path):
     assert _suspect_interference({"q01": 9.0}, str(tmp_path)) == {}
+
+
+def test_non_round_artifacts_ignored(tmp_path):
+    """BENCH_r09_local.json (the committed settled-machine battery) and
+    other non-driver artifacts matching the glob must not be treated as
+    the prior round."""
+    _write_prior(tmp_path, "BENCH_r05.json",
+                 {"queries": {"q01": 1.0}, "bands": {"q01": {"best": 1.0, "median": 1.0}}})
+    _write_prior(tmp_path, "BENCH_r09_local.json",
+                 {"queries": {"q01": 100.0}, "bands": {"q01": {"best": 100.0, "median": 100.0}}})
+    out = _suspect_interference({"q01": 5.0}, str(tmp_path))
+    # compared against r05 (median 1.0), not the local artifact (100.0)
+    assert out["q01"]["prior_round"] == "BENCH_r05.json"
