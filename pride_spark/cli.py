@@ -186,6 +186,18 @@ def _index_outputs(spark, args):
     )
 
 
+def _layout_assay(args) -> str:
+    """Assay accession for reference-layout file names: explicit flag, or
+    the reference's random-token scheme (``HashUtils.getRandomToken``,
+    used as ``hashAssay`` at ``InferenceService.java:146``)."""
+    if getattr(args, "assay_accession", None):
+        return args.assay_accession
+    import hashlib
+    import uuid
+
+    return hashlib.sha1(uuid.uuid4().bytes).hexdigest()
+
+
 def cmd_generate_index_files(args) -> int:
     from pride_spark.sources.jsonlines import write_jsonlines
 
@@ -194,6 +206,18 @@ def cmd_generate_index_files(args) -> int:
     write_jsonlines(out["archive_spectra"], f"{args.output_dir}/archive_spectra")
     write_jsonlines(out["summary_spectra"], f"{args.output_dir}/summary_spectra")
     write_jsonlines(out["protein_evidence"], f"{args.output_dir}/protein_evidence")
+    if getattr(args, "reference_layout", False):
+        from pride_spark.sinks.layout import export_reference_layout
+
+        written = export_reference_layout(
+            args.output_dir,
+            args.project,
+            _layout_assay(args),
+            archive_spectra=out["archive_spectra"],
+            summary_spectra=out["summary_spectra"],
+            protein_evidence=out["protein_evidence"],
+        )
+        print(f"reference layout: {len(written)} files under {args.output_dir}/{args.project}")
     print(f"wrote archive/summary/protein tables under {args.output_dir}")
     return 0
 
@@ -291,6 +315,18 @@ def cmd_run_pipeline(args) -> int:
     write_jsonlines(inf["cluster_best"], f"{args.output_dir}/cluster_best")
     write_jsonlines(inf["winner_spectra"], f"{args.output_dir}/winner_spectra")
     write_jsonlines(inf["protein_evidence"], f"{args.output_dir}/protein_evidence_final")
+    if getattr(args, "reference_layout", False):
+        from pride_spark.sinks.layout import export_reference_layout
+
+        written = export_reference_layout(
+            args.output_dir,
+            args.project,
+            _layout_assay(args),
+            archive_spectra=archive,
+            summary_spectra=out["summary_spectra"],
+            protein_evidence=inf["protein_evidence"],
+        )
+        print(f"reference layout: {len(written)} files under {args.output_dir}/{args.project}")
     archive.unpersist()
     print(f"pipeline complete: {valid} spectra indexed, outputs under {args.output_dir}")
     return 0
@@ -381,6 +417,20 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pride_spark", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
 
+    def _add_layout_flags(p):
+        p.add_argument(
+            "--reference-layout", action="store_true",
+            help="additionally materialize the reference's backup-file "
+            "layout ({project}_{assay}_*.json single files plus per-source "
+            "batches, BackupUtil.java:49-79) under {output-dir}/{project}",
+        )
+        p.add_argument(
+            "--assay-accession",
+            help="assay accession for --reference-layout file names; "
+            "defaults to the reference's random-token scheme "
+            "(HashUtils.getRandomToken)",
+        )
+
     g = sub.add_parser("get-result-files", help="project result-file manifest (S1/S2+K4)")
     g.add_argument("--project", required=True)
     g.add_argument("--output", required=True)
@@ -428,6 +478,7 @@ def build_parser() -> argparse.ArgumentParser:
         "path runs false, PIAModelerService.java:124). Only meaningful "
         "with --psm-sets",
     )
+    _add_layout_flags(g)
     g.set_defaults(fn=cmd_generate_index_files)
 
     g = sub.add_parser("perform-inference", help="cluster-consensus rescoring (§3.2)")
@@ -472,6 +523,7 @@ def build_parser() -> argparse.ArgumentParser:
         "path runs false, PIAModelerService.java:124). Only meaningful "
         "with --psm-sets",
     )
+    _add_layout_flags(g)
     g.set_defaults(fn=cmd_run_pipeline)
 
     g = sub.add_parser(

@@ -1,0 +1,169 @@
+"""Reference-layout export — the exact backup file names downstream
+consumers of the reference read (SURVEY §2.2 K6/K7 composition).
+
+Reference naming, all from ``utility/BackupUtil.java:49-79`` under the
+per-project folder created at ``PrideAnalysisAssayService.java:187-214``
+(``{out}/{project}/``):
+
+- ``{project}_{assay}_ArchiveProteinEvidence.json``      (T3)
+- ``{project}_{assay}_ArchiveSpectrum_Total.json``       (T1, all rows)
+- ``{project}_{assay}_SummaryArchiveSpectrum.json``      (T2)
+- ``{project}_{batch}_ArchiveSpectrum.json``             (T1 per source
+  file; ``batch = usi.split(':')[2]``, the writer loop at
+  ``InferenceService.java:190-200`` / batch prefix at
+  ``BackupUtil.java:56-58``)
+
+The engine's native outputs are Spark directory tables (part files with
+an atomic committer) — the right shape at scale.  This module
+materializes the LEGACY layout from those tables: a distributed
+JSON-lines write into a scratch directory, then a driver-side streaming
+concatenation of the committed part files into the reference's single
+file names (the same merge Nextflow's ``collectFile`` performs for the
+reference, ``submissions.nf``).  A single output file is inherently a
+single-stream step, so this is an explicit compatibility exporter, not
+the scale path; the concat never buffers more than ``COPY_CHUNK`` bytes.
+
+Field-name/value parity of the JSON rows is the jsonlines writer's
+contract (schemas T1–T3); this module adds only the file layout.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pride_spark.sources.jsonlines import write_jsonlines
+
+#: streaming-copy buffer; bounds driver memory regardless of file size
+COPY_CHUNK = 1 << 20
+
+_BATCH_KEY = "__batch"
+
+
+def protein_evidence_file(out_dir: str, project: str, assay: str) -> str:
+    """``BackupUtil.getProteinEvidenceFile`` (``BackupUtil.java:49-54``)."""
+    return os.path.join(out_dir, project, f"{project}_{assay}_ArchiveProteinEvidence.json")
+
+
+def archive_spectrum_total_file(out_dir: str, project: str, assay: str) -> str:
+    """``BackupUtil.getArchiveSpectrumFile`` (``BackupUtil.java:60-65``)."""
+    return os.path.join(out_dir, project, f"{project}_{assay}_ArchiveSpectrum_Total.json")
+
+
+def psm_summary_file(out_dir: str, project: str, assay: str) -> str:
+    """``BackupUtil.getPsmSummaryEvidenceFile`` (``BackupUtil.java:74-79``)."""
+    return os.path.join(
+        out_dir, project, f"{project}_{assay}_SummaryArchiveSpectrum.json"
+    )
+
+
+def archive_spectrum_batch_file(out_dir: str, project: str, batch: str) -> str:
+    """``BackupUtil.getArchiveSpectrumFileBatch`` over the prefix built at
+    ``BackupUtil.java:67-72`` (``{out}/{project}/{project}``)."""
+    return os.path.join(out_dir, project, f"{project}_{batch}_ArchiveSpectrum.json")
+
+
+def concat_parts(src_dir: str, dest_file: str) -> int:
+    """K6 — concatenate a Spark text/JSON output directory's part files
+    into one file, in part-file name order (deterministic: the committer
+    numbers parts by partition id).  Returns bytes written.
+
+    The reference gets this step from Nextflow ``collectFile``; here it
+    is a bounded streaming copy (``COPY_CHUNK`` buffer), never a read of
+    the whole table into memory.
+    """
+    parts = sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    written = 0
+    os.makedirs(os.path.dirname(dest_file), exist_ok=True)
+    tmp = f"{dest_file}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        with open(tmp, "wb") as dst:
+            for p in parts:
+                with open(p, "rb") as src:
+                    while True:
+                        chunk = src.read(COPY_CHUNK)
+                        if not chunk:
+                            break
+                        dst.write(chunk)
+                        written += len(chunk)
+        os.replace(tmp, dest_file)  # K7: atomic publish, no torn file
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return written
+
+
+def export_reference_layout(
+    out_dir: str,
+    project: str,
+    assay: str,
+    *,
+    archive_spectra: DataFrame | None = None,
+    summary_spectra: DataFrame | None = None,
+    protein_evidence: DataFrame | None = None,
+    batch_files: bool = True,
+    usi_col: str = "usi",
+) -> dict[str, str]:
+    """Materialize the reference's backup-file layout from engine tables.
+
+    Each provided frame is written distributed (scratch directory, atomic
+    committer), then concatenated to the reference's exact file name.
+    ``batch_files=True`` additionally writes the per-source-file
+    ``{project}_{batch}_ArchiveSpectrum.json`` files: ONE extra
+    distributed write partitioned by ``split(usi, ':')[2]``
+    (``InferenceService.java:190``), then one concat per batch — never a
+    per-batch Spark job.
+
+    Returns ``{logical name: file path}`` for everything written.
+    """
+    out: dict[str, str] = {}
+    scratch = tempfile.mkdtemp(prefix="pride_layout_")
+    try:
+        if protein_evidence is not None:
+            d = os.path.join(scratch, "proteins")
+            write_jsonlines(protein_evidence, d)
+            f = protein_evidence_file(out_dir, project, assay)
+            concat_parts(d, f)
+            out["protein_evidence"] = f
+        if summary_spectra is not None:
+            d = os.path.join(scratch, "summary")
+            write_jsonlines(summary_spectra, d)
+            f = psm_summary_file(out_dir, project, assay)
+            concat_parts(d, f)
+            out["psm_summary"] = f
+        if archive_spectra is not None:
+            d = os.path.join(scratch, "archive")
+            write_jsonlines(archive_spectra, d)
+            f = archive_spectrum_total_file(out_dir, project, assay)
+            concat_parts(d, f)
+            out["archive_total"] = f
+            if batch_files:
+                bd = os.path.join(scratch, "batches")
+                batched = archive_spectra.withColumn(
+                    _BATCH_KEY, F.split(F.col(usi_col), ":").getItem(2)
+                )
+                # partitionBy drops the derived key from the rows, so the
+                # batch files carry exactly the T1 fields the total does
+                write_jsonlines(batched, bd, partition_by=_BATCH_KEY)
+                for entry in sorted(os.listdir(bd)):
+                    if not entry.startswith(f"{_BATCH_KEY}="):
+                        continue
+                    # Spark %XX-escapes partition values in dir names;
+                    # the reference uses the raw file name in its own
+                    batch = urllib.parse.unquote(entry.split("=", 1)[1])
+                    f = archive_spectrum_batch_file(out_dir, project, batch)
+                    concat_parts(os.path.join(bd, entry), f)
+                    out[f"archive_batch:{batch}"] = f
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out

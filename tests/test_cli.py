@@ -162,11 +162,24 @@ def test_run_pipeline_single_app(spark, project_dir, tmp_path):
             "--qvalue-threshold", "0.1",
             "--min-psms", "5",
             "--score-better", "lower",
+            "--reference-layout",
+            "--assay-accession", "abc123",
         ]
     )
     assert rc == 0
     archive = _read_jsonl(outdir / "archive_spectra")
     assert archive and all("usi" in r for r in archive)
+    # --reference-layout materializes BackupUtil.java:49-79 file names
+    proj = outdir / "PXD777"
+    total = proj / "PXD777_abc123_ArchiveSpectrum_Total.json"
+    assert total.exists()
+    assert (proj / "PXD777_abc123_SummaryArchiveSpectrum.json").exists()
+    assert (proj / "PXD777_abc123_ArchiveProteinEvidence.json").exists()
+    batch = proj / "PXD777_run1.mgf_ArchiveSpectrum.json"
+    assert batch.exists()
+    # total == union of batches == the directory table's rows
+    assert len(total.read_text().splitlines()) == len(archive)
+    assert len(batch.read_text().splitlines()) == len(archive)
     text = "".join(
         p.read_text()
         for p in (outdir / "export.mgf").iterdir()

@@ -323,3 +323,62 @@ def test_mgf_peak_format_modes(spark):
 
     with _pytest.raises(ValueError):
         rec("fast")
+
+
+def test_reference_layout_export(spark, tmp_path):
+    """K6/K7 — export_reference_layout lands the exact BackupUtil.java:49-79
+    file names, batches partition by usi.split(':')[2], and batch rows
+    carry the same fields as the total (no derived batch column)."""
+    import json
+
+    from pride_spark.sinks.layout import (
+        archive_spectrum_batch_file,
+        archive_spectrum_total_file,
+        concat_parts,
+        export_reference_layout,
+        protein_evidence_file,
+        psm_summary_file,
+    )
+
+    rows = [
+        (f"mzspec:PXDL:{src}:scan:{i}", f"PEP{i}", float(i))
+        for i, src in enumerate(["a.mgf"] * 3 + ["b 2.mgf"] * 2)
+    ]
+    archive = spark.createDataFrame(rows, "usi string, peptideSequence string, score double")
+    summary = archive.drop("score")
+    proteins = spark.createDataFrame([("P1", 3), ("P2", 2)], "accession string, numPSMs int")
+
+    out = export_reference_layout(
+        str(tmp_path), "PXDL", "assayX",
+        archive_spectra=archive, summary_spectra=summary, protein_evidence=proteins,
+    )
+    total = archive_spectrum_total_file(str(tmp_path), "PXDL", "assayX")
+    assert out["archive_total"] == total
+    assert os.path.exists(total)
+    assert os.path.exists(psm_summary_file(str(tmp_path), "PXDL", "assayX"))
+    assert os.path.exists(protein_evidence_file(str(tmp_path), "PXDL", "assayX"))
+
+    total_rows = [json.loads(l) for l in open(total)]
+    assert len(total_rows) == 5 and {r["usi"] for r in total_rows} == {r[0] for r in rows}
+
+    # per-source batches: name carries the RAW source-file name (the %XX
+    # partition-dir escaping of the space is undone), rows contain only
+    # that file's USIs and exactly the T1 fields
+    for src, n in (("a.mgf", 3), ("b 2.mgf", 2)):
+        f = archive_spectrum_batch_file(str(tmp_path), "PXDL", src)
+        assert os.path.exists(f), f
+        brows = [json.loads(l) for l in open(f)]
+        assert len(brows) == n
+        assert all(r["usi"].split(":")[2] == src for r in brows)
+        assert set(brows[0]) == {"usi", "peptideSequence", "score"}
+
+    # concat_parts is atomic: no .tmp- residue anywhere under the project dir
+    residue = [p for p in os.listdir(os.path.join(str(tmp_path), "PXDL")) if ".tmp-" in p]
+    assert residue == []
+
+    # K6 standalone: concatenating a directory table reproduces the total
+    d = str(tmp_path / "scratch")
+    write_jsonlines(archive, d)
+    dest = str(tmp_path / "flat.json")
+    concat_parts(d, dest)
+    assert sorted(open(dest).read().splitlines()) == sorted(open(total).read().splitlines())
