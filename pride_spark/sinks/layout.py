@@ -149,8 +149,10 @@ def export_reference_layout(
             out["archive_total"] = f
             if batch_files:
                 bd = os.path.join(scratch, "batches")
+                # F.get (not getItem): a usi with no source-file segment
+                # yields NULL under ANSI instead of an array-index error
                 batched = archive_spectra.withColumn(
-                    _BATCH_KEY, F.split(F.col(usi_col), ":").getItem(2)
+                    _BATCH_KEY, F.get(F.split(F.col(usi_col), ":"), 2)
                 )
                 # partitionBy drops the derived key from the rows, so the
                 # batch files carry exactly the T1 fields the total does
@@ -161,6 +163,11 @@ def export_reference_layout(
                     # Spark %XX-escapes partition values in dir names;
                     # the reference uses the raw file name in its own
                     batch = urllib.parse.unquote(entry.split("=", 1)[1])
+                    if batch == "__HIVE_DEFAULT_PARTITION__":
+                        # rows whose usi lacks a source-file segment have
+                        # no reference batch (the reference would NPE);
+                        # they stay in the Total file only
+                        continue
                     f = archive_spectrum_batch_file(out_dir, project, batch)
                     concat_parts(os.path.join(bd, entry), f)
                     out[f"archive_batch:{batch}"] = f

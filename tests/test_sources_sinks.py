@@ -344,6 +344,9 @@ def test_reference_layout_export(spark, tmp_path):
         (f"mzspec:PXDL:{src}:scan:{i}", f"PEP{i}", float(i))
         for i, src in enumerate(["a.mgf"] * 3 + ["b 2.mgf"] * 2)
     ]
+    # a row with no source-file segment: lands in the Total, gets NO
+    # batch file (the reference would NPE on usi.split(':')[2])
+    rows.append(("short", "PEPX", 9.0))
     archive = spark.createDataFrame(rows, "usi string, peptideSequence string, score double")
     summary = archive.drop("score")
     proteins = spark.createDataFrame([("P1", 3), ("P2", 2)], "accession string, numPSMs int")
@@ -359,7 +362,8 @@ def test_reference_layout_export(spark, tmp_path):
     assert os.path.exists(protein_evidence_file(str(tmp_path), "PXDL", "assayX"))
 
     total_rows = [json.loads(l) for l in open(total)]
-    assert len(total_rows) == 5 and {r["usi"] for r in total_rows} == {r[0] for r in rows}
+    assert len(total_rows) == 6 and {r["usi"] for r in total_rows} == {r[0] for r in rows}
+    assert not glob.glob(os.path.join(str(tmp_path), "PXDL", "*HIVE_DEFAULT*"))
 
     # per-source batches: name carries the RAW source-file name (the %XX
     # partition-dir escaping of the space is undone), rows contain only
