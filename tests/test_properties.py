@@ -505,3 +505,46 @@ def test_group_psm_sets_matches_python_reference(spark, rows):
         assert [(m["fileName"], m["psmId"]) for m in r["setMembers"]] == sorted(
             (m[0], m[1]) for m in members
         )
+
+
+# --- connected components vs union-find -------------------------------------
+
+# node ids from a small pool → dense multi-edges, self-loops, and hubs;
+# edge lists may contain duplicates (the operator dedups internally)
+_EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=24), st.integers(min_value=0, max_value=24)),
+    min_size=1,
+    max_size=80,
+)
+
+
+def _ref_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent union-find; component label = min node id (the
+    engine's star-contraction contract)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@given(edges=_EDGES, skew_safe=st.booleans())
+@_SETTINGS
+def test_connected_components_match_union_find(spark, edges, skew_safe):
+    from pride_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "u", "v", skew_safe=skew_safe).collect()
+    }
+    assert got == _ref_components(edges)
