@@ -274,11 +274,43 @@ def _tagged_signatures(
         )
     sigs = minhash_df.filter(F.col("mh0").isNotNull())
     digs = F.array(*_band_digests(num_hashes, bands))
+    # the hash-family parameters ride the digest column as schema
+    # metadata (survives a parquet round-trip), so a later flags run can
+    # refuse signatures built under a different family instead of
+    # silently missing near-dups — same hazard class the hypertable
+    # store's _meta sidecar closes
+    meta = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
     return sigs.select(
         F.col("id").alias(f"id_{tag}"),
-        digs.alias(f"digs_{tag}"),
+        digs.alias(f"digs_{tag}", metadata=meta),
         F.col("dg").alias(f"dg_{tag}"),
     )
+
+
+def _check_sig_params(
+    sig_df: DataFrame, tag: str, num_hashes: int, bands: int, shingle_n: int
+) -> None:
+    """Raise if a provided signature frame records a DIFFERENT hash
+    family than this run's parameters.  Frames without the metadata
+    (written before it existed, or hand-built) skip the check — only an
+    explicit mismatch is an error, a missing record is the caller's
+    responsibility as before."""
+    field = f"digs_{tag}"
+    if field not in sig_df.columns:
+        return  # schema mismatch surfaces in the join, not here
+    recorded = sig_df.schema[field].metadata
+    if not recorded or "bands" not in recorded:
+        return
+    expected = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+    got = {k: int(recorded[k]) for k in expected if k in recorded}
+    if got != expected:
+        raise ValueError(
+            f"signature frame ({field}) was built with {got}, but this "
+            f"run uses {expected}: band digests from different hash "
+            "families never collide, so near-duplicates would be "
+            "silently missed. Rebuild the signatures or pass matching "
+            "parameters."
+        )
 
 
 def corpus_signatures(
@@ -378,6 +410,7 @@ def incremental_near_dup_flags(
     their text for the (few) differing-digest collisions.
     """
     if corpus_signatures_df is not None:
+        _check_sig_params(corpus_signatures_df, "c", num_hashes, bands, shingle_n)
         corpus = corpus_signatures_df
     else:
         corpus = corpus_signatures(
@@ -385,6 +418,7 @@ def incremental_near_dup_flags(
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         )
     if new_signatures_df is not None:
+        _check_sig_params(new_signatures_df, "n", num_hashes, bands, shingle_n)
         new = new_signatures_df
     else:
         new = batch_signatures(

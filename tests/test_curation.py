@@ -152,6 +152,23 @@ def test_persisted_corpus_signatures_reproduce_flags(spark, tmp_path):
         assert indexed == fresh, f"cap={cap}"
     assert any(r[0] == "n1" for r in fresh)
 
+    # the hash-family fingerprint survives the parquet round-trip: a
+    # flags run under DIFFERENT parameters must refuse the index instead
+    # of silently missing near-dups (digests from different families
+    # never collide)
+    with pytest.raises(ValueError, match="hash famil"):
+        incremental_near_dup_flags(
+            new, corpus, "text", "doc_id", threshold=0.5,
+            bands=2, corpus_signatures_df=idx,
+        )
+    # a frame WITHOUT the fingerprint (legacy/hand-built) skips the check
+    legacy = idx.select(
+        "id_c", F.col("digs_c").alias("digs_c", metadata={}), "dg_c"
+    )
+    incremental_near_dup_flags(
+        new, corpus, "text", "doc_id", threshold=0.5, corpus_signatures_df=legacy
+    ).collect()
+
 
 def test_stratified_sample_rates_and_determinism(spark):
     from pride_spark.operators.curation import stratified_sample
