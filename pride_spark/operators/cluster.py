@@ -83,7 +83,13 @@ def best_psm_per_cluster(
         .withColumn("__n_tot", F.count("*").over(w_c))
         .filter((F.col("__n_iso") == 1) & (F.col("__n_form") * 2 > F.col("__n_tot")))
     )
-    order = F.col(score_col).asc() if better == "lower" else F.col(score_col).desc()
+    # nulls LAST in both directions: an unscored PSM must never be crowned
+    # the cluster's best (plain asc() is nulls-first under better='lower')
+    order = (
+        F.col(score_col).asc_nulls_last()
+        if better == "lower"
+        else F.col(score_col).desc_nulls_last()
+    )
     w = Window.partitionBy(cluster_col).orderBy(order, F.col("usi"))
     return (
         gated.withColumn("__rn", F.row_number().over(w))

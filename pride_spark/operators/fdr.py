@@ -56,13 +56,27 @@ def add_fdr_qvalue(
     target = F.lit(1) - decoy
 
     if partition_cols or not scalable:
-        order = F.col(score_col).desc() if better == "higher" else F.col(score_col).asc()
+        # null scores rank WORST in both directions (an unparseable legacy
+        # score must not sit at the top of the target–decoy ranking):
+        # nulls-last on the forward pass, nulls-FIRST on the reversed pass
+        # so the cumulative min visits them before every scored row.
+        # better='higher' matches Spark's defaults (desc=nulls-last,
+        # asc=nulls-first); better='lower' needs the explicit variants.
+        order = (
+            F.col(score_col).desc_nulls_last()
+            if better == "higher"
+            else F.col(score_col).asc_nulls_last()
+        )
         # q-value = min FDR over all rows ranked at-or-worse.  Expressed as a
         # cumulative min under the REVERSED ordering: Spark's
         # (currentRow, unboundedFollowing) RANGE frame re-aggregates per
         # frame — O(n²) per partition — while (unboundedPreceding,
         # currentRow) is incremental O(n).  Same result, same tie handling.
-        rev = F.col(score_col).asc() if better == "higher" else F.col(score_col).desc()
+        rev = (
+            F.col(score_col).asc_nulls_first()
+            if better == "higher"
+            else F.col(score_col).desc_nulls_first()
+        )
         base = Window.partitionBy(*partition_cols) if partition_cols else Window
         w_cum = base.orderBy(order).rangeBetween(Window.unboundedPreceding, Window.currentRow)
         w_rev = base.orderBy(rev).rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -101,9 +115,13 @@ def _global_two_pass(
     """
     spark = df.sparkSession
     n = num_range_partitions or spark.sparkContext.defaultParallelism
-    # Ascending "badness" key: smaller = better match.
+    # Ascending "badness" key: smaller = better match.  A null score maps
+    # to +inf so unscored rows rank WORST everywhere downstream (quantile
+    # bounds, bucket assignment, in-bucket RANGE frames) — the raw null
+    # would land in bucket 0 (the filter predicate is null → dropped) and
+    # sort FIRST in the ascending in-bucket window, i.e. best.
     key = -F.col(score_col) if better == "higher" else F.col(score_col)
-    keyed = df.withColumn(_KEY, key.cast("double"))
+    keyed = df.withColumn(_KEY, F.coalesce(key.cast("double"), F.lit(float("inf"))))
     qs = [i / n for i in range(1, n)]
     # loose relativeError: boundaries only balance load, never affect values
     bounds = sorted(set(keyed.stat.approxQuantile(_KEY, qs, 0.05))) if qs else []
@@ -269,8 +287,11 @@ def combined_fdr_score(
     if not interpolate:
         return out
 
+    # null score → +inf badness, consistent with add_fdr_qvalue: unscored
+    # rows sit at the worst end of the interpolation axis instead of
+    # sorting first (null-first) and anchoring the q-value step function
     key = (-F.col(score_col) if better == "higher" else F.col(score_col)).cast("double")
-    d = out.withColumn("__k", key)
+    d = out.withColumn("__k", F.coalesce(key, F.lit(float("inf"))))
     w_lag = Window.partitionBy(engine_set_col).orderBy("__k")
     prev_q = F.lag("__grp_q").over(w_lag)
     is_step = prev_q.isNull() | (F.col("__grp_q") > prev_q)

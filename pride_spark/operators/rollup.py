@@ -39,7 +39,14 @@ def protein_rollup(
       - ``numberPSMs`` / ``numberPeptides`` (A8, :963-964)
       - ``proteinScore`` — ``-log10(bestQ)`` formatted ###.##### (A9, :97,950-951)
     """
-    order = F.col(score_col).asc() if better == "lower" else F.col(score_col).desc()
+    # nulls LAST in both directions: a member whose score didn't parse
+    # (e.g. legacy PRIDE XML) must never beat a scored row for the A3
+    # representative (plain asc() is nulls-first under better='lower')
+    order = (
+        F.col(score_col).asc_nulls_last()
+        if better == "lower"
+        else F.col(score_col).desc_nulls_last()
+    )
     from pyspark.sql import Window
 
     # ONE exchange for the whole rollup: hash-partitioning by protein

@@ -317,3 +317,61 @@ def test_group_psm_sets_null_score_never_wins(spark):
         better="lower", tie_cols=("psmId",),
     ).collect()
     assert len(top) == 1 and top[0]["psmId"] == "B1"
+
+
+@pytest.mark.parametrize("better", ["higher", "lower"])
+@pytest.mark.parametrize("scalable", [False, True])
+def test_null_scores_rank_worst(spark, better, scalable):
+    """r9: a null score (unparseable legacy value) must rank WORST in the
+    target–decoy ranking — in every path.  Before the fix, better='lower'
+    ordered nulls FIRST in the per-group windows, and the global two-pass
+    bucketed null keys into bucket 0 (best): a null-score decoy then
+    poisoned the FDR of every real identification."""
+    good, bad = (9.0, 1.0) if better == "higher" else (1.0, 9.0)
+    df = spark.createDataFrame(
+        [(1, good, False), (2, bad, False), (3, None, True)],
+        "id long, score double, isDecoy boolean",
+    )
+    out = {
+        r["id"]: (r["fdr"], r["qvalue"])
+        for r in add_fdr_qvalue(
+            df, "score", "isDecoy", better=better, scalable=scalable,
+            num_range_partitions=2,
+        ).collect()
+    }
+    # the two scored targets see NO decoy above them
+    assert out[1] == (0.0, 0.0) and out[2] == (0.0, 0.0)
+    # the null-score decoy ranks last: 1 decoy / 2 targets
+    assert out[3][0] == pytest.approx(0.5) and out[3][1] == pytest.approx(0.5)
+
+
+def test_null_scores_rank_worst_rollup_and_cluster(spark):
+    """r9: same nulls-last discipline for the A3 representative row and
+    the per-cluster best PSM (better='lower' defaults)."""
+    from pride_spark.operators.cluster import best_psm_per_cluster
+    from pride_spark.operators.rollup import protein_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("P1", "PEPK", "PEPK/2", None, 2, 400.0, "usi:a", False, []),
+            ("P1", "PEPK", "PEPK/2", 0.01, 2, 400.0, "usi:b", False, []),
+        ],
+        "proteinAccession string, peptideSequence string, peptidoform string,"
+        " qvalue double, precursorCharge int, precursorMz double, usi string,"
+        " isDecoy boolean, modificationNames array<string>",
+    )
+    rolled = protein_rollup(df).collect()
+    assert len(rolled) == 1
+    # the scored row is the A3 representative (usi:b), not the null one
+    assert [m["usi"] for m in rolled[0]["psmAccessions"]] == ["usi:b"]
+
+    psms = spark.createDataFrame(
+        [
+            ("c1", "PEPK", "PEPK/2", None, "usi:a"),
+            ("c1", "PEPK", "PEPK/2", 0.01, "usi:b"),
+        ],
+        "clusterId string, peptideSequence string, peptidoform string,"
+        " qvalue double, usi string",
+    )
+    best = best_psm_per_cluster(psms, score_col="qvalue", better="lower").collect()
+    assert len(best) == 1 and best[0]["usi"] == "usi:b"
