@@ -216,6 +216,7 @@ def cmd_generate_index_files(args) -> int:
             archive_spectra=out["archive_spectra"],
             summary_spectra=out["summary_spectra"],
             protein_evidence=out["protein_evidence"],
+            scratch_dir=getattr(args, "layout_scratch", None),
         )
         print(f"reference layout: {len(written)} files under {args.output_dir}/{args.project}")
     print(f"wrote archive/summary/protein tables under {args.output_dir}")
@@ -325,6 +326,7 @@ def cmd_run_pipeline(args) -> int:
             archive_spectra=archive,
             summary_spectra=out["summary_spectra"],
             protein_evidence=inf["protein_evidence"],
+            scratch_dir=getattr(args, "layout_scratch", None),
         )
         print(f"reference layout: {len(written)} files under {args.output_dir}/{args.project}")
     archive.unpersist()
@@ -429,6 +431,12 @@ def build_parser() -> argparse.ArgumentParser:
             help="assay accession for --reference-layout file names; "
             "defaults to the reference's random-token scheme "
             "(HashUtils.getRandomToken)",
+        )
+        p.add_argument(
+            "--layout-scratch",
+            help="scratch directory for the layout export's distributed "
+            "writes; must be on driver+executor-shared storage when not "
+            "running local mode (default: driver-local temp)",
         )
 
     g = sub.add_parser("get-result-files", help="project result-file manifest (S1/S2+K4)")

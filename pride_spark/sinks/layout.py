@@ -113,6 +113,7 @@ def export_reference_layout(
     protein_evidence: DataFrame | None = None,
     batch_files: bool = True,
     usi_col: str = "usi",
+    scratch_dir: str | None = None,
 ) -> dict[str, str]:
     """Materialize the reference's backup-file layout from engine tables.
 
@@ -124,10 +125,22 @@ def export_reference_layout(
     (``InferenceService.java:190``), then one concat per batch — never a
     per-batch Spark job.
 
+    ``scratch_dir``: where the distributed writes land before the concat.
+    Defaults to a driver-local temp dir — correct in local mode, but on a
+    multi-node cluster executors can't reach the driver's /tmp, so pass a
+    path on storage shared by driver and executors (the concat streams
+    the committed part files from the driver).
+
     Returns ``{logical name: file path}`` for everything written.
     """
     out: dict[str, str] = {}
-    scratch = tempfile.mkdtemp(prefix="pride_layout_")
+    if scratch_dir is None:
+        scratch = tempfile.mkdtemp(prefix="pride_layout_")
+    else:
+        # unique subdir: never rmtree a caller-owned directory, and two
+        # concurrent exports sharing a scratch root can't collide
+        scratch = os.path.join(scratch_dir, f"pride_layout_{uuid.uuid4().hex[:12]}")
+        os.makedirs(scratch)
     try:
         if protein_evidence is not None:
             d = os.path.join(scratch, "proteins")

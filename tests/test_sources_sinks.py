@@ -386,3 +386,28 @@ def test_reference_layout_export(spark, tmp_path):
     dest = str(tmp_path / "flat.json")
     concat_parts(d, dest)
     assert sorted(open(dest).read().splitlines()) == sorted(open(total).read().splitlines())
+
+
+def test_reference_layout_export_shared_scratch(spark, tmp_path):
+    """r9 — scratch_dir: the export stages under a caller-supplied
+    (cluster-shared) directory, cleans up its OWN unique subdir, and
+    never deletes the caller's root (two exports can share it)."""
+    from pride_spark.sinks.layout import export_reference_layout
+
+    archive = spark.createDataFrame(
+        [("mzspec:PXDS:a.mgf:scan:1", "PEPA")], "usi string, peptideSequence string"
+    )
+    shared = tmp_path / "shared_scratch"
+    shared.mkdir()
+    sentinel = shared / "keep.txt"
+    sentinel.write_text("other job's data")
+
+    out = export_reference_layout(
+        str(tmp_path / "out"), "PXDS", "assayY",
+        archive_spectra=archive, scratch_dir=str(shared),
+    )
+    assert os.path.exists(out["archive_total"])
+    assert os.path.exists(out["archive_batch:a.mgf"])
+    # caller's root survives with its contents; the unique subdir is gone
+    assert sentinel.read_text() == "other job's data"
+    assert [p for p in os.listdir(shared) if p.startswith("pride_layout_")] == []
