@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark import StorageLevel
@@ -400,6 +401,41 @@ def cmd_generate_mgf_files(args) -> int:
     return 0
 
 
+def cmd_curate_corpus(args) -> int:
+    from pride_spark.plans.curate_corpus import CurateConfig, curate_corpus
+
+    spark = _spark("curate-corpus")
+    docs = spark.read.parquet(args.documents)
+    splits = {}
+    for part in args.split.split(","):
+        name, _, w = part.partition("=")
+        splits[name.strip()] = float(w)
+    cfg = CurateConfig(
+        text_col=args.text_col,
+        id_col=args.id_col,
+        languages=args.languages.split(",") if args.languages else None,
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        near_dup_threshold=args.near_dup_threshold,
+        max_bucket=args.max_bucket,
+        splits=splits,
+        split_seed=args.split_seed,
+    )
+    _, report = curate_corpus(spark, docs, cfg, output_dir=args.output_dir)
+    report_path = os.path.join(args.output_dir, "_curation_report.json")
+    with open(report_path, "w") as fh:
+        json.dump(report, fh, indent=2, sort_keys=True)
+    kept = sum(report["splits"].values())
+    print(
+        f"curated {kept}/{report['input_rows']} docs -> {args.output_dir} "
+        f"(gates: {sum(report['gate_drops'].values())}, "
+        f"exact dups: {report['exact_dup_drops']}, "
+        f"near dups: {report['near_dup_drops']}); report: {report_path}"
+    )
+    return 0
+
+
 def cmd_spectra_json_check(args) -> int:
     from pride_spark.operators.filters import spectrum_validity_filter
     from pride_spark.sources.jsonlines import read_archive_spectra
@@ -574,6 +610,30 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--archive-json", required=True)
     g.add_argument("--output", required=True)
     g.set_defaults(fn=cmd_generate_mgf_files)
+
+    g = sub.add_parser(
+        "curate-corpus",
+        help="training-corpus curation: quality/language gates, exact + "
+        "near dedup (LSH, keep lowest id per component), deterministic "
+        "split; writes parquet partitioned by split + a drop-accounting "
+        "report (plans/curate_corpus.py)",
+    )
+    g.add_argument("--documents", required=True, help="input documents parquet")
+    g.add_argument("--output-dir", required=True)
+    g.add_argument("--text-col", default="text")
+    g.add_argument("--id-col", default="doc_id")
+    g.add_argument("--languages", help="comma-separated allow-list (detected language)")
+    g.add_argument("--min-quality", type=float, default=0.0)
+    g.add_argument("--min-tokens", type=int, default=0)
+    g.add_argument("--max-tokens", type=int)
+    g.add_argument("--near-dup-threshold", type=float, default=0.8)
+    g.add_argument(
+        "--max-bucket", type=int,
+        help="LSH bucket cap for adversarial skew (drops accounted, not silent)",
+    )
+    g.add_argument("--split", default="train=0.9,valid=0.05,test=0.05")
+    g.add_argument("--split-seed", default="split")
+    g.set_defaults(fn=cmd_curate_corpus)
 
     g = sub.add_parser("spectra-json-check", help="F12 validity check of archive spectra")
     g.add_argument("--archive-json", required=True)

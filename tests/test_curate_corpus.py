@@ -1,0 +1,125 @@
+"""End-to-end corpus curation (plans/curate_corpus.py): gate attribution,
+exact + transitive near-dup collapse, drop accounting, determinism."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pride_spark.plans.curate_corpus import (
+    CurateConfig,
+    annotate_documents,
+    curate_corpus,
+)
+
+# Realistic-ish docs: enough English stopwords for detect_language and
+# >= 10 tokens so quality_score's length band passes.
+_BASE = (
+    "the quick brown fox jumps over the lazy dog and then it runs away "
+    "to the forest where it hides from the hunters for the whole day"
+)
+_VARIANT = _BASE + " until the evening comes"        # near-dup of _BASE
+_VARIANT2 = _VARIANT + " and the night follows"      # near-dup of _VARIANT
+_OTHER = (
+    "completely different content about molecular spectra and peptide "
+    "identification pipelines that should never match the fox story at "
+    "all because it shares almost no shingles with that text"
+)
+
+def _docs(spark):
+    rows = [
+        (1, _BASE),
+        (2, _BASE),          # exact duplicate of 1
+        (3, _VARIANT),       # near-dup of 1 (chain link A~B)
+        (4, _VARIANT2),      # near-dup of 3, NOT necessarily of 1 (B~C)
+        (5, _OTHER),
+        (6, ""),             # empty → gate
+        (7, "xx yy"),        # too short → quality gate
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+def test_curate_corpus_accounting_and_transitive_collapse(spark, tmp_path):
+    cfg = CurateConfig(min_quality=0.7, shingle_n=3, near_dup_threshold=0.5)
+    out_dir = str(tmp_path / "curated")
+    curated, report = curate_corpus(spark, _docs(spark), cfg, output_dir=out_dir)
+
+    assert report["input_rows"] == 7
+    # first-failing-gate attribution: empty text is its own bucket
+    assert report["gate_drops"] == {"empty_text": 1, "quality": 1}
+    assert report["exact_dup_drops"] == 1  # doc 2
+    # transitive collapse: 1~3 and 3~4 form ONE component → keep doc 1
+    assert report["near_dup_drops"] == 2  # docs 3 and 4
+    assert sum(report["splits"].values()) == 2  # docs 1 and 5
+
+    import glob
+
+    files = glob.glob(os.path.join(out_dir, "split=*", "*.parquet"))
+    assert files, "expected split-partitioned parquet output"
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {1, 5}
+    # accounting closes: input = kept + all attributed drops
+    dropped = (
+        sum(report["gate_drops"].values())
+        + report["exact_dup_drops"]
+        + report["near_dup_drops"]
+    )
+    assert report["input_rows"] == dropped + sum(report["splits"].values())
+
+def test_curate_corpus_deterministic_and_no_write(spark):
+    cfg = CurateConfig(min_quality=0.7, near_dup_threshold=0.5)
+    a, ra = curate_corpus(spark, _docs(spark), cfg)
+    b, rb = curate_corpus(spark, _docs(spark), cfg)
+    assert ra == rb
+    assert sorted(a.collect()) == sorted(b.collect())
+    # split labels are a pure function of (seed, id): subsetting the
+    # corpus never moves a surviving row's split
+    sub = _docs(spark).filter("doc_id <> 5")
+    c, _ = curate_corpus(spark, sub, cfg)
+    full = {r["doc_id"]: r["split"] for r in a.collect()}
+    for r in c.collect():
+        if r["doc_id"] in full:
+            assert r["split"] == full[r["doc_id"]]
+
+def test_curate_corpus_language_gate(spark):
+    rows = [
+        (1, _BASE),
+        (2, "der schnelle braune fuchs springt und die hunde laufen dann "
+            "in den wald wo sie sich den ganzen tag vor der sonne verstecken"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ann = {r["doc_id"]: r["detected_lang"] for r in
+           annotate_documents(docs, CurateConfig()).collect()}
+    assert ann[1] == "en"
+    cfg = CurateConfig(languages=["en"])
+    _, report = curate_corpus(spark, docs, cfg)
+    if ann[2] != "en":  # profile-dependent; only then is it gated
+        assert report["gate_drops"].get("language") == 1
+
+def test_curate_corpus_cli(spark, tmp_path):
+    """CLI e2e on the driver documents table: runs, writes the report,
+    accounting closes."""
+    from pride_spark.cli import main
+
+    out_dir = str(tmp_path / "out")
+    rc = main([
+        "curate-corpus",
+        "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--output-dir", out_dir,
+        "--min-quality", "0.3",
+        "--min-tokens", "5",
+        "--near-dup-threshold", "0.8",
+        "--split", "train=0.8,test=0.2",
+    ])
+    assert rc == 0
+    report = json.load(open(os.path.join(out_dir, "_curation_report.json")))
+    kept = sum(report["splits"].values())
+    dropped = (
+        sum(report["gate_drops"].values())
+        + report["exact_dup_drops"]
+        + report["near_dup_drops"]
+    )
+    assert report["input_rows"] == kept + dropped > 0
+    assert set(report["splits"]) <= {"train", "test"}
+    assert spark.read.parquet(out_dir).count() == kept
