@@ -123,3 +123,94 @@ def test_curate_corpus_cli(spark, tmp_path):
     assert report["input_rows"] == kept + dropped > 0
     assert set(report["splits"]) <= {"train", "test"}
     assert spark.read.parquet(out_dir).count() == kept
+
+
+# ---------------------------------------------------------------------------
+# Property: the pipeline's survivor set and accounting match a brute-force
+# Python oracle (exact dedup by text, near-dup components via the SAME
+# verified pair semantics, lowest-id representatives, closure of counts).
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pride_spark.operators.dedup import near_dedup_minhash
+
+_PSETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# a tiny vocabulary → frequent partial overlap → non-trivial near-dup graphs
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+_DOC = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=14)
+
+
+def _components(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@given(corpus=_CORPUS)
+@_PSETTINGS
+def test_curation_matches_brute_force_oracle(spark, corpus):
+    cfg = CurateConfig(near_dup_threshold=0.5, shingle_n=2)
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    curated, report = curate_corpus(spark, docs, cfg)
+    got = {r["doc_id"] for r in curated.collect()}
+
+    # oracle: empty-text gate, exact dedup (min id per text), then the
+    # ENGINE's verified pair list (its LSH recall is its own contract,
+    # oracle-gated in q24) collapsed transitively keeping min id
+    alive = {i: t for i, t in enumerate(corpus) if t}
+    first = {}
+    for i in sorted(alive):
+        first.setdefault(alive[i], i)
+    exact_kept = set(first.values())
+    sub = docs.join(
+        spark.createDataFrame([(i,) for i in exact_kept], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in near_dedup_minhash(
+            sub, "text", "doc_id",
+            threshold=cfg.near_dup_threshold, shingle_n=cfg.shingle_n,
+        ).collect()
+    ]
+    comp = _components(pairs, exact_kept)
+    expect = {n for n in exact_kept if comp[n] == n}
+    assert got == expect
+    assert report["input_rows"] == len(corpus)
+    assert report["gate_drops"].get("empty_text", 0) == len(corpus) - len(alive)
+    assert report["exact_dup_drops"] == len(alive) - len(exact_kept)
+    assert report["near_dup_drops"] == len(exact_kept) - len(expect)
+    assert sum(report["splits"].values()) == len(expect)
+
+
+def test_curate_corpus_plan_has_no_nested_loop(spark):
+    """Scale guard: the full curated plan contains no CartesianProduct or
+    BroadcastNestedLoopJoin — every stage is hash/sort-merge shaped."""
+    docs = spark.createDataFrame(
+        [(i, f"{_BASE} variant {i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    curated, _ = curate_corpus(spark, docs, CurateConfig())
+    plan = curated._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
