@@ -404,12 +404,30 @@ def cmd_generate_mgf_files(args) -> int:
 def cmd_curate_corpus(args) -> int:
     from pride_spark.plans.curate_corpus import CurateConfig, curate_corpus
 
-    spark = _spark("curate-corpus")
-    docs = spark.read.parquet(args.documents)
+    # validate the split spec BEFORE starting Spark: a malformed segment
+    # should be a clear usage error, not a float() traceback mid-run
     splits = {}
     for part in args.split.split(","):
-        name, _, w = part.partition("=")
-        splits[name.strip()] = float(w)
+        name, eq, w = part.partition("=")
+        name = name.strip()
+        try:
+            weight = float(w)
+        except ValueError:
+            weight = -1.0
+        if not name or not eq or weight <= 0:
+            print(
+                f"--split: bad segment {part!r} (expected name=weight with "
+                "a positive weight, e.g. train=0.9,valid=0.05,test=0.05)",
+                file=sys.stderr,
+            )
+            return 2
+        if name in splits:
+            print(f"--split: duplicate split name {name!r}", file=sys.stderr)
+            return 2
+        splits[name] = weight
+
+    spark = _spark("curate-corpus")
+    docs = spark.read.parquet(args.documents)
     cfg = CurateConfig(
         text_col=args.text_col,
         id_col=args.id_col,

@@ -74,7 +74,11 @@ def protein_rollup(
                 )
             )
         ).alias("psmAccessions"),
-        F.min(F.col(score_col)).alias("bestSearchEngineScoreValue"),
+        # "best" honors better=: min for q-value-like scores, max when
+        # larger is better (the same branch the A3 window takes above)
+        (F.min if better == "lower" else F.max)(F.col(score_col)).alias(
+            "bestSearchEngineScoreValue"
+        ),
         F.max(F.col("isDecoy")).alias("isDecoy"),
         F.sort_array(
             F.array_distinct(F.flatten(F.collect_list(F.col("modificationNames"))))

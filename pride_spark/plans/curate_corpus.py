@@ -125,8 +125,17 @@ def curate_corpus(
 
     The report is computed from exactly three actions (gate-attribution
     aggregate, post-exact count, post-near-dup split histogram) plus the
-    write — each stage's frame is consumed once.  ``output_dir=None``
-    skips the write (the returned frame is still fully curated).
+    write — each stage's frame is consumed once.
+
+    With ``output_dir`` set, every intermediate the near-dup stage pins
+    (the LSH pair cache, the CC round checkpoints) is released inside a
+    :func:`pride_spark.session.pinned_scope` before returning, and the
+    returned frame reads back from the written files — so repeated runs
+    in a long-lived driver never accumulate executor storage.
+    ``output_dir=None`` skips the write and returns the live plan; its
+    pinned intermediates then follow the operator contract (wrap the
+    call + your consuming action in ``pinned_scope()``, or call
+    ``release_cached_state`` between plans).
     """
     cfg = cfg or CurateConfig()
     report: dict = {
@@ -170,20 +179,43 @@ def curate_corpus(
     n_exact = deduped.count()
     report["exact_dup_drops"] = n_gated - n_exact
 
-    drops = near_dup_drop_ids(deduped, cfg)
-    curated = deduped.join(drops, cfg.id_col, "left_anti")
-    curated = hash_split(
-        curated, cfg.id_col, cfg.splits, seed=cfg.split_seed
-    )
+    import contextlib
 
-    if output_dir is not None:
-        curated.write.mode("overwrite").partitionBy("split").parquet(output_dir)
-        splits = spark.read.parquet(output_dir).groupBy("split").count().collect()
-    else:
+    from pride_spark.session import tracking_scope
+
+    # tracking_scope (not pinned_scope): the near-dup stage's CC round
+    # checkpoints register with track_cached only — a pinned_scope would
+    # free the pair cache but leak the checkpoint RDDs.  Safe here
+    # because with output_dir the caller gets a read-back frame, never
+    # the live (checkpoint-dependent) plan.
+    scope = tracking_scope() if output_dir is not None else contextlib.nullcontext()
+    with scope:
+        drops = near_dup_drop_ids(deduped, cfg)
+        curated = deduped.join(drops, cfg.id_col, "left_anti")
+        curated = hash_split(
+            curated, cfg.id_col, cfg.splits, seed=cfg.split_seed
+        )
+        schema = curated.schema
+        if output_dir is not None:
+            curated.write.mode("overwrite").partitionBy("split").parquet(output_dir)
+        # splits counted from the plan, not a read-back: a run whose gates
+        # drop EVERYTHING writes zero part files, and reading that
+        # directory back would raise unable-to-infer-schema instead of
+        # reporting kept=0
         splits = curated.groupBy("split").count().collect()
     report["splits"] = {r["split"]: r["count"] for r in splits}
-    report["near_dup_drops"] = n_exact - sum(report["splits"].values())
+    kept = sum(report["splits"].values())
+    report["near_dup_drops"] = n_exact - kept
 
     gated.unpersist()
     deduped.unpersist()
+    if output_dir is not None:
+        # the scope above released the pinned pair cache and the CC round
+        # checkpoints the live plan depended on — hand back the written
+        # files (schema note: the split partition column reads back last)
+        curated = (
+            spark.read.parquet(output_dir)
+            if kept
+            else spark.createDataFrame([], schema)
+        )
     return curated, report

@@ -94,6 +94,34 @@ def get_spark(
 # ---------------------------------------------------------------------------
 
 _scopes = threading.local()
+_track_scopes = threading.local()
+
+
+@contextlib.contextmanager
+def tracking_scope():
+    """Release EVERYTHING this package registers via :func:`track_cached`
+    inside the block — persisted frames AND checkpoint handles — at exit.
+
+    Stronger than :func:`pinned_scope`: checkpoint RDDs have truncated
+    lineage, so a plan depending on one is NOT recomputable after the
+    scope exits.  Use only when nothing returned from the block is
+    executed again afterwards (e.g. results were written to files inside
+    the block, and callers get a read-back frame).  Scopes nest; each
+    frees only its own registrations."""
+    stack = getattr(_track_scopes, "stack", None)
+    if stack is None:
+        stack = _track_scopes.stack = []
+    handles: list = []
+    stack.append(handles)
+    try:
+        yield
+    finally:
+        stack.pop()
+        for h in handles:
+            try:
+                h.unpersist(False)
+            except Exception:
+                pass
 
 # Session-global registry of every deliberate pin (persisted DataFrames
 # AND localCheckpoint RDD handles — the latter live OUTSIDE the SQL
@@ -112,13 +140,19 @@ _TRACK_CAP = 4096
 def track_cached(handle):
     """Register any handle with ``unpersist`` (a persisted DataFrame, a
     checkpoint's java RDD) for the session-wide
-    :func:`release_cached_state` sweep.  Returns ``handle``."""
+    :func:`release_cached_state` sweep.  Returns ``handle``.
+
+    If a :func:`tracking_scope` is active on this thread, the handle is
+    additionally recorded there for release at scope exit."""
     if handle is None:
         return handle
     with _tracked_lock:
         _tracked.append(handle)
         if len(_tracked) > _TRACK_CAP:
             del _tracked[: len(_tracked) - _TRACK_CAP]
+    stack = getattr(_track_scopes, "stack", None)
+    if stack:
+        stack[-1].append(handle)
     return handle
 
 

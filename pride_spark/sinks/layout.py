@@ -46,6 +46,15 @@ COPY_CHUNK = 1 << 20
 _BATCH_KEY = "__batch"
 
 
+def _spark_uri(local_path: str) -> str:
+    """Qualify a driver-local/shared-mount path with the file:// scheme so
+    the distributed write lands on the mount even when the session's
+    default filesystem is remote (e.g. HDFS) — an unqualified path would
+    resolve against fs.defaultFS and the driver-side concat would then
+    find an empty local directory."""
+    return "file://" + os.path.abspath(local_path)
+
+
 def protein_evidence_file(out_dir: str, project: str, assay: str) -> str:
     """``BackupUtil.getProteinEvidenceFile`` (``BackupUtil.java:49-54``)."""
     return os.path.join(out_dir, project, f"{project}_{assay}_ArchiveProteinEvidence.json")
@@ -137,6 +146,14 @@ def export_reference_layout(
     if scratch_dir is None:
         scratch = tempfile.mkdtemp(prefix="pride_layout_")
     else:
+        if "://" in scratch_dir:
+            # the concat step streams part files with POSIX io, so the
+            # scratch must be a locally-mounted path, not an FS URI
+            raise ValueError(
+                "scratch_dir must be a locally-mounted filesystem path "
+                f"(got URI {scratch_dir!r}); mount the shared storage and "
+                "pass its mount point"
+            )
         # unique subdir: never rmtree a caller-owned directory, and two
         # concurrent exports sharing a scratch root can't collide
         scratch = os.path.join(scratch_dir, f"pride_layout_{uuid.uuid4().hex[:12]}")
@@ -144,19 +161,19 @@ def export_reference_layout(
     try:
         if protein_evidence is not None:
             d = os.path.join(scratch, "proteins")
-            write_jsonlines(protein_evidence, d)
+            write_jsonlines(protein_evidence, _spark_uri(d))
             f = protein_evidence_file(out_dir, project, assay)
             concat_parts(d, f)
             out["protein_evidence"] = f
         if summary_spectra is not None:
             d = os.path.join(scratch, "summary")
-            write_jsonlines(summary_spectra, d)
+            write_jsonlines(summary_spectra, _spark_uri(d))
             f = psm_summary_file(out_dir, project, assay)
             concat_parts(d, f)
             out["psm_summary"] = f
         if archive_spectra is not None:
             d = os.path.join(scratch, "archive")
-            write_jsonlines(archive_spectra, d)
+            write_jsonlines(archive_spectra, _spark_uri(d))
             f = archive_spectrum_total_file(out_dir, project, assay)
             concat_parts(d, f)
             out["archive_total"] = f
@@ -169,7 +186,7 @@ def export_reference_layout(
                 )
                 # partitionBy drops the derived key from the rows, so the
                 # batch files carry exactly the T1 fields the total does
-                write_jsonlines(batched, bd, partition_by=_BATCH_KEY)
+                write_jsonlines(batched, _spark_uri(bd), partition_by=_BATCH_KEY)
                 for entry in sorted(os.listdir(bd)):
                     if not entry.startswith(f"{_BATCH_KEY}="):
                         continue

@@ -83,19 +83,21 @@ def test_curate_corpus_deterministic_and_no_write(spark):
             assert r["split"] == full[r["doc_id"]]
 
 def test_curate_corpus_language_gate(spark):
+    # the German doc is built from the 'de' stopword profile itself, so
+    # detection is guaranteed 'de' under any tie-break — the gate
+    # assertion below is unconditional
     rows = [
         (1, _BASE),
-        (2, "der schnelle braune fuchs springt und die hunde laufen dann "
-            "in den wald wo sie sich den ganzen tag vor der sonne verstecken"),
+        (2, "der die und das ist der die und das ist der die und das ist"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     ann = {r["doc_id"]: r["detected_lang"] for r in
            annotate_documents(docs, CurateConfig()).collect()}
-    assert ann[1] == "en"
+    assert ann[1] == "en" and ann[2] == "de"
     cfg = CurateConfig(languages=["en"])
     _, report = curate_corpus(spark, docs, cfg)
-    if ann[2] != "en":  # profile-dependent; only then is it gated
-        assert report["gate_drops"].get("language") == 1
+    assert report["gate_drops"] == {"language": 1}
+    assert sum(report["splits"].values()) == 1
 
 def test_curate_corpus_cli(spark, tmp_path):
     """CLI e2e on the driver documents table: runs, writes the report,
@@ -214,3 +216,50 @@ def test_curate_corpus_plan_has_no_nested_loop(spark):
     plan = curated._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_curate_corpus_everything_dropped_with_output_dir(spark, tmp_path):
+    """r9 review: gates that drop EVERYTHING must report kept=0, not
+    crash reading back a part-file-less parquet directory."""
+    docs = spark.createDataFrame([(1, ""), (2, "")], "doc_id long, text string")
+    out_dir = str(tmp_path / "empty_out")
+    curated, report = curate_corpus(spark, docs, CurateConfig(), output_dir=out_dir)
+    assert report["gate_drops"] == {"empty_text": 2}
+    assert report["splits"] == {} and report["near_dup_drops"] == 0
+    assert curated.count() == 0
+    assert "split" in curated.columns  # schema intact on the empty frame
+
+
+def test_curate_corpus_releases_pinned_state(spark, tmp_path):
+    """r9 review: with output_dir set the near-dup stage's pinned pair
+    cache and CC checkpoints are released before returning (a loop of
+    runs in one driver must not accumulate executor storage)."""
+
+    def persisted_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in m.keySet().toArray()}
+
+    docs = spark.createDataFrame(
+        [(i, f"{_BASE} tail {i}") for i in range(6)], "doc_id long, text string"
+    )
+    before = persisted_ids()
+    curated, report = curate_corpus(
+        spark, docs, CurateConfig(), output_dir=str(tmp_path / "o")
+    )
+    # the returned frame reads the written files — usable after release
+    assert curated.count() == sum(report["splits"].values()) > 0
+    leaked = persisted_ids() - before
+    assert leaked == set(), f"leaked persisted/checkpointed RDDs: {leaked}"
+
+
+def test_curate_corpus_cli_bad_split_is_usage_error():
+    """r9 review: malformed --split specs fail fast with exit code 2 and
+    a clear message, before a Spark session is started."""
+    from pride_spark.cli import main
+
+    base = ["curate-corpus", "--documents", "x", "--output-dir", "y", "--split"]
+    assert main(base + ["train=0.9,"]) == 2        # trailing comma
+    assert main(base + ["train"]) == 2             # no '='
+    assert main(base + ["train=abc"]) == 2         # non-numeric weight
+    assert main(base + ["train=-1"]) == 2          # non-positive weight
+    assert main(base + ["a=0.5,a=0.5"]) == 2       # duplicate name

@@ -375,3 +375,23 @@ def test_null_scores_rank_worst_rollup_and_cluster(spark):
     )
     best = best_psm_per_cluster(psms, score_col="qvalue", better="lower").collect()
     assert len(best) == 1 and best[0]["usi"] == "usi:b"
+
+
+def test_protein_rollup_best_score_honors_better(spark):
+    """r9 review: bestSearchEngineScoreValue must be the max under
+    better='higher' (it was unconditionally F.min)."""
+    from pride_spark.operators.rollup import protein_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("P1", "PEPK", "PEPK/2", 10.0, 2, 400.0, "usi:a", False, []),
+            ("P1", "QEPR", "QEPR/2", 90.0, 2, 500.0, "usi:b", False, []),
+        ],
+        "proteinAccession string, peptideSequence string, peptidoform string,"
+        " score double, precursorCharge int, precursorMz double, usi string,"
+        " isDecoy boolean, modificationNames array<string>",
+    )
+    hi = protein_rollup(df, score_col="score", better="higher").collect()[0]
+    lo = protein_rollup(df, score_col="score", better="lower").collect()[0]
+    assert hi["bestSearchEngineScoreValue"] == 90.0
+    assert lo["bestSearchEngineScoreValue"] == 10.0

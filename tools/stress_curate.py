@@ -68,13 +68,20 @@ def main() -> int:
     )
     assert report["input_rows"] == n_input == kept + dropped, report
     samples.sort()
+    mid = len(samples) // 2
+    median = (
+        samples[mid]
+        if len(samples) % 2
+        else round((samples[mid - 1] + samples[mid]) / 2, 2)
+    )
     print(
         json.dumps(
             {
                 "input_rows": n_input,
                 "factor": args.factor,
                 "sec_best": samples[0],
-                "sec_median": samples[len(samples) // 2],
+                "sec_median": median,
+                "samples": samples,
                 "runs": args.runs,
                 "docs_per_sec_best": round(n_input / samples[0]),
                 "report": report,
