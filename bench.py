@@ -68,34 +68,46 @@ def _suspect_interference_inner(timings: dict[str, float], repo_dir: str) -> dic
         ):
             prior_bands[q] = {"best": float(b), "median": float(md)}
 
-    def prior_median(q: str) -> float | None:
+    def prior_median(q: str) -> tuple[float, str] | None:
+        """(value, which statistic it is) — a band-less legacy artifact
+        only has the best-of-N, which must be LABELED as such (comparing
+        this round's best against a prior BEST is a strictly tighter
+        test than 2x the median)."""
         band = prior_bands.get(q)
         b = band.get("median") if isinstance(band, dict) else None
         if isinstance(b, (int, float)) and b > 0:
-            return float(b)
+            return float(b), "median"
         v = prior_best.get(q)
-        return float(v) if isinstance(v, (int, float)) and v > 0 else None
+        if isinstance(v, (int, float)) and v > 0:
+            return float(v), "best"
+        return None
 
     ratios = sorted(
-        timings[q] / prior_median(q)
+        timings[q] / prior_median(q)[0]
         for q in timings
         if timings[q] > 0 and prior_median(q)
     )
     if not ratios:
         return {}
-    battery_ratio = round(ratios[len(ratios) // 2], 3)
+    mid = len(ratios) // 2
+    battery_ratio = round(
+        ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2, 3
+    )
     out = {}
     for q, t in timings.items():
-        pm = prior_median(q)
-        if t > 0 and pm and t > 2.0 * pm:
+        prior = prior_median(q)
+        if not prior:
+            continue
+        pm, stat = prior
+        if t > 0 and t > 2.0 * pm:
             out[q] = {
                 "best": t,
                 "prior_round": os.path.basename(prior_rounds[-1]),
-                "prior_median": pm,
+                f"prior_{stat}": pm,
                 "ratio": round(t / pm, 2),
                 "battery_median_ratio": battery_ratio,
                 "note": (
-                    "row >2x prior-round median while the battery median "
+                    f"row >2x prior-round {stat} while the battery median "
                     f"moved {battery_ratio}x — if no commit touched this "
                     "query's plan, suspect container interference; confirm "
                     "with tools/ab_bench.py (interleaved same-JVM A/B)"

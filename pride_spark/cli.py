@@ -156,8 +156,10 @@ def _index_outputs(spark, args):
     # result-file provenance is preserved as `resultFile` BEFORE
     # prepare_psms overwrites fileName with the spectra file.
     psm_sets_mode = getattr(args, "psm_sets", "auto") or "auto"
+    # count STAGED paths, not raw args: one .zip fanning out to N result
+    # files is exactly the merged multi-file shape sets exist for
     create_psm_sets = (
-        len(args.result_files) > 1 if psm_sets_mode == "auto" else psm_sets_mode == "on"
+        len(result_paths) > 1 if psm_sets_mode == "auto" else psm_sets_mode == "on"
     )
     if create_psm_sets:
         psms = psms.withColumn("resultFile", F.col("fileName"))
@@ -204,9 +206,18 @@ def cmd_generate_index_files(args) -> int:
 
     spark = _spark("generate-index-files")
     out = _index_outputs(spark, args)
-    write_jsonlines(out["archive_spectra"], f"{args.output_dir}/archive_spectra")
+    # every output table (summary, proteins, the layout export's re-writes)
+    # derives from the archive frame — cache it so the parse + FDR + J5
+    # subtree executes once per app, not once per sink
+    archive = out["archive_spectra"].persist(StorageLevel.MEMORY_AND_DISK)
+    out["archive_spectra"] = archive
+    write_jsonlines(archive, f"{args.output_dir}/archive_spectra")
     write_jsonlines(out["summary_spectra"], f"{args.output_dir}/summary_spectra")
     write_jsonlines(out["protein_evidence"], f"{args.output_dir}/protein_evidence")
+    if "psm_set_provenance" in out:
+        write_jsonlines(
+            out["psm_set_provenance"], f"{args.output_dir}/psm_set_provenance"
+        )
     if getattr(args, "reference_layout", False):
         from pride_spark.sinks.layout import export_reference_layout
 
@@ -214,12 +225,13 @@ def cmd_generate_index_files(args) -> int:
             args.output_dir,
             args.project,
             _layout_assay(args),
-            archive_spectra=out["archive_spectra"],
+            archive_spectra=archive,
             summary_spectra=out["summary_spectra"],
             protein_evidence=out["protein_evidence"],
             scratch_dir=getattr(args, "layout_scratch", None),
         )
         print(f"reference layout: {len(written)} files under {args.output_dir}/{args.project}")
+    archive.unpersist()
     print(f"wrote archive/summary/protein tables under {args.output_dir}")
     return 0
 
@@ -294,6 +306,10 @@ def cmd_run_pipeline(args) -> int:
     write_jsonlines(archive, f"{args.output_dir}/archive_spectra")
     write_jsonlines(out["summary_spectra"], f"{args.output_dir}/summary_spectra")
     write_jsonlines(out["protein_evidence"], f"{args.output_dir}/protein_evidence")
+    if "psm_set_provenance" in out:
+        write_jsonlines(
+            out["psm_set_provenance"], f"{args.output_dir}/psm_set_provenance"
+        )
 
     # json_check_validator (F12) — same abort-the-pipeline contract
     total = archive.count()

@@ -332,7 +332,7 @@ def combined_fdr_score(
 def group_psm_sets(
     df: DataFrame,
     *,
-    spectrum_key_col: str = "sourceId",
+    spectrum_key_col: str | Sequence[str] = "sourceId",
     charge_col: str = "precursorCharge",
     sequence_col: str = "peptideSequence",
     modifications_col: str = "modifications",
@@ -400,7 +400,13 @@ def group_psm_sets(
     else:
         form = F.col(sequence_col)
     keyed = df.withColumn("__setform", form)
-    keys = [spectrum_key_col, "__setform", charge_col]
+    # spectrum identity may be composite — e.g. the pipeline's
+    # (fileName, spectrumKey), where fileName is the spectra namespace:
+    # two fractions' scan 100 must never collapse into one set
+    spec_keys = (
+        [spectrum_key_col] if isinstance(spectrum_key_col, str) else list(spectrum_key_col)
+    )
+    keys = [*spec_keys, "__setform", charge_col]
     w = Window.partitionBy(*keys)
     # nulls LAST in both directions: a member with no score (e.g. a PRIDE
     # XML identification whose score didn't parse) must never beat a real

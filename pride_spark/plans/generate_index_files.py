@@ -87,7 +87,19 @@ def stage1_filter_and_fdr(psms: DataFrame, cfg: IndexConfig) -> DataFrame:
 
         out = group_psm_sets(
             out,
-            spectrum_key_col="spectrumKey",
+            # spectrum identity is the engine-wide (fileName, spectrumKey)
+            # pair — the same key top_n_per_spectrum and the J5 join use.
+            # fileName here is the spectra namespace (prepare_psms), so
+            # identifications group across RESULT files but never across
+            # spectra files.  NOTE: the CLI wiring currently runs one
+            # spectra namespace per invocation (prepare_psms pins
+            # fileName to the submission's spectra file), the same
+            # per-assay shape the reference pipeline processes.
+            spectrum_key_col=(
+                ("fileName", "spectrumKey")
+                if "fileName" in out.columns
+                else "spectrumKey"
+            ),
             # set-key granularity = PIA considerModifications (the merged
             # reference path runs false = plain-sequence keys, :124)
             form_col="peptidoform" if cfg.consider_modifications else None,
@@ -337,8 +349,27 @@ def generate_index_files(
             "__props",
             F.array().cast(ArrayType(PARAM)),
         ).drop("__props", "__skey")
+    out = {}
+    # PSM-set provenance (merged multi-file path) is published as its OWN
+    # table: T1/T2 keep field-name parity with the reference's records —
+    # the layout exporter's documented contract — instead of leaking
+    # setMembers structs and engine-internal columns into every JSON row
+    set_cols = [
+        c
+        for c in ("setMembers", "setSize", "engineSet", "combinedFdrScore", "resultFile")
+        if c in archive.columns
+    ]
+    if set_cols:
+        out["psm_set_provenance"] = archive.select("usi", *set_cols)
+        archive = archive.drop(*set_cols)
+    # summary AND proteins derive from the POST-drop archive plan, so a
+    # caller that persists out["archive_spectra"] serves every downstream
+    # sink from the cache (Spark's CacheManager matches exact subplans)
     proteins = stage3_protein_rollup(archive)
     if author_proteins is not None:
         proteins = merge_author_proteins(proteins, author_proteins)
     summary = archive.drop("masses", "intensities")
-    return {"archive_spectra": archive, "summary_spectra": summary, "protein_evidence": proteins}
+    out.update(
+        {"archive_spectra": archive, "summary_spectra": summary, "protein_evidence": proteins}
+    )
+    return out

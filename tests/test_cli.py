@@ -376,14 +376,22 @@ def test_run_pipeline_merged_psm_sets(spark, project_dir, tmp_path):
     # identical identifications from the two files group into one set per
     # spectrum — same spectra survive as the single-file run
     assert {r["usi"] for r in rows_2} == {r["usi"] for r in rows_1}
-    assert all(r["setSize"] == 2 for r in rows_2)
+    # r9 review: set provenance is its OWN output table — T1/T2 keep
+    # field-name parity with the reference's records in BOTH modes
+    assert "setSize" not in rows_2[0] and "setMembers" not in rows_2[0]
+    prov = {r["usi"]: r for r in _read_jsonl(merged / "psm_set_provenance")}
+    assert set(prov) == {r["usi"] for r in rows_2}
+    assert all(r["setSize"] == 2 for r in prov.values())
     assert all(
         sorted(m["fileName"] for m in r["setMembers"]) == ["a.mzid", "b.mzid"]
-        for r in rows_2
+        for r in prov.values()
     )
-    assert all(r["engineSet"] == "MS:1002257" for r in rows_2)
+    assert all(r["engineSet"] == "MS:1002257" for r in prov.values())
     # single-file runs carry no set columns (createPSMSets=false path)
     assert "setSize" not in rows_1[0]
+    import os as _os
+
+    assert not _os.path.exists(single / "psm_set_provenance")
 
 
 def test_generate_index_files_zipped_result_file(spark, tmp_path):

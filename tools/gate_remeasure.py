@@ -92,9 +92,11 @@ def main() -> int:
                 pass
             time.sleep(0.2)
         s = sorted(samples)
+        mid = len(s) // 2
+        med = s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
         block[q] = {
             "best": round(s[0], 2),
-            "median": round(s[len(s) // 2], 2),
+            "median": round(med, 2),
             "runs": args.runs,
         }
         print(json.dumps({q: block[q]}), file=sys.stderr)

@@ -191,7 +191,9 @@ def main() -> int:
             dt = s[0]
             results[name] = {"sec": round(s[0], 2)}
             if args.runs > 1:
-                results[name]["median_sec"] = round(s[len(s) // 2], 2)
+                mid = len(s) // 2
+                med = s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+                results[name]["median_sec"] = round(med, 2)
                 results[name]["runs"] = args.runs
         except Exception as exc:  # keep going; a stall/OOM is the finding
             dt = time.time() - t0
