@@ -395,3 +395,30 @@ def test_protein_rollup_best_score_honors_better(spark):
     lo = protein_rollup(df, score_col="score", better="lower").collect()[0]
     assert hi["bestSearchEngineScoreValue"] == 90.0
     assert lo["bestSearchEngineScoreValue"] == 10.0
+
+
+def test_group_psm_sets_composite_spectrum_key(spark):
+    """r9 review: spectrum identity may be composite — identical scan
+    numbers in two spectra namespaces (fractions) must NOT collapse into
+    one set, while same-spectrum identifications across result files
+    still do."""
+    from pride_spark.operators.fdr import group_psm_sets
+
+    rows = [
+        # same spectrum (run1, scan 9), two engines → ONE set
+        ("a.mzid", "A1", "9", "PEPTIDEK", None, 2, 0.9, False, "MS:A", "run1.mgf"),
+        ("b.mzid", "B1", "9", "PEPTIDEK", None, 2, 0.8, False, "MS:B", "run1.mgf"),
+        # same scan number in ANOTHER fraction → its own set
+        ("a.mzid", "A2", "9", "PEPTIDEK", None, 2, 0.7, False, "MS:A", "run2.mgf"),
+    ]
+    schema = (_PSM_SCHEMA + ", specFile string")
+    df = spark.createDataFrame(rows, schema)
+    out = group_psm_sets(
+        df, spectrum_key_col=("specFile", "sourceId"), better="higher"
+    ).collect()
+    assert len(out) == 2
+    by_file = {r["specFile"]: r for r in out}
+    assert by_file["run1.mgf"]["setSize"] == 2
+    assert by_file["run2.mgf"]["setSize"] == 1
+    # the single-column form still collapses all three (old callers)
+    assert group_psm_sets(df, better="higher").count() == 1
