@@ -89,7 +89,17 @@ def build_ivf_index(
     raw vectors land in ``vectors/`` for shortlist re-ranking only.
     Codebooks persist in ``meta.json`` so search needs no retraining.
 
+    The index path must be a locally-mounted filesystem path (bare or
+    ``file:``-prefixed): ``meta.json`` and the GC serve-touch use POSIX
+    io.  For object stores, build to a local staging path and sync.
+
     Returns the meta dict (also persisted as ``meta.json``)."""
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            f"index path must be a locally-mounted filesystem path, got "
+            f"{path!r}: meta.json and the serve-touch GC protocol use "
+            "POSIX io (build locally, then sync to the object store)"
+        )
     spark = df.sparkSession
     cents = _kmeans_centroids(df, id_col, vec_col, n_centroids, kmeans_iters)
     if not cents:
@@ -122,18 +132,23 @@ def build_ivf_index(
             pq_encode_expr(vec_col, pq_codebooks).alias("codes"),
             bucket.alias("centroid_id"),
         )
+        # partitioned by the PRIMARY assignment so rerank lookups can
+        # prune: with assign_replicas == 1 every posting-list member's
+        # floats live in exactly its (probed) bucket's partition
         df.select(
             F.col(id_col).alias("nbr_id"),
             F.col(vec_col).alias("nbr_vec"),
             l2_norm(F.col(vec_col)).alias("nbr_norm"),
-        ).write.mode("overwrite").parquet(f"{path}/vectors")
+            nearest.alias("centroid_id"),
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/vectors"
+        )
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{path}/assignments"
     )
     meta = {
         "n_centroids": len(cents),
         "assign_replicas": assign_replicas,
-        "id_type": dict(df.dtypes)[id_col],
         "pq_codebooks": pq_codebooks,
     }
     with open(os.path.join(path.removeprefix("file:"), "meta.json"), "w") as fh:
@@ -154,6 +169,23 @@ def _load_meta(path: str) -> dict:
         pass
     with open(os.path.join(p, "meta.json")) as fh:
         return json.load(fh)
+
+
+def _rerank_vectors(spark, path: str, meta: dict, probe_cids: list):
+    """The float-vector side table for shortlist re-ranking, partition-
+    pruned to the probed buckets when that is CORRECT: with
+    ``assign_replicas == 1`` every candidate's primary bucket IS the
+    probed bucket it was found in, so its floats live in a probed
+    partition.  With replicas a candidate found via a secondary bucket
+    stores its floats under its (possibly unprobed) primary — pruning
+    would silently drop it, so the full table is read.  Pre-partitioned-
+    layout indexes (no centroid_id column) also read fully."""
+    vecs = spark.read.parquet(f"{path}/vectors")
+    if "centroid_id" in vecs.columns:
+        if meta.get("assign_replicas", 1) == 1:
+            vecs = vecs.filter(F.col("centroid_id").isin(probe_cids))
+        vecs = vecs.drop("centroid_id")
+    return vecs
 
 
 def search_ivf_index(
@@ -195,11 +227,11 @@ def search_ivf_index(
     )
     if meta.get("pq_codebooks"):
         # PQ index: posting lists carry codes only — recover the floats
-        # by joining the PRUNED membership rows back to the vectors
-        # table (an id equi-join on the already-bucket-filtered subset,
-        # so the scan volume stays proportional to the probed lists)
+        # by joining the pruned membership rows back to the vectors
+        # table, itself partition-pruned to the probed buckets when
+        # replicas == 1 (see _rerank_vectors for the correctness gate)
         assigned = assigned.select("centroid_id", "nbr_id").join(
-            spark.read.parquet(f"{path}/vectors"), "nbr_id"
+            _rerank_vectors(spark, path, meta, probe_cids), "nbr_id"
         )
     pairs = probed.join(assigned, "centroid_id").filter(
         F.col("query_id") != F.col("nbr_id")
@@ -275,7 +307,6 @@ def search_ivf_pq_index(
     scored = pairs.select(
         "query_id",
         "nbr_id",
-        "q_vec",
         # 6-dp rounded BEFORE the shortlist rank: rounded ADC is the
         # cross-engine-stable quantity (the q43 oracle shortlists on the
         # same rounded value), and quantization error is orders of
@@ -287,19 +318,33 @@ def search_ivf_pq_index(
     if meta.get("assign_replicas", 1) > 1:
         scored = scored.dropDuplicates(["query_id", "nbr_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("nbr_id"))
-    shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= max(rerank, k)
+    # shortlist stays NARROW (ids + adc) through the window shuffle; the
+    # float q_vec joins back per shortlist row only (<= rerank per query)
+    # and the query norm folds once per query, not per candidate pair
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(rerank, k))
+        .select("query_id", "nbr_id")
     )
-    vecs = spark.read.parquet(f"{path}/vectors")
-    exact = shortlist.join(vecs, "nbr_id").select(
-        "query_id",
-        "nbr_id",
-        F.round(
-            pair_cosine(
-                F.col("q_vec"), F.col("nbr_vec"), l2_norm(F.col("q_vec")), F.col("nbr_norm")
-            ),
-            6,
-        ).alias("cosine"),
+    qside = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    vecs = _rerank_vectors(spark, path, meta, probe_cids)
+    exact = (
+        shortlist.join(vecs, "nbr_id")
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(
+                pair_cosine(
+                    F.col("q_vec"), F.col("nbr_vec"), F.col("__qn"), F.col("nbr_norm")
+                ),
+                6,
+            ).alias("cosine"),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

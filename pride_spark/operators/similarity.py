@@ -53,7 +53,7 @@ def lit_vec(vals) -> Column:
     round-trip form and Spark's double parse is correctly rounded, so
     the parsed values are BIT-IDENTICAL to ``F.lit`` (asserted over
     denormals/extremes in tests) — fold order and results unchanged."""
-    return F.expr("array(" + ",".join(_d(x) for x in vals) + ")")
+    return F.expr(_arr_sql(vals))
 
 
 def l2_norm(a: Column) -> Column:
@@ -122,6 +122,14 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     ``planes`` is a small literal matrix (seeded offline); bucket id is the
     integer formed by the sign bits of ``vec · plane_i``.
     """
+    if len(planes) > 63:
+        # Spark's shiftleft masks the count mod 64 (Java << on long):
+        # plane 64 would silently OR into plane 0's bit, collapsing
+        # buckets in a structured way no recall model predicts
+        raise ValueError(
+            f"at most 63 hyperplanes per table (got {len(planes)}); "
+            "use multiple tables (OR-construction) instead"
+        )
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         lit_plane = lit_vec(plane)
@@ -259,10 +267,12 @@ def lsh_topk_gemm(
         import numpy as np
         import pandas as pd
 
+        # id dtype comes from the incoming batch, not a hardcoded int64 —
+        # the operator is id-type agnostic like its fold/brute siblings
         empty = pd.DataFrame(
             {
-                "query_id": pd.Series(dtype="int64"),
-                "nbr_id": pd.Series(dtype="int64"),
+                "query_id": pdf["vid"].iloc[:0],
+                "nbr_id": pdf["vid"].iloc[:0],
                 "cosine": pd.Series(dtype="float64"),
             }
         )
@@ -310,8 +320,9 @@ def lsh_topk_gemm(
             )
         return pd.concat(outs, ignore_index=True)
 
+    id_t = dict(df.dtypes)[id_col]
     cand = assigned.groupBy("t", "b").applyInPandas(
-        score, "query_id long, nbr_id long, cosine double"
+        score, f"query_id {id_t}, nbr_id {id_t}, cosine double"
     )
     # same pair found via several tables -> identical score; max() dedups
     best = cand.groupBy("query_id", "nbr_id").agg(
@@ -479,12 +490,18 @@ def ivf_topk(
     index uses (the caller trains on one bounded sample, then every
     search reuses the same driver-side centroid literals).
     """
-    n_probe = n_probe or n_centroids
     cents = (
         centroids
         if centroids is not None
         else _kmeans_centroids(df, id_col, vec_col, n_centroids, kmeans_iters)
     )
+    # default AFTER the quantizer is resolved: a caller-supplied
+    # pretrained quantizer larger than n_centroids would otherwise be
+    # silently under-probed, breaking the documented full-probe-=-exact
+    # default contract
+    if n_probe is not None and n_probe <= 0:
+        raise ValueError(f"n_probe must be positive, got {n_probe}")
+    n_probe = n_probe or len(cents) or n_centroids
     if not cents:  # empty table: empty result with the output schema
         id_t = dict(df.dtypes)[id_col]
         return df.sparkSession.createDataFrame(
@@ -798,36 +815,54 @@ def pq_topk(
         pq_luts_expr(vec_col, codebooks).alias("__luts"),
     )
     pairs = codes_df.join(F.broadcast(probed), F.col("query_id") != F.col("nbr_id"))
+    # adc rounded to 6 dp ONCE, before either branch ranks: the rounded
+    # ADC is the cross-engine-stable quantity both the no-rerank output
+    # and search_ivf_pq_index shortlist on — an unrounded shortlist cut
+    # here would admit different boundary candidates than the oracle
     scored = pairs.select(
         "query_id",
         "nbr_id",
-        pq_adc_from_luts(F.col("__luts"), F.col("codes"), m=len(codebooks)).alias("adc"),
-        *( ["q_vec"] if rerank is not None else []),
+        F.round(
+            pq_adc_from_luts(F.col("__luts"), F.col("codes"), m=len(codebooks)), 6
+        ).alias("adc"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("nbr_id"))
     if rerank is None:
-        return (
-            scored.withColumn("adc", F.round("adc", 6))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
         )
-    shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= max(rerank, k)
+    # shortlist stays NARROW (ids + adc) through the window shuffle; the
+    # float q_vec joins back per shortlist row only — <= rerank rows per
+    # query instead of every candidate pair — and the query norm is
+    # computed once per query, not re-folded per pair
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(rerank, k))
+        .select("query_id", "nbr_id")
     )
     nbr_vecs = df.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),
         l2_norm(F.col(vec_col)).alias("__nn"),
     )
-    exact = shortlist.join(nbr_vecs, "nbr_id").select(
-        "query_id",
-        "nbr_id",
-        F.round(
-            pair_cosine(
-                F.col("q_vec"), F.col("nbr_vec"), l2_norm(F.col("q_vec")), F.col("__nn")
-            ),
-            6,
-        ).alias("cosine"),
+    qside = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    exact = (
+        shortlist.join(nbr_vecs, "nbr_id")
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(
+                pair_cosine(
+                    F.col("q_vec"), F.col("nbr_vec"), F.col("__qn"), F.col("__nn")
+                ),
+                6,
+            ).alias("cosine"),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

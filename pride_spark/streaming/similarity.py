@@ -47,9 +47,12 @@ def make_ann_batch_sink(
     """``foreachBatch`` sink: search each micro-batch against the index,
     append results partitioned by micro-batch id.
 
-    ``rerank=None`` selects the float-vector IVF search
-    (:func:`~pride_spark.operators.ann_index.search_ivf_index`);
-    otherwise the IVF-PQ compressed funnel with exact re-ranking.
+    The search path dispatches on the INDEX's own meta (a plain IVF
+    index — built without ``pq_codebooks`` — always takes
+    :func:`~pride_spark.operators.ann_index.search_ivf_index`, whatever
+    ``rerank`` says): wiring the default ``rerank=50`` sink to a non-PQ
+    index must not crash the stream on its first non-empty batch.
+    ``rerank=None`` forces the float-vector search on a PQ index too.
     Output layout ``output_path/batch_id=N/`` is overwritten per batch
     id, so a checkpoint-replayed batch rewrites its own partition
     instead of duplicating rows (idempotent under at-least-once
@@ -60,7 +63,8 @@ def make_ann_batch_sink(
         if not batch_df.take(1):  # empty trigger: nothing to search
             return
         spark = batch_df.sparkSession
-        if rerank is None:
+        has_pq = bool(ann_index._load_meta(index_path).get("pq_codebooks"))
+        if rerank is None or not has_pq:
             hits = ann_index.search_ivf_index(
                 spark, index_path, batch_df, id_col, vec_col,
                 k=k, n_probe=n_probe,
