@@ -22,11 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pride_spark.sources.mgf import _PEAK_RE
-
-
-def _header(block, key: str):
-    return F.regexp_extract(block, rf"(?m)^{key}=([^\r\n]*)", 1)
+from pride_spark.sources.mgf import _PEAK_RE, _header
 
 
 def read_apl(spark: SparkSession, paths: str | list[str]) -> DataFrame:

@@ -24,8 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-#: one peak line: "<float><ws><float>" — group 1 = m/z, group 2 = intensity.
-_PEAK_RE = r"(?m)^[ \t]*([0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?)[ \t]+([0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?)[ \t]*$"
+#: one peak line: "<float><ws><float>[<ws>charge]" — group 1 = m/z,
+#: group 2 = intensity.  The optional third column (fragment charge,
+#: e.g. "2" or "2+") is permitted by the Mascot MGF format and emitted
+#: by several converters; anchoring the line end after exactly two
+#: floats silently dropped EVERY peak of such files (r9 review).
+_PEAK_RE = (
+    r"(?m)^[ \t]*([0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?)[ \t]+"
+    r"([0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?)(?:[ \t]+[0-9+.eE-]+)?[ \t]*$"
+)
 
 
 def _header(block, key: str):
@@ -48,26 +55,52 @@ def read_mgf(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         .withColumn("__ord", F.monotonically_increasing_id())
         .filter(F.col("value").contains("BEGIN IONS"))
     )
-    block = F.col("value")
+    # MGF header scoping (r9 review): parameters BEFORE the first
+    # "BEGIN IONS" are file-wide DEFAULTS; parameters inside a block are
+    # LOCAL and override them.  The preamble rides glued to block 0 in
+    # the lineSep scan, so header extraction must split there — a plain
+    # first-match regexp let the global line shadow block 0's local
+    # value AND dropped the default for every other block.
+    local = F.substring_index(F.col("value"), "BEGIN IONS", -1)
+    preamble = F.when(
+        F.col("value").startswith("BEGIN IONS"), F.lit("")
+    ).otherwise(F.substring_index(F.col("value"), "BEGIN IONS", 1))
     w = Window.partitionBy("fileName").orderBy("__ord")
+    w_file = Window.partitionBy("fileName")
+    idx = (F.row_number().over(w) - 1).alias("index")
     masses = F.transform(
-        F.regexp_extract_all(block, F.lit(_PEAK_RE), 1), lambda x: x.cast("double")
+        F.regexp_extract_all(local, F.lit(_PEAK_RE), 1), lambda x: x.cast("double")
     )
     intensities = F.transform(
-        F.regexp_extract_all(block, F.lit(_PEAK_RE), 2), lambda x: x.cast("double")
+        F.regexp_extract_all(local, F.lit(_PEAK_RE), 2), lambda x: x.cast("double")
     )
-    charge_raw = _header(block, "CHARGE")
-    return raw.select(
-        "fileName",
-        (F.row_number().over(w) - 1).alias("index"),
-        F.nullif(F.trim(_header(block, "TITLE")), F.lit("")).alias("spectrumId"),
-        F.lit(2).alias("msLevel"),  # MGF carries MS2 peak lists only
-        _header_num(block, "PEPMASS").alias("precursorMz"),
-        F.nullif(F.regexp_extract(charge_raw, r"([0-9]+)", 1), F.lit(""))
-        .cast("int")
-        .alias("precursorCharge"),
-        _header_num(block, "RTINSECONDS").alias("retentionTime"),
-        masses.alias("masses"),
-        intensities.alias("intensities"),
-        F.size(masses).alias("numPeaks"),
+
+    def _scoped(key: str):
+        """Local value with the file-global default as fallback — one
+        stacked window over the same fileName exchange the index uses."""
+        loc = F.nullif(_header(local, key), F.lit(""))
+        glob = F.max(
+            F.when(F.col("index") == 0, F.nullif(_header(preamble, key), F.lit("")))
+        ).over(w_file)
+        return F.coalesce(loc, glob)
+
+    num = lambda c: F.nullif(F.regexp_extract(c, r"([0-9.eE+-]+)", 1), F.lit("")).cast(  # noqa: E731
+        "double"
+    )
+    return (
+        raw.select("fileName", "value", idx)
+        .select(
+            "fileName",
+            "index",
+            F.nullif(F.trim(_scoped("TITLE")), F.lit("")).alias("spectrumId"),
+            F.lit(2).alias("msLevel"),  # MGF carries MS2 peak lists only
+            num(_scoped("PEPMASS")).alias("precursorMz"),
+            F.nullif(F.regexp_extract(_scoped("CHARGE"), r"([0-9]+)", 1), F.lit(""))
+            .cast("int")
+            .alias("precursorCharge"),
+            num(_scoped("RTINSECONDS")).alias("retentionTime"),
+            masses.alias("masses"),
+            intensities.alias("intensities"),
+            F.size(masses).alias("numPeaks"),
+        )
     )

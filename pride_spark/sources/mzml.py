@@ -62,9 +62,16 @@ SPECTRA_SCHEMA = StructType(
 _COLS = [f.name for f in SPECTRA_SCHEMA.fields]
 
 
-def _local(tag: str) -> str:
-    """Strip any XML namespace — mzML files appear with and without one."""
-    return tag.rsplit("}", 1)[-1]
+#: strip any XML namespace — mzML files appear with and without one
+_local = xmlsplit.localname
+
+
+#: MS-Numpress compression terms (linear/pic/slof + their zlib combos):
+#: present ⇒ the binary payload is NOT raw IEEE floats
+_NUMPRESS_ACCS = {
+    "MS:1002312", "MS:1002313", "MS:1002314",
+    "MS:1002746", "MS:1002747", "MS:1002748",
+}
 
 
 def _decode_array(text: str | None, *, bits: int, zlib_compressed: bool,
@@ -79,12 +86,28 @@ def _decode_array(text: str | None, *, bits: int, zlib_compressed: bool,
     return arr.astype(np.float64)
 
 
-def _iterparse_end(path: str):
-    """End-event element stream over an (optionally gzipped) XML file;
-    owns and closes the file handle."""
+def _iter_spectra_detached(path: str, want: str = "spectrum"):
+    """Yield each ``want`` element at its end event, then ``clear()`` AND
+    DETACH it from its parent.  ``clear()`` alone leaves an element husk
+    in the parent's child list for every spectrum — GB-scale RSS on a
+    multi-million-spectrum file (the same leak _mzxml_spectra fixed for
+    nested scans); the O(1)-amortized ``remove`` keeps the documented
+    one-spectrum memory bound."""
     with xmlsplit.open_xml(path) as fh:
-        for _event, elem in ET.iterparse(fh, events=("end",)):
-            yield elem
+        stack: list = []
+        for event, elem in ET.iterparse(fh, events=("start", "end")):
+            if event == "start":
+                stack.append(elem)
+                continue
+            stack.pop()
+            if _local(elem.tag) == want:
+                yield elem
+                elem.clear()
+                if stack:
+                    try:
+                        stack[-1].remove(elem)
+                    except ValueError:
+                        pass
 
 
 # ---------------------------------------------------------------------------
@@ -104,12 +127,30 @@ def _mzml_spectrum_row(elem, base: str, idx: int) -> tuple:
         elif name == "selectedIon":
             for p in child:
                 acc = p.get("accession")
-                if acc == "MS:1000744":
-                    precursor_mz = float(p.get("value"))
-                elif acc == "MS:1000041":
-                    precursor_z = int(float(p.get("value")))
+                # value-less / empty cvParams from sloppy writers skip the
+                # field instead of ValueError-ing the whole file's task
+                # (same guard the PRIDE XML path has)
+                v = p.get("value")
+                if not v:
+                    continue
+                try:
+                    if acc == "MS:1000744":
+                        precursor_mz = float(v)
+                    elif acc == "MS:1000041":
+                        precursor_z = int(float(v))
+                except ValueError:
+                    pass
         elif name == "binaryDataArray":
             accs = {p.get("accession") for p in child if _local(p.tag) == "cvParam"}
+            numpress = accs & _NUMPRESS_ACCS
+            if numpress:
+                # MS-Numpress is not implemented: np.frombuffer over
+                # numpress bytes yields garbage doubles or a length
+                # error — refuse loudly instead of decoding nonsense
+                raise NotImplementedError(
+                    f"MS-Numpress-compressed binary array ({sorted(numpress)}) "
+                    "is not supported; re-convert without --numpress"
+                )
             bits = 32 if "MS:1000521" in accs else 64
             compressed = "MS:1000574" in accs
             kind = ("masses" if "MS:1000514" in accs
@@ -132,12 +173,9 @@ def _mzml_spectrum_row(elem, base: str, idx: int) -> tuple:
 
 def _mzml_spectra(path: str, base: str) -> Iterator[tuple]:
     idx = 0
-    for elem in _iterparse_end(path):
-        if _local(elem.tag) != "spectrum":
-            continue
+    for elem in _iter_spectra_detached(path):
         yield _mzml_spectrum_row(elem, base, idx)
         idx += 1
-        elem.clear()
 
 
 # ---------------------------------------------------------------------------
@@ -271,12 +309,9 @@ def _pridexml_spectrum_row(elem, base: str, idx: int) -> tuple:
 
 def _pridexml_spectra(path: str, base: str) -> Iterator[tuple]:
     idx = 0
-    for elem in _iterparse_end(path):
-        if _local(elem.tag) != "spectrum":
-            continue
+    for elem in _iter_spectra_detached(path):
         yield _pridexml_spectrum_row(elem, base, idx)
         idx += 1
-        elem.clear()
 
 
 def _reader(parse) -> "callable":
@@ -288,11 +323,20 @@ def _reader(parse) -> "callable":
         )
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # chunked yields: the parser is a one-spectrum-bounded
+            # generator — buffering a whole multi-GB file's rows before
+            # the first yield would undo that bound (r9 review)
+            chunk = 2048
             for b in batches:
                 rows = []
                 for p in b["path"]:
-                    rows.extend(parse(p, p.rsplit("/", 1)[-1]))
-                yield pd.DataFrame(rows, columns=_COLS)
+                    for row in parse(p, p.rsplit("/", 1)[-1]):
+                        rows.append(row)
+                        if len(rows) >= chunk:
+                            yield pd.DataFrame(rows, columns=_COLS)
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=_COLS)
 
         return pdf.mapInPandas(kernel, SPECTRA_SCHEMA)
 
@@ -404,15 +448,27 @@ _PKL_LINE = r"(?m)^[ \t]*([0-9.eE+-]+)[ \t]+([0-9.eE+-]+)(?:[ \t]+([0-9]+))?[ \t
 
 
 def read_pkl(spark: SparkSession, paths: str | list[str]) -> DataFrame:
-    """S6 — PKL blocks (blank-line separated; header = mz intensity charge)."""
+    """S6 — PKL blocks (blank-line separated; header = mz intensity charge).
+
+    CRLF files (PKL is a legacy Micromass/Windows format) contain no
+    literal ``\n\n``, so the lineSep scan leaves the whole file in one
+    row — the \r-normalized re-split below recovers the blocks; for LF
+    files it is a per-row no-op (r9 review)."""
     raw = (
         spark.read.option("lineSep", "\n\n")
         .text(paths)
         .withColumn("fileName", F.element_at(F.split(F.input_file_name(), "/"), -1))
         .withColumn("__ord", F.monotonically_increasing_id())
+        .select(
+            "fileName",
+            "__ord",
+            F.posexplode(
+                F.split(F.regexp_replace("value", "\r", ""), "\n\n+")
+            ).alias("__pos", "value"),
+        )
         .filter(F.trim("value") != "")
     )
-    w = Window.partitionBy("fileName").orderBy("__ord")
+    w = Window.partitionBy("fileName").orderBy("__ord", "__pos")
     block = F.trim(F.col("value"))
     header = F.element_at(F.split(block, "\n"), 1)
     peak_lines = F.array_join(F.slice(F.split(block, "\n"), 2, 1_000_000), "\n")

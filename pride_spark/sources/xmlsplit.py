@@ -65,7 +65,9 @@ def open_xml(path: str):
     """Binary handle for an (optionally gzipped) XML file — the Python
     kernels' analogue of Spark's native codec layer on text reads."""
     local = path.removeprefix("file:")
-    if local.endswith(".gz"):
+    # case-insensitive, matching the dispatcher's (?i) extension routing:
+    # an uppercase .GZ otherwise reaches iterparse as raw gzip bytes
+    if local.lower().endswith(".gz"):
         return gzip.open(local, "rb")
     return open(local, "rb")
 
@@ -77,7 +79,14 @@ def fromstring(frag: str):
     try:
         return ET.fromstring(frag)
     except ET.ParseError:
+        # collect ELEMENT prefixes and ATTRIBUTE prefixes (xsi:type=...):
+        # a fragment whose only prefixed names are attributes would
+        # otherwise re-raise even though the dummy binding fixes it
         prefixes = set(re.findall(r"</?([A-Za-z_][\w.-]*):", frag))
+        prefixes |= set(
+            re.findall(r"""[\s"']([A-Za-z_][\w.-]*):[\w.-]+\s*=""", frag)
+        )
+        prefixes.discard("xmlns")
         if not prefixes:
             raise
         decls = " ".join(f'xmlns:{p}="urn:x-{p}"' for p in sorted(prefixes))
@@ -89,7 +98,7 @@ def pick_mode(paths: list[str], mode: str) -> str:
     and non-POSIX paths always parse whole (ranges need seekable bytes)."""
     if mode != "auto":
         return mode
-    if any(p.endswith((".gz", ".zip")) for p in paths):
+    if any(p.lower().endswith((".gz", ".zip")) for p in paths):
         return "whole"
     try:
         biggest = max(os.path.getsize(p.removeprefix("file:")) for p in paths)

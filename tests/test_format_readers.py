@@ -998,3 +998,123 @@ def test_pridexml_decoy_any_of_cv_lists(spark, tmp_path):
     assert [(m["position"], m["accession"]) for m in rows[0]["modifications"]] == [
         (None, "MOD:00696")
     ]
+
+
+def test_mgf_third_peak_column_and_global_headers(spark, tmp_path):
+    """r9 review: Mascot-MGF features — an optional third (charge) peak
+    column must not silently drop every peak, and parameters before the
+    first BEGIN IONS are file-wide defaults that LOCAL values override."""
+    from pride_spark.sources.mgf import read_mgf
+
+    p = tmp_path / "mascot.mgf"
+    p.write_text(
+        "CHARGE=2+ and 3+\n"            # global default
+        "RTINSECONDS=7.5\n"             # global default
+        "BEGIN IONS\n"
+        "TITLE=s0\nPEPMASS=445.12\nCHARGE=3+\n"   # local overrides global
+        "100.25 10.0 1+\n"              # 3-column peak line
+        "200.5 20.0\n"
+        "END IONS\n"
+        "BEGIN IONS\n"
+        "TITLE=s1\nPEPMASS=512.9\n"     # no local CHARGE/RT → globals apply
+        "300.75 30.0 2\n"
+        "END IONS\n"
+    )
+    rows = {r["index"]: r for r in read_mgf(spark, str(p)).collect()}
+    assert rows[0]["masses"] == [100.25, 200.5]
+    assert rows[0]["intensities"] == [10.0, 20.0]
+    assert rows[0]["precursorCharge"] == 3      # local beats global
+    assert rows[0]["retentionTime"] == 7.5      # global default applies
+    assert rows[1]["masses"] == [300.75]
+    assert rows[1]["precursorCharge"] == 2      # global default
+    assert rows[1]["retentionTime"] == 7.5
+
+
+def test_pkl_reader_crlf(spark, tmp_path):
+    """r9 review: CRLF PKL files (legacy Micromass/Windows) must split
+    into blocks — lineSep '\\n\\n' alone never fires on \\r\\n\\r\\n."""
+    from pride_spark.sources.mzml import read_pkl
+
+    p = tmp_path / "crlf.pkl"
+    p.write_bytes(
+        b"445.12 1000.0 2\r\n100.25 10.0\r\n200.5 20.0\r\n"
+        b"\r\n"
+        b"512.9 500.0 3\r\n300.75 30.0\r\n"
+    )
+    rows = {r["index"]: r for r in read_pkl(spark, str(p)).collect()}
+    assert len(rows) == 2
+    assert rows[0]["precursorMz"] == 445.12 and rows[0]["masses"] == [100.25, 200.5]
+    assert rows[1]["precursorMz"] == 512.9 and rows[1]["numPeaks"] == 1
+
+
+def test_open_xml_uppercase_gz(spark, tmp_path):
+    """r9 review: .GZ routes through gzip like the dispatcher's
+    case-insensitive extension routing (it was parsed as raw bytes)."""
+    import gzip as _gzip
+
+    from pride_spark.sources import xmlsplit
+
+    p = tmp_path / "TINY.XML.GZ"
+    p.write_bytes(_gzip.compress(b"<root><a>1</a></root>"))
+    with xmlsplit.open_xml(str(p)) as fh:
+        assert b"<root>" in fh.read()
+    assert xmlsplit.pick_mode([str(p)], "auto") == "whole"
+
+
+def test_fromstring_attribute_prefix_recovery():
+    """r9 review: a fragment whose ONLY prefixed names are attributes
+    (xsi:type=...) gets the dummy-binding recovery too."""
+    from pride_spark.sources import xmlsplit
+
+    frag = '<cvParam xsi:type="Thing" accession="MS:1" value="2"/>'
+    elem = xmlsplit.fromstring(frag)
+    assert elem.get("accession") == "MS:1"
+
+
+def test_mzml_numpress_refused_and_empty_selected_ion(spark, tmp_path):
+    """r9 review: numpress-compressed arrays raise a clear error instead
+    of decoding garbage; value-less selectedIon cvParams are skipped."""
+    import base64
+    import struct
+
+    import pytest as _pytest
+
+    from pride_spark.sources.mzml import read_mzml
+
+    peaks = base64.b64encode(struct.pack("<2d", 100.25, 200.5)).decode()
+    inten = base64.b64encode(struct.pack("<2d", 10.0, 20.0)).decode()
+
+    def spectrum(extra_cv: str) -> str:
+        return f"""<spectrum index="0" id="s0" defaultArrayLength="2">
+  <cvParam accession="MS:1000511" value="2"/>
+  <precursorList count="1"><precursor><selectedIonList count="1"><selectedIon>
+    <cvParam accession="MS:1000744" value=""/>
+    <cvParam accession="MS:1000041" value="2"/>
+  </selectedIon></selectedIonList></precursor></precursorList>
+  <binaryDataArrayList count="2">
+    <binaryDataArray><cvParam accession="MS:1000523"/><cvParam accession="MS:1000514"/>{extra_cv}
+      <binary>{peaks}</binary></binaryDataArray>
+    <binaryDataArray><cvParam accession="MS:1000523"/><cvParam accession="MS:1000515"/>
+      <binary>{inten}</binary></binaryDataArray>
+  </binaryDataArrayList>
+</spectrum>"""
+
+    def mzml(body: str) -> str:
+        return (
+            '<?xml version="1.0"?><mzML><run><spectrumList count="1">'
+            + body
+            + "</spectrumList></run></mzML>"
+        )
+
+    ok = tmp_path / "ok.mzml"
+    ok.write_text(mzml(spectrum("")))
+    rows = read_mzml(spark, str(ok), mode="whole").collect()
+    assert len(rows) == 1
+    assert rows[0]["precursorMz"] is None          # empty value skipped
+    assert rows[0]["precursorCharge"] == 2
+    assert rows[0]["masses"] == [100.25, 200.5]
+
+    bad = tmp_path / "numpress.mzml"
+    bad.write_text(mzml(spectrum('<cvParam accession="MS:1002312"/>')))
+    with _pytest.raises(Exception, match="[Nn]umpress"):
+        read_mzml(spark, str(bad), mode="whole").collect()
