@@ -80,6 +80,11 @@ def hash_split(
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
+    bad = {k: v for k, v in weights.items() if v < 0}
+    if bad:
+        # a negative weight inflates the preceding labels' cumulative
+        # boundaries and silently empties later splits
+        raise ValueError(f"split weights must be non-negative, got {bad}")
     frac = hash_fraction(id_col, seed)
     expr = None
     acc = 0.0
@@ -90,6 +95,18 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
+    # a NULL id has a NULL hash fraction: every `<` test is NULL and the
+    # when-chain would silently fall through to the LAST label —
+    # deterministically concentrating dirty rows in the (usually eval)
+    # final split.  Refuse instead: split identity must be a pure
+    # function of a REAL id (filter or repair null ids first; the
+    # sampling siblings drop them, which a SPLIT must never silently do).
+    expr = F.when(
+        F.col(id_col).isNull() if isinstance(id_col, str) else F.isnull(id_col),
+        F.raise_error(
+            F.lit("hash_split: null id — split labels require a non-null id")
+        ),
+    ).otherwise(expr)
     return df.withColumn(split_col, expr)
 
 
@@ -299,8 +316,8 @@ def _check_sig_params(
     if field not in sig_df.columns:
         return  # schema mismatch surfaces in the join, not here
     recorded = sig_df.schema[field].metadata
-    if not recorded or "bands" not in recorded:
-        return
+    if not recorded or not any(k in recorded for k in ("num_hashes", "bands", "shingle_n")):
+        return  # nothing recorded at all: pre-metadata frame, skip
     expected = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
     got = {k: int(recorded[k]) for k in expected if k in recorded}
     # compare only the RECORDED keys: a partially-recorded sidecar whose

@@ -321,7 +321,13 @@ def connected_components(
     # driver threads persisting their own RDDs are never touched.  Only
     # the immediately superseded round is freed; ``base`` and the final
     # round (both feeding the returned plan) stay pinned.
+    prev_desc = spark.sparkContext.getLocalProperty("spark.job.description")
+    converged = False
     for i in range(max_iterations):
+        # label THIS round's jobs (the checkpoint-materializing aggregate
+        # below) — setting it at loop end labeled each round's jobs with
+        # the PREVIOUS round's number
+        spark.sparkContext.setJobDescription(f"connected_components round {i + 1}")
         probing = auto and not mode
         sym = cur.select("u", "v").union(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -358,9 +364,23 @@ def connected_components(
             mode = True
         sig = (row["n"], row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
-        spark.sparkContext.setJobDescription(f"connected_components round {i + 1}")
+    # restore the caller's job description — leaving ours set would
+    # mislabel every later job on this driver thread in the Spark UI
+    spark.sparkContext.setJobDescription(prev_desc)
+    if not converged:
+        # the partially-contracted graph is NOT a star forest: labeling
+        # it would assign two nodes of one component different labels
+        # with no signal.  Refuse instead of silently returning wrong
+        # clusters (r9 review).
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} star-contraction rounds; raise "
+            "max_iterations (rounds needed grow O(log n) in the largest "
+            "component's diameter)"
+        )
 
     # stars: every non-root points at its root; roots label themselves
     sym = cur.select("u", "v").union(

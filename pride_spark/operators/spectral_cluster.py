@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from pride_spark.operators.dedup import jaccard_of_sets
 from pride_spark.operators.graph import connected_components
 from pride_spark.session import register_pinned
 
@@ -79,9 +80,10 @@ def bin_peaks(
     )
 
 
-def _jaccard(a: Column, b: Column) -> Column:
-    inter = F.size(F.array_intersect(a, b))
-    return inter / (F.size(a) + F.size(b) - inter)
+#: exact Jaccard over distinct element arrays — shared with the dedup
+#: family (single definition; returns 0.0 on two empty sets where the
+#: old inline inter/(|a|+|b|-inter) form produced NULL via 0/0)
+_jaccard = jaccard_of_sets
 
 
 # ---------------------------------------------------------------------------
@@ -97,14 +99,22 @@ def _binned_frame(
     top_k: int,
     bin_width: float,
 ) -> DataFrame:
-    """(key, pmz, bins) — stage 1, shared by every method."""
+    """(key, pmz, bins) — stage 1, shared by every method.
+
+    No-peak spectra (empty/null arrays → ``bins = []``) are KEPT: the
+    output contract is one row per input spectrum, so they ride through
+    to the singleton fill (their own key as clusterId) and are excluded
+    from candidate generation at the ``reps`` stage instead (r9 review —
+    the former ``size(bins) > 0`` filter here silently dropped them from
+    the output entirely)."""
     return spectra.select(
         F.col(key_col).alias("key"),
         F.col(precursor_col).alias("pmz"),
-        bin_peaks(masses_col, intensities_col, top_k=top_k, bin_width=bin_width).alias(
-            "bins"
-        ),
-    ).filter(F.size("bins") > 0)
+        F.coalesce(
+            bin_peaks(masses_col, intensities_col, top_k=top_k, bin_width=bin_width),
+            F.array().cast("array<bigint>"),
+        ).alias("bins"),
+    )
 
 
 def _sig_frame(binned: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
@@ -190,11 +200,14 @@ def _rep_collapse(binned: DataFrame) -> DataFrame:
     one cluster, breaking the label-identity contract above.
     """
     w = Window.partitionBy("pmz", "bins")
+    # empty-bins rows are likewise uncollapsed: they never reach
+    # candidate generation (filtered at the reps stage), so in the
+    # uncollapsed graph they are always singletons
     return binned.withColumn(
         "rep",
-        F.when(F.col("pmz").isNull(), F.col("key")).otherwise(
-            F.min("key").over(w)
-        ),
+        F.when(
+            F.col("pmz").isNull() | (F.size("bins") == 0), F.col("key")
+        ).otherwise(F.min("key").over(w)),
     )
 
 
@@ -446,14 +459,15 @@ def cluster_spectra(
     ``max_bucket=None`` (the oracle configuration); with a cap it shares
     the LSH path's cap contract.
 
-    EAGER-PROBE NOTE: with ``collapse_duplicates=None`` (the default)
-    and ``max_bucket=None``, plan CONSTRUCTION runs one Spark action —
-    an ``approx_count_distinct`` probe over the binned frame deciding
-    whether duplicate collapse pays for itself (see ``_has_duplicates``).
-    Callers that need a fully lazy plan (inspection, conditional
-    pipelines) should pass ``collapse_duplicates=True/False`` explicitly;
-    the probe verdict is memoized per corpus by callers that loop (e.g.
-    the bench registry), so repeated builds pay it once.
+    EAGERNESS NOTE: this operator is eager by construction — the
+    connected-components driver loop executes Spark actions while the
+    call builds its result, so the clustering cost is paid AT CALL TIME,
+    not at the first action on the returned frame.  Additionally, with
+    ``collapse_duplicates=None`` (the default) and ``max_bucket=None``
+    one extra ``approx_count_distinct`` probe job decides whether
+    duplicate collapse pays for itself (see ``_has_duplicates``); pass
+    an explicit boolean to skip that probe (the verdict is memoized per
+    corpus by callers that loop, e.g. the bench registry).
     """
     # persisted for the same reason as cluster_spectra_multi: the binning
     # pass feeds BOTH the candidate subtree (materialized once into the CC
@@ -485,7 +499,9 @@ def cluster_spectra(
         binned = _rep_collapse(pinned)
     else:
         binned = pinned.withColumn("rep", F.col("key"))
-    reps = binned.filter(F.col("key") == F.col("rep")).select("key", "pmz", "bins")
+    reps = binned.filter(
+        (F.col("key") == F.col("rep")) & (F.size("bins") > 0)
+    ).select("key", "pmz", "bins")
     pairs = _method_pairs(
         method, reps,
         precursor_window=precursor_window, num_hashes=num_hashes, bands=bands,
@@ -545,11 +561,15 @@ def cluster_spectra_multi(
     baseline and the production md5-LSH path side by side without paying
     for two clustering runs.
 
-    EAGER-PROBE NOTE: as in :func:`cluster_spectra`, the default
-    ``collapse_duplicates=None`` with ``max_bucket=None`` runs one
-    eager ``approx_count_distinct`` probe at plan-construction time;
-    pass an explicit boolean for a fully lazy build.
+    EAGERNESS NOTE: as in :func:`cluster_spectra`, the operator is
+    eager by construction (the CC driver loop runs actions during the
+    call); the default ``collapse_duplicates=None`` with
+    ``max_bucket=None`` additionally runs one eager
+    ``approx_count_distinct`` probe — pass an explicit boolean to skip
+    the probe job.
     """
+    if not methods:
+        raise ValueError("methods must name at least one clustering method")
     base = _binned_frame(
         spectra, key_col, masses_col, intensities_col, precursor_col, top_k,
         bin_width,
@@ -561,7 +581,9 @@ def cluster_spectra_multi(
         binned = _rep_collapse(pinned)
     else:
         binned = pinned.withColumn("rep", F.col("key"))
-    reps = binned.filter(F.col("key") == F.col("rep")).select("key", "pmz", "bins")
+    reps = binned.filter(
+        (F.col("key") == F.col("rep")) & (F.size("bins") > 0)
+    ).select("key", "pmz", "bins")
     sigs = None
     if "lsh" in methods:
         sigs = register_pinned(

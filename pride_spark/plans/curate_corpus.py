@@ -81,7 +81,11 @@ def _first_failing_gate(cfg: CurateConfig):
     """NULL when every gate passes, else the FIRST failing gate's name —
     attribution is unambiguous and the drop counts sum to rows dropped."""
     text = F.col(cfg.text_col)
-    gate = F.when(text.isNull() | (F.length(text) == 0), F.lit("empty_text"))
+    # null ids first: dedup representatives and split labels are both
+    # keyed on the id (hash_split REFUSES null ids rather than silently
+    # assigning a split), so id-less rows drop here with attribution
+    gate = F.when(F.col(cfg.id_col).isNull(), F.lit("null_id"))
+    gate = gate.when(text.isNull() | (F.length(text) == 0), F.lit("empty_text"))
     if cfg.languages:
         gate = gate.when(
             ~F.col("detected_lang").isin(list(cfg.languages)), F.lit("language")

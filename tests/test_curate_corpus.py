@@ -263,3 +263,14 @@ def test_curate_corpus_cli_bad_split_is_usage_error():
     assert main(base + ["train=abc"]) == 2         # non-numeric weight
     assert main(base + ["train=-1"]) == 2          # non-positive weight
     assert main(base + ["a=0.5,a=0.5"]) == 2       # duplicate name
+
+
+def test_curate_corpus_null_id_gate(spark):
+    """r9 review: id-less docs drop with attribution instead of crashing
+    hash_split (which refuses null ids) or skewing the eval split."""
+    docs = spark.createDataFrame(
+        [(None, _BASE), (1, _BASE)], "doc_id long, text string"
+    )
+    curated, report = curate_corpus(spark, docs, CurateConfig())
+    assert report["gate_drops"] == {"null_id": 1}
+    assert [r["doc_id"] for r in curated.collect()] == [1]

@@ -319,3 +319,33 @@ def test_cluster_balanced_sample_trains_when_no_centroids(spark):
     )
     sizes = [r["count"] for r in out.groupBy("cluster_id").count().collect()]
     assert sizes and all(s <= 5 for s in sizes)
+
+
+def test_hash_split_null_id_and_negative_weight_rejected(spark):
+    """r9 review: a null id must not silently land in the last (eval)
+    split, and a negative weight must not silently empty later splits."""
+    import pytest as _pytest
+
+    from pride_spark.operators.curation import hash_split
+
+    df = spark.createDataFrame([(1,), (None,)], "id long")
+    with _pytest.raises(Exception, match="null id"):
+        hash_split(df, "id", {"train": 0.5, "test": 0.5}).collect()
+    with _pytest.raises(ValueError, match="non-negative"):
+        hash_split(df.filter("id is not null"), "id", {"a": 1.5, "b": -0.5})
+
+
+def test_sig_params_partial_metadata_mismatch_detected(spark):
+    """r9 review: metadata recording num_hashes/shingle_n but NOT bands
+    must still be validated — only a fully unrecorded sidecar skips."""
+    import pytest as _pytest
+
+    from pride_spark.operators.curation import _check_sig_params
+
+    df = spark.createDataFrame([("x",)], "digs_c string")
+    meta = {"num_hashes": 16, "shingle_n": 5}
+    df = df.withMetadata("digs_c", meta)
+    with _pytest.raises(ValueError, match="built with"):
+        _check_sig_params(df, "c", num_hashes=8, bands=4, shingle_n=3)
+    # matching recorded values pass even with keys missing
+    _check_sig_params(df, "c", num_hashes=16, bands=4, shingle_n=5)

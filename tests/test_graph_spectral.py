@@ -395,3 +395,56 @@ def test_duplicate_probe_and_null_pmz_collapse(spark):
     labels = {r["key"]: r["clusterId"] for r in out.collect()}
     assert labels["n1"] == "n1" and labels["n2"] == "n2"
     assert labels["p1"] == labels["p2"] == "p1"
+
+
+def test_cluster_spectra_keeps_no_peak_spectra_as_singletons(spark):
+    """r9 review: empty/null peak arrays must not vanish from the output
+    — one row per input spectrum, no-peak rows as their own cluster."""
+    from pride_spark.operators.spectral_cluster import cluster_spectra
+
+    rows = [
+        ("u1", [100.0, 200.0], [1.0, 2.0], 400.0),
+        ("u2", [100.0, 200.0], [1.0, 2.0], 400.0),
+        ("u3", [], [], 500.0),            # no peaks
+        ("u4", None, None, None),         # null arrays AND null pmz
+    ]
+    df = spark.createDataFrame(
+        rows, "usi string, masses array<double>, intensities array<double>,"
+        " precursorMz double"
+    )
+    out = {r["key"]: r["clusterId"] for r in cluster_spectra(df).collect()}
+    assert set(out) == {"u1", "u2", "u3", "u4"}
+    assert out["u1"] == out["u2"]         # real near-dups still cluster
+    assert out["u3"] == "u3" and out["u4"] == "u4"
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """r9 review: exhausting max_iterations must raise, not silently
+    return a partially-contracted (wrong) labeling."""
+    import pytest as _pytest
+
+    from pride_spark.operators.graph import connected_components
+
+    # a long path graph needs multiple contraction rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "src", "dst", max_iterations=1)
+    # and with enough rounds the same graph is one component
+    ok = connected_components(edges, "src", "dst")
+    assert ok.select("component").distinct().count() == 1
+
+
+def test_cluster_spectra_multi_empty_methods_raises(spark):
+    import pytest as _pytest
+
+    from pride_spark.operators.spectral_cluster import cluster_spectra_multi
+
+    df = spark.createDataFrame(
+        [("u1", [100.0], [1.0], 400.0)],
+        "usi string, masses array<double>, intensities array<double>,"
+        " precursorMz double",
+    )
+    with _pytest.raises(ValueError, match="method"):
+        cluster_spectra_multi(df, methods=())
