@@ -355,9 +355,15 @@ def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
 
 
 def jaccard_of_sets(sa: Column, sb: Column) -> Column:
-    """Jaccard of two pre-deduplicated arrays."""
+    """Jaccard of two pre-deduplicated arrays (two empty sets → 0.0).
+
+    The union SIZE is computed arithmetically (|a| + |b| − |a∩b|, valid
+    because the inputs are deduplicated) instead of materializing an
+    ``array_union`` per pair — the verify join runs this once per
+    candidate pair, and the union-array allocation measured ~8% of q48
+    when this helper briefly replaced the clustering path's inline form."""
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
-    union = F.size(F.array_union(sa, sb)).cast("double")
+    union = (F.size(sa) + F.size(sb)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
