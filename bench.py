@@ -103,6 +103,11 @@ def _suspect_interference_inner(timings: dict[str, float], repo_dir: str) -> dic
             out[q] = {
                 "best": t,
                 "prior_round": os.path.basename(prior_rounds[-1]),
+                # stable key for consumers + a label naming the statistic
+                # (a band-less legacy round only has best-of-N); the
+                # legacy dynamic key is kept one round for back-compat
+                "prior_value": pm,
+                "prior_stat": stat,
                 f"prior_{stat}": pm,
                 "ratio": round(t / pm, 2),
                 "battery_median_ratio": battery_ratio,

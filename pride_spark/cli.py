@@ -206,10 +206,17 @@ def cmd_generate_index_files(args) -> int:
 
     spark = _spark("generate-index-files")
     out = _index_outputs(spark, args)
-    # every output table (summary, proteins, the layout export's re-writes)
-    # derives from the archive frame — cache it so the parse + FDR + J5
-    # subtree executes once per app, not once per sink
-    archive = out["archive_spectra"].persist(StorageLevel.MEMORY_AND_DISK)
+    # every output table (summary, proteins, psm_set_provenance, the
+    # layout export's re-writes) derives from one upstream frame — cache
+    # it so the parse + FDR + J5 subtree executes once per app, not once
+    # per sink.  On the merged multi-file path the common ancestor is the
+    # PRE-drop "_merged_archive" frame: persisting it serves BOTH the
+    # post-drop archive and the provenance projection from the cache
+    # (Spark's CacheManager substitutes the cached subplan)
+    base = out.get("_merged_archive", out["archive_spectra"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    archive = out["archive_spectra"]
     out["archive_spectra"] = archive
     write_jsonlines(archive, f"{args.output_dir}/archive_spectra")
     write_jsonlines(out["summary_spectra"], f"{args.output_dir}/summary_spectra")
@@ -231,7 +238,7 @@ def cmd_generate_index_files(args) -> int:
             scratch_dir=getattr(args, "layout_scratch", None),
         )
         print(f"reference layout: {len(written)} files under {args.output_dir}/{args.project}")
-    archive.unpersist()
+    base.unpersist()
     print(f"wrote archive/summary/protein tables under {args.output_dir}")
     return 0
 
@@ -301,8 +308,12 @@ def cmd_run_pipeline(args) -> int:
     spark = _spark("run-pipeline")
     # §3.1 generate_json_index_files
     out = _index_outputs(spark, args)
-    # archive feeds four downstream stages — materialize once
-    archive = out["archive_spectra"].persist()
+    # archive feeds four downstream stages — materialize once.  Persist
+    # the PRE-drop merged frame when present so psm_set_provenance hits
+    # the cache too (r9 advice); the post-drop archive is a Project on
+    # top that Spark serves from the same cached subplan.
+    base = out.get("_merged_archive", out["archive_spectra"]).persist()
+    archive = out["archive_spectra"]
     write_jsonlines(archive, f"{args.output_dir}/archive_spectra")
     write_jsonlines(out["summary_spectra"], f"{args.output_dir}/summary_spectra")
     write_jsonlines(out["protein_evidence"], f"{args.output_dir}/protein_evidence")
@@ -316,7 +327,7 @@ def cmd_run_pipeline(args) -> int:
     valid = spectrum_validity_filter(archive).count()
     if valid != total:
         print(f"ABORT: {total - valid}/{total} archive spectra invalid", file=sys.stderr)
-        archive.unpersist()
+        base.unpersist()
         return 1
 
     # convert_to_mgf (K5)
@@ -346,7 +357,7 @@ def cmd_run_pipeline(args) -> int:
             scratch_dir=getattr(args, "layout_scratch", None),
         )
         print(f"reference layout: {len(written)} files under {args.output_dir}/{args.project}")
-    archive.unpersist()
+    base.unpersist()
     print(f"pipeline complete: {valid} spectra indexed, outputs under {args.output_dir}")
     return 0
 

@@ -332,9 +332,16 @@ def search_ivf_pq_index(
         l2_norm(F.col(vec_col)).alias("__qn"),
     )
     vecs = _rerank_vectors(spark, path, meta, probe_cids)
+    # no explicit broadcast hint on the query side (r9 advice): a forced
+    # F.broadcast bypasses autoBroadcastJoinThreshold, so a LARGE query
+    # table (e.g. a full-probe self-search) would hit Spark's broadcast
+    # hard limits / driver OOM.  Letting Catalyst+AQE decide keeps the
+    # broadcast for bounded probe batches (runtime size check) while a
+    # big query side degrades gracefully to a shuffle join with q_vec
+    # carried only per shortlist row.
     exact = (
         shortlist.join(vecs, "nbr_id")
-        .join(F.broadcast(qside), "query_id")
+        .join(qside, "query_id")
         .select(
             "query_id",
             "nbr_id",

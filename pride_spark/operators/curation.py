@@ -316,13 +316,25 @@ def _check_sig_params(
     if field not in sig_df.columns:
         return  # schema mismatch surfaces in the join, not here
     recorded = sig_df.schema[field].metadata
-    if not recorded or not any(k in recorded for k in ("num_hashes", "bands", "shingle_n")):
+    keys = ("num_hashes", "bands", "shingle_n")
+    if not recorded or not any(k in recorded for k in keys):
         return  # nothing recorded at all: pre-metadata frame, skip
+    missing = [k for k in keys if k not in recorded]
+    if missing:
+        # a PARTIAL sidecar is not a pre-metadata frame — our writer
+        # always records all three keys, so some-but-not-all means the
+        # metadata was tampered with or truncated.  Validating only the
+        # present subset would let e.g. a bands-only record pass while
+        # num_hashes/shingle_n actually differ (r9 advice) — refuse.
+        raise ValueError(
+            f"signature frame ({field}) records a partial hash-family "
+            f"sidecar (missing {missing}): cannot verify the signatures "
+            "match this run's parameters. Rebuild the signatures with "
+            "corpus_signatures/minhash_signatures_df, which records the "
+            "full family."
+        )
     expected = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
-    got = {k: int(recorded[k]) for k in expected if k in recorded}
-    # compare only the RECORDED keys: a partially-recorded sidecar whose
-    # present values all match is incomplete, not a different hash
-    # family (the docstring promises missing records skip the check)
+    got = {k: int(recorded[k]) for k in keys}
     if any(got[k] != expected[k] for k in got):
         raise ValueError(
             f"signature frame ({field}) was built with {got}, but this "

@@ -360,6 +360,13 @@ def generate_index_files(
         if c in archive.columns
     ]
     if set_cols:
+        # provenance AND the post-drop archive both derive from this one
+        # pre-drop frame; it is exposed under "_merged_archive" so the
+        # caller can persist THAT frame and serve both projections from
+        # the cache — persisting only the post-drop archive left the
+        # provenance write re-executing the parse+FDR+set-grouping
+        # subtree once more per run (r9 advice)
+        out["_merged_archive"] = archive
         out["psm_set_provenance"] = archive.select("usi", *set_cols)
         archive = archive.drop(*set_cols)
     # summary AND proteins derive from the POST-drop archive plan, so a

@@ -75,14 +75,22 @@ def read_mgf(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         F.regexp_extract_all(local, F.lit(_PEAK_RE), 2), lambda x: x.cast("double")
     )
 
+    def _local(key: str):
+        """Block-local header value only — Mascot MGF defines TITLE /
+        PEPMASS / RTINSECONDS as per-spectrum keys, so a stray preamble
+        line must NOT propagate one spectrumId/precursorMz to every
+        block lacking a local value (r9 advice)."""
+        return F.nullif(_header(local, key), F.lit(""))
+
     def _scoped(key: str):
         """Local value with the file-global default as fallback — one
-        stacked window over the same fileName exchange the index uses."""
-        loc = F.nullif(_header(local, key), F.lit(""))
+        stacked window over the same fileName exchange the index uses.
+        Only used for keys the Mascot MGF spec sanctions as file-wide
+        defaults (CHARGE and search parameters)."""
         glob = F.max(
             F.when(F.col("index") == 0, F.nullif(_header(preamble, key), F.lit("")))
         ).over(w_file)
-        return F.coalesce(loc, glob)
+        return F.coalesce(_local(key), glob)
 
     num = lambda c: F.nullif(F.regexp_extract(c, r"([0-9.eE+-]+)", 1), F.lit("")).cast(  # noqa: E731
         "double"
@@ -92,13 +100,13 @@ def read_mgf(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         .select(
             "fileName",
             "index",
-            F.nullif(F.trim(_scoped("TITLE")), F.lit("")).alias("spectrumId"),
+            F.nullif(F.trim(_local("TITLE")), F.lit("")).alias("spectrumId"),
             F.lit(2).alias("msLevel"),  # MGF carries MS2 peak lists only
-            num(_scoped("PEPMASS")).alias("precursorMz"),
+            num(_local("PEPMASS")).alias("precursorMz"),
             F.nullif(F.regexp_extract(_scoped("CHARGE"), r"([0-9]+)", 1), F.lit(""))
             .cast("int")
             .alias("precursorCharge"),
-            num(_scoped("RTINSECONDS")).alias("retentionTime"),
+            num(_local("RTINSECONDS")).alias("retentionTime"),
             masses.alias("masses"),
             intensities.alias("intensities"),
             F.size(masses).alias("numPeaks"),

@@ -28,6 +28,9 @@ def test_flags_only_rows_over_2x_prior_median(tmp_path):
     assert set(out) == {"q01"}
     row = out["q01"]
     assert row["prior_round"] == "BENCH_r03.json"
+    # stable consumer key + statistic label (r10 advice), legacy key kept
+    assert row["prior_value"] == 1.2
+    assert row["prior_stat"] == "median"
     assert row["prior_median"] == 1.2
     assert row["ratio"] == round(5.0 / 1.2, 2)
     # battery context: q02/q03 held ~1x, so the median ratio is ~1
@@ -43,7 +46,19 @@ def test_latest_round_wins_and_driver_wrapper_parsed(tmp_path):
     out = _suspect_interference({"q01": 4.0, "q02": 2.0}, str(tmp_path))
     assert set(out) == {"q01"}
     assert out["q01"]["prior_round"] == "BENCH_r10.json"
+    assert out["q01"]["prior_value"] == 1.5
+    assert out["q01"]["prior_stat"] == "median"
     assert out["q01"]["prior_median"] == 1.5
+
+
+def test_bandless_legacy_prior_labeled_best(tmp_path):
+    """A legacy artifact without bands only has best-of-N — the stable
+    'prior_value' key must still be present, labeled 'best'."""
+    _write_prior(tmp_path, "BENCH_r02.json", {"queries": {"q01": 1.0}})
+    out = _suspect_interference({"q01": 5.0}, str(tmp_path))
+    assert out["q01"]["prior_value"] == 1.0
+    assert out["q01"]["prior_stat"] == "best"
+    assert out["q01"]["prior_best"] == 1.0
 
 
 def test_failed_and_unknown_rows_skipped(tmp_path):

@@ -336,16 +336,26 @@ def test_hash_split_null_id_and_negative_weight_rejected(spark):
 
 
 def test_sig_params_partial_metadata_mismatch_detected(spark):
-    """r9 review: metadata recording num_hashes/shingle_n but NOT bands
-    must still be validated — only a fully unrecorded sidecar skips."""
+    """r10 advice: a PARTIALLY-recorded hash-family sidecar is refused
+    outright — validating only the present keys would let a bands-only
+    record pass while num_hashes/shingle_n actually differ.  Only a
+    fully unrecorded sidecar skips the check; a full record is compared
+    exactly."""
     import pytest as _pytest
 
     from pride_spark.operators.curation import _check_sig_params
 
     df = spark.createDataFrame([("x",)], "digs_c string")
-    meta = {"num_hashes": 16, "shingle_n": 5}
-    df = df.withMetadata("digs_c", meta)
+    partial = df.withMetadata("digs_c", {"num_hashes": 16, "shingle_n": 5})
+    with _pytest.raises(ValueError, match="partial hash-family"):
+        _check_sig_params(partial, "c", num_hashes=8, bands=4, shingle_n=3)
+    # even all-matching present keys are refused when a key is missing
+    with _pytest.raises(ValueError, match="partial hash-family"):
+        _check_sig_params(partial, "c", num_hashes=16, bands=4, shingle_n=5)
+    # fully unrecorded sidecar: pre-metadata frame, skip
+    _check_sig_params(df, "c", num_hashes=8, bands=4, shingle_n=3)
+    # full record: exact compare
+    full = df.withMetadata("digs_c", {"num_hashes": 16, "bands": 4, "shingle_n": 5})
+    _check_sig_params(full, "c", num_hashes=16, bands=4, shingle_n=5)
     with _pytest.raises(ValueError, match="built with"):
-        _check_sig_params(df, "c", num_hashes=8, bands=4, shingle_n=3)
-    # matching recorded values pass even with keys missing
-    _check_sig_params(df, "c", num_hashes=16, bands=4, shingle_n=5)
+        _check_sig_params(full, "c", num_hashes=8, bands=4, shingle_n=3)

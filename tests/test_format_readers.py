@@ -1001,22 +1001,24 @@ def test_pridexml_decoy_any_of_cv_lists(spark, tmp_path):
 
 
 def test_mgf_third_peak_column_and_global_headers(spark, tmp_path):
-    """r9 review: Mascot-MGF features — an optional third (charge) peak
-    column must not silently drop every peak, and parameters before the
-    first BEGIN IONS are file-wide defaults that LOCAL values override."""
+    """r9 review + r10 advice: Mascot-MGF features — an optional third
+    (charge) peak column must not silently drop every peak; CHARGE before
+    the first BEGIN IONS is a file-wide default that LOCAL values
+    override; TITLE/PEPMASS/RTINSECONDS are per-query-only keys, so a
+    stray preamble line must NOT propagate to blocks lacking them."""
     from pride_spark.sources.mgf import read_mgf
 
     p = tmp_path / "mascot.mgf"
     p.write_text(
-        "CHARGE=2+ and 3+\n"            # global default
-        "RTINSECONDS=7.5\n"             # global default
+        "CHARGE=2+ and 3+\n"            # global default (spec-sanctioned)
+        "RTINSECONDS=7.5\n"             # stray: RT is per-query only
         "BEGIN IONS\n"
-        "TITLE=s0\nPEPMASS=445.12\nCHARGE=3+\n"   # local overrides global
+        "TITLE=s0\nPEPMASS=445.12\nCHARGE=3+\nRTINSECONDS=12.5\n"
         "100.25 10.0 1+\n"              # 3-column peak line
         "200.5 20.0\n"
         "END IONS\n"
         "BEGIN IONS\n"
-        "TITLE=s1\nPEPMASS=512.9\n"     # no local CHARGE/RT → globals apply
+        "TITLE=s1\nPEPMASS=512.9\n"     # no local CHARGE → global applies
         "300.75 30.0 2\n"
         "END IONS\n"
     )
@@ -1024,10 +1026,10 @@ def test_mgf_third_peak_column_and_global_headers(spark, tmp_path):
     assert rows[0]["masses"] == [100.25, 200.5]
     assert rows[0]["intensities"] == [10.0, 20.0]
     assert rows[0]["precursorCharge"] == 3      # local beats global
-    assert rows[0]["retentionTime"] == 7.5      # global default applies
+    assert rows[0]["retentionTime"] == 12.5     # local value
     assert rows[1]["masses"] == [300.75]
-    assert rows[1]["precursorCharge"] == 2      # global default
-    assert rows[1]["retentionTime"] == 7.5
+    assert rows[1]["precursorCharge"] == 2      # global default (CHARGE only)
+    assert rows[1]["retentionTime"] is None     # stray preamble RT ignored
 
 
 def test_pkl_reader_crlf(spark, tmp_path):
