@@ -2198,38 +2198,77 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Combined FDR score (SURVEY §2.6 ⚙; PIAModelerService.java:76) — per
 # engine-combination q-values; exercises the partitioned FDR window path.
+# kind='psm_sets' (round 10, same 50-entry-cap fold technique as q48/q43):
+# the merged-analysis critical path — PIA's createPSMSets(true) grouping
+# (group_psm_sets; PIAModelerService.java:111-114) composed with set-level
+# combined FDR.  The oracle replays the full set semantics in SQL: best
+# member by (score DESC, file, psmId), all-decoy vote, sorted-distinct
+# engine key, then the same interpolated-FDR chain PARTITIONED BY
+# (kind, engineSet).
 # ---------------------------------------------------------------------------
 @register(
     "q45_combined_fdr",
     """
-    WITH scored AS (
-      SELECT o_orderkey,
+    WITH psms AS (
+      SELECT 'f' || CAST(l_linenumber % 3 AS VARCHAR) AS fileName,
+             l_orderkey AS spectrumKey,
+             'P' || CAST(l_partkey % 10 AS VARCHAR) AS seq,
+             2 + l_suppkey % 2 AS charge,
+             l_extendedprice AS score,
+             (l_returnflag = 'R') AS isDecoy,
+             'eng' || CAST(l_suppkey % 3 AS VARCHAR) AS engine,
+             l_orderkey * 10 + l_linenumber AS psmId
+      FROM lineitem
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY spectrumKey, seq, charge
+                                ORDER BY score DESC, fileName, psmId) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY spectrumKey, seq, charge)
+                  AS INTEGER) AS setSize,
+             BOOL_AND(isDecoy) OVER (PARTITION BY spectrumKey, seq, charge)
+               AS setDecoy
+      FROM psms
+    ), engines AS (
+      SELECT spectrumKey, seq, charge,
+             ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT engine)), ';') AS engineSet
+      FROM psms GROUP BY 1, 2, 3
+    ), sets AS (
+      SELECT r.psmId AS key, e.engineSet, r.score, r.setDecoy AS isDecoy,
+             r.setSize
+      FROM ranked r JOIN engines e USING (spectrumKey, seq, charge)
+      WHERE r.rn = 1
+    ), scored AS (
+      SELECT 'orders' AS kind, o_orderkey AS key,
              o_orderpriority AS engineSet,
              o_totalprice AS score,
-             (o_orderstatus = 'F') AS isDecoy
+             (o_orderstatus = 'F') AS isDecoy,
+             CAST(NULL AS INTEGER) AS setSize
       FROM orders
+      UNION ALL
+      SELECT 'psm_sets', key, engineSet, score, isDecoy, setSize FROM sets
     ), cume AS (
-      SELECT o_orderkey, engineSet, score, isDecoy,
+      SELECT kind, key, engineSet, score, isDecoy, setSize,
         SUM(CASE WHEN isDecoy THEN 1 ELSE 0 END) OVER w AS cd,
         SUM(CASE WHEN isDecoy THEN 0 ELSE 1 END) OVER w AS ct
       FROM scored
-      WINDOW w AS (PARTITION BY engineSet ORDER BY score DESC
+      WINDOW w AS (PARTITION BY kind, engineSet ORDER BY score DESC
                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ), f AS (
-      SELECT o_orderkey, engineSet, score, isDecoy,
+      SELECT kind, key, engineSet, score, isDecoy, setSize,
              cd / GREATEST(ct, 1) AS fdr
       FROM cume
     ), q AS (
-      SELECT o_orderkey, engineSet, score, isDecoy,
-             MIN(fdr) OVER (PARTITION BY engineSet ORDER BY score DESC
-                            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS qv
+      SELECT kind, key, engineSet, score, isDecoy, setSize,
+             MIN(fdr) OVER (PARTITION BY kind, engineSet ORDER BY score DESC
+                            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS qv
       FROM f
     ), marked AS (
       SELECT *,
              CASE WHEN LAG(qv) OVER w IS NULL OR qv > LAG(qv) OVER w
                   THEN 1 ELSE 0 END AS is_step
       FROM q
-      WINDOW w AS (PARTITION BY engineSet ORDER BY score DESC)
+      WINDOW w AS (PARTITION BY kind, engineSet ORDER BY score DESC)
     ), stepped AS (
       SELECT *,
              CASE WHEN is_step = 1 THEN score END AS sx,
@@ -2246,12 +2285,12 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- RANGE, not ROWS: tie-stable knot visibility (all score-peers in
         -- frame; the one non-null step struct per group wins IGNORE NULLS
         -- regardless of intra-tie order) — mirrors fdr.combined_fdr_score
-        wf AS (PARTITION BY engineSet ORDER BY score DESC
+        wf AS (PARTITION BY kind, engineSet ORDER BY score DESC
                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        wb AS (PARTITION BY engineSet ORDER BY score ASC
+        wb AS (PARTITION BY kind, engineSet ORDER BY score ASC
                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
-    SELECT o_orderkey, engineSet, isDecoy,
+    SELECT kind, key, engineSet, isDecoy, setSize,
            CASE WHEN px IS NULL OR nx IS NULL OR nx = px THEN qv
                 ELSE pq + (nq - pq) * ((score - px) / (nx - px)) END
              AS combinedFdrScore
@@ -2259,17 +2298,56 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q45_combined_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pride_spark.operators.fdr import combined_fdr_score
+    from pride_spark.operators.fdr import combined_fdr_score, group_psm_sets
 
+    # kind='orders': the original per-engine-set interpolated FDR
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderpriority").alias("engineSet"),
         F.col("o_totalprice").alias("score"),
         (F.col("o_orderstatus") == "F").alias("isDecoy"),
     )
-    return combined_fdr_score(o, "score", "isDecoy", "engineSet").select(
-        "o_orderkey", "engineSet", "isDecoy", "combinedFdrScore"
+    orders_part = combined_fdr_score(o, "score", "isDecoy", "engineSet").select(
+        F.lit("orders").alias("kind"),
+        F.col("o_orderkey").alias("key"),
+        "engineSet",
+        "isDecoy",
+        F.lit(None).cast("int").alias("setSize"),
+        "combinedFdrScore",
     )
+    # kind='psm_sets': lineitem as a three-result-file merged submission —
+    # (spectrumKey, sequence, charge) collide across fileName values, so
+    # group_psm_sets exercises real multi-member sets (best-member score,
+    # all-decoy vote, sorted engine key), then set-level combined FDR
+    # ranks the SETS — exactly the createPSMSets(true) composition.
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("f"), (F.col("l_linenumber") % 3).cast("string")).alias(
+            "fileName"
+        ),
+        F.col("l_orderkey").alias("spectrumKey"),
+        F.concat(F.lit("P"), (F.col("l_partkey") % 10).cast("string")).alias(
+            "peptideSequence"
+        ),
+        (F.lit(2) + F.col("l_suppkey") % 2).cast("int").alias("precursorCharge"),
+        F.col("l_extendedprice").alias("score"),
+        (F.col("l_returnflag") == "R").alias("isDecoy"),
+        F.concat(F.lit("eng"), (F.col("l_suppkey") % 3).cast("string")).alias(
+            "scoreAccession"
+        ),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("psmId"),
+    )
+    sets = group_psm_sets(
+        li, spectrum_key_col="spectrumKey", consider_modifications=False
+    )
+    sets_part = combined_fdr_score(sets, "score", "isDecoy", "engineSet").select(
+        F.lit("psm_sets").alias("kind"),
+        F.col("psmId").alias("key"),
+        "engineSet",
+        "isDecoy",
+        F.col("setSize").cast("int").alias("setSize"),
+        "combinedFdrScore",
+    )
+    return orders_part.unionByName(sets_part)
 
 
 # ---------------------------------------------------------------------------
