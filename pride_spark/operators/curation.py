@@ -462,31 +462,25 @@ def incremental_near_dup_flags(
         "id_c", "digs_c", "dg_c", F.posexplode("digs_c").alias("band", "bucket")
     )
     if max_bucket is not None:
-        from pyspark.sql import Window
+        # cap + null-masked band rebuild (shared lsh_common primitives —
+        # same contract as lsh_candidate_pairs: first-agreement falls
+        # through to the first surviving band)
+        from pride_spark.operators.lsh_common import cap_buckets, rebuild_masked_digests
 
-        wb = Window.partitionBy("band", "bucket")
         corpus_banded = (
-            corpus_banded.withColumn("__bsz", F.count("*").over(wb))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
+            rebuild_masked_digests(
+                cap_buckets(corpus_banded, ["band", "bucket"], max_bucket),
+                id_cols=["id_c"],
+                bands=bands,
+                out_digs="digs_c",
+                carry=["dg_c"],
+            )
+            .select(
+                "id_c", "digs_c", "dg_c",
+                F.posexplode("digs_c").alias("band", "bucket"),
+            )
+            .filter(F.col("bucket").isNotNull())
         )
-        # mask capped bands out of the carried corpus digest arrays so
-        # first-agreement falls through to the first surviving band (the
-        # same pivoted-max gather as lsh_candidate_pairs)
-        per_id = corpus_banded.groupBy("id_c").agg(
-            F.first("dg_c").alias("dg_c"),
-            *[
-                F.max(F.when(F.col("band") == b, F.col("bucket"))).alias(f"__b{b}")
-                for b in range(bands)
-            ],
-        )
-        corpus_banded = per_id.select(
-            "id_c",
-            "dg_c",
-            F.array(*[F.col(f"__b{b}") for b in range(bands)]).alias("digs_c"),
-        ).select(
-            "id_c", "digs_c", "dg_c", F.posexplode("digs_c").alias("band", "bucket")
-        ).filter(F.col("bucket").isNotNull())
 
     new_banded = new.select(
         "id_n", "digs_n", "dg_n", F.posexplode("digs_n").alias("band", "bucket")

@@ -269,31 +269,18 @@ def lsh_candidate_pairs(
     # buckets never equi-join.
     perid = sigs.filter(F.col("mh0").isNotNull()).select(F.col("id"), digs.alias("digs"))
     if max_bucket is not None:
-        from pyspark.sql import Window
+        # cap + null-masked band rebuild (shared lsh_common primitives:
+        # a capped band can never be the first agreement, so
+        # first-collision falls through to the first SURVIVING band)
+        from pride_spark.operators.lsh_common import cap_buckets, rebuild_masked_digests
 
         banded0 = perid.select(
-            "id", "digs", F.posexplode("digs").alias("band", "bucket")
+            "id", F.posexplode("digs").alias("band", "bucket")
         )
-        wb = Window.partitionBy("band", "bucket")
-        flagged = banded0.withColumn("__surv", F.count("*").over(wb) <= max_bucket)
-        # Rebuild the per-id digest array with capped bands masked to NULL
-        # (NULL==NULL is NULL, never TRUE, so a capped band can't be the
-        # first agreement) and re-explode only the surviving bands.  One
-        # extra id-keyed shuffle — paid only on the capped
-        # (adversarial-skew) path.  ``bands`` is a literal, so the gather
-        # is a PIVOTED max-per-band aggregate (map-side combinable scalar
-        # aggs) rather than collect_list+sort of structs — ~25% cheaper on
-        # the q24 plan at sf0.1, identical output.
-        per_id = flagged.groupBy("id").agg(
-            *[
-                F.max(
-                    F.when((F.col("band") == b) & F.col("__surv"), F.col("bucket"))
-                ).alias(f"__b{b}")
-                for b in range(bands)
-            ]
-        )
-        perid = per_id.select(
-            "id", F.array(*[F.col(f"__b{b}") for b in range(bands)]).alias("digs")
+        perid = rebuild_masked_digests(
+            cap_buckets(banded0, ["band", "bucket"], max_bucket),
+            id_cols=["id"],
+            bands=bands,
         )
     extra = [c for c in payload.columns if c != "id"] if payload is not None else []
     if payload is not None:

@@ -46,6 +46,7 @@ from pyspark.storagelevel import StorageLevel
 
 from pride_spark.operators.dedup import jaccard_of_sets
 from pride_spark.operators.graph import connected_components
+from pride_spark.operators.lsh_common import cap_buckets
 from pride_spark.session import register_pinned
 
 
@@ -255,15 +256,12 @@ def _pbs(precursor_window: float) -> Column:
     )
 
 
-def _cap_frame(frame: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
-    if max_bucket is None:
-        return frame
-    wb = Window.partitionBy(*keys)
-    return (
-        frame.withColumn("__bsz", F.count("*").over(wb))
-        .filter(F.col("__bsz") <= max_bucket)
-        .drop("__bsz")
-    )
+# bucket-size cap: shared lsh_common primitive.  NOTE this path uses the
+# cap ALONE (no null-masked band rebuild): by the documented contract a
+# pair whose first-colliding bucket is capped counts as cap-dropped even
+# if a later bucket survives — over-cap spectra are mutually
+# near-identical and collapsed upstream.
+_cap_frame = cap_buckets
 
 
 def _first_block() -> Column:
