@@ -184,15 +184,28 @@ def _decode_image_real(payload: bytes) -> bytes:
     return _decode_png_builtin(payload)
 
 
-def image_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
+def image_features(media: DataFrame, decoder="stub") -> DataFrame:
     """Arrow-batched feature extraction over image payloads.
 
     Real plumbing: ``mapInPandas`` receives pandas batches (zero-copy via
     Arrow for binary), emits a narrow feature table.  The per-byte stats
     and the 64-bit perceptual-hash stand-in run over either the stub
     'pixels' (the payload) or the PIL-decoded RGB bytes (``decoder="real"``).
+
+    ``decoder`` may also be a CALLABLE — the third-party-codec injection
+    point (e.g. a JPEG library wrapper).  Contract: ``payload: bytes ->
+    decoded pixel bytes``; ``None`` payloads reach the callable (raise
+    like the built-ins if unsupported); exceptions PROPAGATE and fail the
+    task (strict, like ``decoder="real"`` — wrap with your own
+    try/except for best-effort).  The callable is pickled to executors,
+    so it must be self-contained or importable there.
     """
-    decode = _decode_image_real if _pick(decoder, "image") == "real" else _decode_image
+    if callable(decoder):
+        decode = decoder
+    else:
+        decode = (
+            _decode_image_real if _pick(decoder, "image") == "real" else _decode_image
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -263,7 +276,7 @@ def _decode_audio_real(payload: bytes) -> list[int]:
     return [int(v) for v in data.reshape(-1)]
 
 
-def audio_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
+def audio_features(media: DataFrame, decoder="stub") -> DataFrame:
     """Arrow-batched waveform features over audio payloads.
 
     Same plumbing contract as :func:`image_features`: ``mapInPandas``
@@ -278,8 +291,20 @@ def audio_features(media: DataFrame, decoder: str = "stub") -> DataFrame:
     ``decoded_real`` flag saying which kernel produced it, so mixed
     best-effort output is distinguishable downstream (a corrupt RIFF that
     fell back to stub arithmetic is flagged False).
+
+    ``decoder`` may also be a CALLABLE — the third-party-codec injection
+    point (e.g. an mp3 library wrapper).  Contract: ``payload: bytes ->
+    list[int]`` signed samples; exceptions PROPAGATE (strict); output
+    rows carry ``decoded_real=True``.  The callable is pickled to
+    executors, so it must be self-contained or importable there.
     """
-    if decoder == "auto":
+    if callable(decoder):
+        _user = decoder
+
+        def decode(p):
+            return _user(p), True
+
+    elif decoder == "auto":
 
         def decode(p):
             try:

@@ -267,3 +267,159 @@ def test_sample_frames_real_decode(spark):
         # builtin parser: exact sampling arithmetic is deterministic
         assert len(out) == 2
         assert [bytes(r["frame"])[-1] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 5]
+
+
+# ---------------------------------------------------------------------------
+# Third-party codec injection (r10 verdict task 3): a REAL pure-python
+# baseline JPEG codec (tests/codec_jpeg.py) injected through `decoder=`
+# proves the contract a user wiring Pillow/ffmpeg depends on — callable
+# signature, strict error channel, Arrow batch boundaries.
+# ---------------------------------------------------------------------------
+
+
+def _ship_codec(spark):
+    """Ship the codec module to executor python workers — the same
+    ``addPyFile`` route a production user takes to deploy a third-party
+    codec wrapper cluster-wide (the injected callable is pickled BY
+    REFERENCE to its module, which must be importable on executors)."""
+    import os
+
+    spark.sparkContext.addPyFile(
+        os.path.join(os.path.dirname(__file__), "codec_jpeg.py")
+    )
+
+
+def _jpeg_media(spark, n=12):
+    """n baseline JPEGs with known flat-block pixels (exact round-trip)."""
+    from codec_jpeg import encode_gray
+
+    rows = []
+    for i in range(n):
+        v1, v2 = (i * 17) % 256, (i * 31 + 5) % 256
+        px = [[v1] * 8 + [v2] * 8 for _ in range(8)]
+        rows.append(
+            (i, "image", bytearray(encode_gray(px)), "image/jpeg", 16, 8, None)
+        )
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA), rows
+
+
+def test_injected_jpeg_decoder_contract(spark):
+    """Schema + values: image_features(decoder=<callable>) runs the
+    injected codec inside mapInPandas and the features reflect the
+    DECODED RGB pixels, not the compressed payload."""
+    _ship_codec(spark)
+    from codec_jpeg import decode_rgb
+
+    media, rows = _jpeg_media(spark)
+    feats = mm.image_features(media, decoder=decode_rgb)
+    assert feats.schema.simpleString() == mm.IMAGE_FEATURES_SCHEMA.simpleString()
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == len(rows)
+    for i, _, payload, *_ in rows:
+        rgb = decode_rgb(bytes(payload))
+        assert got[i]["n_bytes"] == len(rgb) == 16 * 8 * 3
+        assert got[i]["byte_mean"] == int(sum(rgb) / len(rgb))
+        assert got[i]["phash"] == int.from_bytes(rgb[:8], "big", signed=True)
+
+
+def test_injected_decoder_error_channel(spark):
+    """Strict contract: an undecodable payload FAILS the task (the
+    injected codec's exception propagates — no silent fallback)."""
+    _ship_codec(spark)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from codec_jpeg import decode_rgb
+
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(b"not a jpeg at all"), "image/jpeg", 0, 0, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="not a JPEG|SOI"):
+        mm.image_features(bad, decoder=decode_rgb).collect()
+
+
+def test_injected_decoder_batch_boundaries(spark):
+    """Batch-shape contract: with a tiny Arrow batch size and several
+    partitions, every media_id comes back exactly once — the kernel
+    respects batch iteration (no cross-batch state, no dropped tails)."""
+    _ship_codec(spark)
+    from codec_jpeg import decode_rgb
+
+    media, rows = _jpeg_media(spark, n=23)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        feats = mm.image_features(media.repartition(5), decoder=decode_rgb)
+        ids = [r["media_id"] for r in feats.collect()]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert sorted(ids) == list(range(23))
+
+
+def test_injected_audio_decoder_flags_real(spark):
+    """audio_features(decoder=<callable>): samples come from the
+    injected codec and rows are flagged decoded_real=True."""
+    _ship_codec(spark)
+    # a "third-party" big-endian 16-bit PCM decoder (builtin paths are
+    # RIFF/8-bit only — this codec is genuinely new behavior)
+    def decode_be16(p):
+        if p is None or len(p) % 2:
+            raise ValueError("be16 decode: bad payload")
+        return [
+            int.from_bytes(p[i : i + 2], "big", signed=True)
+            for i in range(0, len(p), 2)
+        ]
+
+    payload = b"\x00\x01\xff\xff\x80\x00\x7f\xff"  # 1, -1, -32768, 32767
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(payload), "audio/pcm", None, None, 1)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.audio_features(media, decoder=decode_be16).collect()
+    assert len(rows) == 1 and rows[0]["decoded_real"] is True
+    w = [1, -1, -32768, 32767]
+    assert rows[0]["n_samples"] == 4
+    assert rows[0]["rms"] == int((sum(s * s for s in w) / len(w)) ** 0.5)
+    assert rows[0]["zero_crossings"] == 2
+
+
+def test_injected_jpeg_decoder_matches_builtin_contract_on_png(spark):
+    """Interchangeability: the SAME media pipeline runs with the builtin
+    real decoder (PNG) and an injected codec (JPEG) — identical schema,
+    identical feature arithmetic over each codec's decoded pixels."""
+    _ship_codec(spark)
+    from codec_jpeg import decode_rgb, encode_gray
+
+    # one flat image encoded BOTH ways; gray value 77 everywhere
+    px = [[77] * 16 for _ in range(16)]
+    jpeg = encode_gray(px)
+
+    import struct
+    import zlib
+
+    raw = b"".join(b"\x00" + bytes([77, 77, 77] * 16) for _ in range(16))
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    m_png = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png", 16, 16, None)], mm.MEDIA_SCHEMA
+    )
+    m_jpg = spark.createDataFrame(
+        [(1, "image", bytearray(jpeg), "image/jpeg", 16, 16, None)], mm.MEDIA_SCHEMA
+    )
+    a = mm.image_features(m_png, decoder="real").collect()[0]
+    b = mm.image_features(m_jpg, decoder=decode_rgb).collect()[0]
+    assert a == b  # same decoded pixels -> identical feature row
