@@ -42,6 +42,7 @@ def add_fdr_qvalue(
     out_qvalue: str = "qvalue",
     scalable: bool = True,
     num_range_partitions: int | None = None,
+    lazy: bool = False,
 ) -> DataFrame:
     """Append ``fdr`` and ``qvalue`` columns.
 
@@ -49,6 +50,21 @@ def add_fdr_qvalue(
     ``partition_cols`` the computation is per-group (already distributed);
     without, ``scalable=True`` uses the two-pass global pattern and
     ``scalable=False`` a single global window (test/oracle path only).
+
+    .. note:: **The global two-pass path MATERIALIZES eagerly.**  Its
+       two boundary collects (per-bucket totals + per-bucket minima) are
+       inherent to the shape, and the returned frame is an eager
+       ``localCheckpoint`` so both intermediate caches can be released
+       immediately instead of pinning executor storage for the session's
+       lifetime (cache hygiene beats lazy purity here; decision recorded
+       in ARCHITECTURE.md).  A plan-only caller — one that only wants to
+       compose/``explain`` without paying a full materialization yet —
+       can pass ``lazy=True``: the checkpoint is skipped and the plan
+       returned lazily, at the cost of the two intermediate caches
+       staying pinned until the result is computed and
+       ``session.release_cached_state`` (or session end) frees them.
+       The per-group and non-scalable paths are always lazy; ``lazy``
+       has no effect there.
     """
     if better not in ("higher", "lower"):
         raise ValueError("better must be 'higher' or 'lower'")
@@ -85,7 +101,8 @@ def add_fdr_qvalue(
         return df.withColumn(out_qvalue, F.min(out_fdr).over(w_rev))
 
     return _global_two_pass(
-        df, score_col, decoy, target, better, out_fdr, out_qvalue, num_range_partitions
+        df, score_col, decoy, target, better, out_fdr, out_qvalue,
+        num_range_partitions, lazy,
     )
 
 
@@ -98,6 +115,7 @@ def _global_two_pass(
     out_fdr: str,
     out_qvalue: str,
     num_range_partitions: int | None,
+    lazy: bool = False,
 ) -> DataFrame:
     """Distributed global-order FDR: value-derived buckets + broadcast offsets.
 
@@ -184,6 +202,13 @@ def _global_two_pass(
         )
         .drop(_KEY, _PID, "__off_d", "__off_t", "__later_min")
     )
+    if lazy:
+        # plan-only escape hatch (see add_fdr_qvalue docstring): no
+        # checkpoint, no materialization; the two intermediate caches
+        # stay pinned (they're register_pinned, so release_cached_state
+        # frees them) because unpersisting here would make first use
+        # recompute the whole two-pass pipeline cacheless.
+        return out
     # materialize the result once so BOTH intermediate caches can be
     # released now — a bare persist here would pin executor storage for the
     # session's lifetime; the checkpoint blocks are instead freed by the

@@ -1398,16 +1398,18 @@ def q33_mgf_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.col("l_quantity").cast("double"), F.lit(7.25)).alias("masses"),
         F.array(F.lit(1.0), F.col("l_discount").cast("double")).alias("intensities"),
     )
-    # peak_format="decimal": the fixture peaks are exact at ≤2 decimals
-    # (integers, 7.25, 1.0, 0.00–0.10 step 0.01), where the fast decimal
-    # formatter is provably identical to the %10.3f reference formatter
-    # (agreement asserted in test_sources_sinks.py); the writer default
-    # stays "exact".
+    # peak_format="exact" — the writer DEFAULT, so the bench row times
+    # the contract path (r9 verdict honesty note: the earlier "decimal"
+    # row flattered the default by ~1.4×).  On this fixture domain
+    # (integers, 7.25, 1.0, 0.00–0.10 step 0.01) both formatters are
+    # provably identical to the oracle's %10.3f (agreement asserted in
+    # test_sources_sinks.py), so the oracle is unchanged; the fast
+    # "decimal" opt-in remains available on write_mgf.
     return s.select(
         "usi",
         mgf_record(
             F.col("usi"), F.col("peptidoform"), F.col("mz"), F.col("z"),
-            F.col("masses"), F.col("intensities"), peak_format="decimal",
+            F.col("masses"), F.col("intensities"), peak_format="exact",
         ).alias("mgf"),
     )
 

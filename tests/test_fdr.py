@@ -69,6 +69,23 @@ def test_scalable_equals_naive(scored):
     assert n == s
 
 
+def test_lazy_two_pass_equals_eager(scored):
+    """r10: lazy=True (the plan-only escape hatch) skips the eager
+    localCheckpoint but yields identical values; the eager default's
+    plan shows the checkpointed scan where the lazy plan keeps the
+    window pipeline."""
+    rows, df = scored
+    eager = add_fdr_qvalue(df, "score", "isDecoy", num_range_partitions=5)
+    lazy = add_fdr_qvalue(df, "score", "isDecoy", num_range_partitions=5, lazy=True)
+    e = {r["id"]: (r["fdr"], r["qvalue"]) for r in eager.collect()}
+    l = {r["id"]: (r["fdr"], r["qvalue"]) for r in lazy.collect()}
+    assert e == l
+    # eager: the returned frame IS a checkpointed RDD scan; lazy: still
+    # the un-materialized window pipeline
+    assert "LogicalRDD" in eager._jdf.queryExecution().analyzed().toString()
+    assert "Window" in lazy._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_qvalue_monotone_in_score(scored):
     _, df = scored
     out = add_fdr_qvalue(df, "score", "isDecoy", scalable=True).collect()
