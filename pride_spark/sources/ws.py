@@ -71,8 +71,75 @@ def fetch_project_files(
     )
 
 
+#: exact field sets the reference DTOs consume — everything else in the
+#: live payload is ignored (Jackson @JsonIgnoreProperties semantics).
+#: Ref: ws/PrideProject.java:12-66, ws/PrideFile.java:12-68.
+PROJECT_FIELDS = (
+    "accession", "title", "organisms", "organismParts", "diseases",
+    "publicationDate",
+)
+FILE_FIELDS = (
+    "projectAccessions", "accession", "fileName", "publicFileLocations",
+    "publicationDate", "fileCategory",
+)
+
+
+def normalize_pride_project(raw: dict) -> dict:
+    """Raw ``projects/{accession}`` payload → the consumed field subset.
+
+    Mirrors the reference's Jackson binding (``PrideProject.java:12-66``):
+    unknown fields dropped, the six consumed fields kept verbatim.
+    Raises ``KeyError`` when a REQUIRED field (accession) is absent —
+    schema drift should fail loudly at the edge, not as downstream nulls.
+    """
+    if "accession" not in raw:
+        raise KeyError("projects payload lost 'accession' — PRIDE API drift?")
+    return {k: raw.get(k) for k in PROJECT_FIELDS}
+
+
+def normalize_pride_files(raw_files: list[dict]) -> list[dict]:
+    """Raw ``files/byProject`` payload → PROJECT_FILE-shaped dicts.
+
+    Flattens the nested ``fileCategory`` CvParam into the
+    (fileCategoryAccession, fileCategoryValue) pair the filter stack
+    keys on (the reference reads ``fileCategory.getAccession()`` /
+    ``...getName()`` — ``PrideArchiveWebService.java:96-111``), and
+    projects ``publicFileLocations`` down to the (accession, name,
+    value) triple the FTP-location lookup consumes (``:117``).
+    """
+    out = []
+    for f in raw_files:
+        if "fileName" not in f:
+            raise KeyError("files payload lost 'fileName' — PRIDE API drift?")
+        cat = f.get("fileCategory") or {}
+        out.append(
+            {
+                "accession": f.get("accession"),
+                "fileName": f["fileName"],
+                "fileCategoryAccession": cat.get("accession"),
+                "fileCategoryValue": cat.get("name"),
+                "publicFileLocations": [
+                    {
+                        "accession": loc.get("accession"),
+                        "name": loc.get("name"),
+                        "value": loc.get("value"),
+                    }
+                    for loc in (f.get("publicFileLocations") or [])
+                ],
+                "publicationDate": f.get("publicationDate"),
+            }
+        )
+    return out
+
+
 def project_files_df(spark: SparkSession, files: list[dict]) -> DataFrame:
-    """PrideFile dicts → DataFrame with the explicit PROJECT_FILE schema."""
+    """PrideFile dicts → DataFrame with the explicit PROJECT_FILE schema.
+
+    Accepts either pre-flattened PROJECT_FILE dicts or raw API payloads
+    (detected by the nested ``fileCategory`` key → routed through
+    :func:`normalize_pride_files`)."""
+    if files and isinstance(files[0], dict) and "fileCategory" in files[0]:
+        files = normalize_pride_files(files)
     return spark.createDataFrame(files, schemas.PROJECT_FILE)
 
 
