@@ -1,0 +1,140 @@
+"""Collect-free value gate for factor-50+ scales.
+
+The sf1 gate hashes by collecting the full Spark result into pandas —
+at factor 50 the wide-output queries (q33's MGF records, q39's
+regrouped PTM rows) exceed ``spark.driver.maxResultSize`` (>1 GiB of
+strings), so full-result hashing stops being a harness option long
+before the ENGINE has any problem.  This gate keeps value-level
+equality without collecting anything: each engine reduces its own
+result to ``(row_count, SUM(int(md5(row)[:15], 16)))`` — an
+order-independent commutative fingerprint — and only the two scalars
+cross the driver.
+
+Portability: every gated query emits ONLY string columns (asserted), so
+the row line (columns sorted by name, joined with US, NULL → NUL) and
+its md5 are byte-identical across Spark and DuckDB; the 60-bit hash
+prefix summed into a 128-bit accumulator (decimal(38,0) / HUGEINT)
+cannot overflow below ~10^19 rows.  Float columns would NOT be portable
+this way (formatting differs across engines) — the gate refuses them.
+
+Usage:
+    python tools/f50_value_gate.py --sf-dir /tmp/sf5 \
+        [--queries q33_mgf_record,q39_mod_regroup] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+US, NUL = "\x1f", "\x02"  # NUL is not representable in a DuckDB varchar literal
+
+
+def spark_fingerprint(df):
+    from pyspark.sql import functions as F
+
+    bad = [c for c, t in df.dtypes if t != "string"]
+    if bad:
+        raise ValueError(f"non-string columns not portable for this gate: {bad}")
+    cols = sorted(df.columns)
+    line = F.concat_ws(US, *[F.coalesce(F.col(c), F.lit(NUL)) for c in cols])
+    row = df.select(
+        F.conv(F.substring(F.md5(line), 1, 15), 16, 10)
+        .cast("decimal(38,0)")
+        .alias("h")
+    )
+    r = row.agg(F.count("*").alias("n"), F.sum("h").alias("s")).first()
+    return int(r["n"]), int(r["s"])
+
+
+def duckdb_fingerprint(con, oracle_sql: str):
+    cols = [d[0] for d in con.sql(f"SELECT * FROM ({oracle_sql}) LIMIT 0").description]
+    line = " || chr(31) || ".join(
+        f"COALESCE(CAST({_q(c)} AS VARCHAR), chr(2))" for c in sorted(cols)
+    )
+    q = f"""
+    SELECT COUNT(*) AS n,
+           SUM(list_reduce(
+             list_transform(range(15), i ->
+               CAST(strpos('0123456789abcdef',
+                    substring(md5({line}), CAST(i+1 AS INT), 1)) - 1 AS HUGEINT)),
+             (acc, x) -> acc * 16 + x)) AS s
+    FROM ({oracle_sql})
+    """
+    r = con.sql(q).fetchone()
+    return int(r[0]), int(r[1])
+
+
+def _q(c: str) -> str:
+    return '"' + c.replace('"', '""') + '"'
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/tmp/sf5")
+    ap.add_argument("--queries", default="q33_mgf_record,q39_mod_regroup")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+    from pride_spark.session import get_spark, release_cached_state
+
+    spark = get_spark("f50-value-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf_dir}/{t}.parquet"
+        pattern = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pattern}'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    out, fails = {"sf_dir": args.sf_dir, "queries": {}}, 0
+    for name in args.queries.split(","):
+        name = name.strip()
+        t0 = time.time()
+        try:
+            n_s, h_s = spark_fingerprint(qs[name](spark, args.sf_dir))
+            t_spark = time.time() - t0
+            t0 = time.time()
+            n_d, h_d = duckdb_fingerprint(con, oracles[name])
+            t_duck = time.time() - t0
+            ok = n_s == n_d and h_s == h_d
+            out["queries"][name] = {
+                "rows_spark": n_s,
+                "rows_duckdb": n_d,
+                "hash_equal": ok,
+                "sec_spark": round(t_spark, 2),
+                "sec_duckdb": round(t_duck, 2),
+                "status": "PASS" if ok else "FAIL",
+            }
+        except Exception as exc:
+            out["queries"][name] = {"status": "ERROR", "err": repr(exc)[:200]}
+            ok = False
+        fails += 0 if ok else 1
+        print(f"  {name:28s} {out['queries'][name]['status']}", file=sys.stderr)
+        release_cached_state(spark)
+    out["n_pass"] = len(out["queries"]) - fails
+    out["n_fail"] = fails
+    payload = json.dumps(out, indent=1)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(payload)
+    print(payload)
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
