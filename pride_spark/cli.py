@@ -60,7 +60,19 @@ def cmd_get_related_files(args) -> int:
     if args.publication_date:
         date = args.publication_date
     else:
-        date = ws.fetch_project(args.project).get("publicationDate", "")
+        # normalize_pride_project is the drift guard: a payload that lost
+        # a consumed field raises HERE instead of flowing empty dates
+        # into the manifests
+        date = ws.normalize_pride_project(ws.fetch_project(args.project))[
+            "publicationDate"
+        ]
+        if not date:
+            print(
+                f"ABORT: projects/{args.project} returned no publicationDate "
+                "(PRIDE API drift?) — pass --publication-date explicitly",
+                file=sys.stderr,
+            )
+            return 1
     sd = read_mzid_spectra_data(spark, args.result_files)
     rel = ws.related_spectra_manifest(sd, ws.project_files_df(spark, files), date)
     write_related_spectra_manifest(rel, args.output)
@@ -217,7 +229,6 @@ def cmd_generate_index_files(args) -> int:
         StorageLevel.MEMORY_AND_DISK
     )
     archive = out["archive_spectra"]
-    out["archive_spectra"] = archive
     write_jsonlines(archive, f"{args.output_dir}/archive_spectra")
     write_jsonlines(out["summary_spectra"], f"{args.output_dir}/summary_spectra")
     write_jsonlines(out["protein_evidence"], f"{args.output_dir}/protein_evidence")

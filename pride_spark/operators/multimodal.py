@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import importlib.util
 import shutil
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -184,7 +184,9 @@ def _decode_image_real(payload: bytes) -> bytes:
     return _decode_png_builtin(payload)
 
 
-def image_features(media: DataFrame, decoder="stub") -> DataFrame:
+def image_features(
+    media: DataFrame, decoder: str | Callable[[bytes], bytes] = "stub"
+) -> DataFrame:
     """Arrow-batched feature extraction over image payloads.
 
     Real plumbing: ``mapInPandas`` receives pandas batches (zero-copy via
@@ -276,7 +278,9 @@ def _decode_audio_real(payload: bytes) -> list[int]:
     return [int(v) for v in data.reshape(-1)]
 
 
-def audio_features(media: DataFrame, decoder="stub") -> DataFrame:
+def audio_features(
+    media: DataFrame, decoder: str | Callable[[bytes], "list[int]"] = "stub"
+) -> DataFrame:
     """Arrow-batched waveform features over audio payloads.
 
     Same plumbing contract as :func:`image_features`: ``mapInPandas``

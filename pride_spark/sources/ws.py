@@ -135,10 +135,17 @@ def normalize_pride_files(raw_files: list[dict]) -> list[dict]:
 def project_files_df(spark: SparkSession, files: list[dict]) -> DataFrame:
     """PrideFile dicts → DataFrame with the explicit PROJECT_FILE schema.
 
-    Accepts either pre-flattened PROJECT_FILE dicts or raw API payloads
-    (detected by the nested ``fileCategory`` key → routed through
-    :func:`normalize_pride_files`)."""
-    if files and isinstance(files[0], dict) and "fileCategory" in files[0]:
+    Accepts either pre-flattened PROJECT_FILE dicts or raw API payloads.
+    Detection scans EVERY file, not just the first (a raw list whose
+    first file happens to lack ``fileCategory`` must still normalize):
+    raw iff any file carries the nested ``fileCategory`` key, or none
+    carries the flattened ``fileCategoryAccession`` our own shaping
+    always emits."""
+    dicts = [f for f in files if isinstance(f, dict)]
+    if dicts and (
+        any("fileCategory" in f for f in dicts)
+        or not any("fileCategoryAccession" in f for f in dicts)
+    ):
         files = normalize_pride_files(files)
     return spark.createDataFrame(files, schemas.PROJECT_FILE)
 

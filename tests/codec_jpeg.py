@@ -8,8 +8,9 @@ entropy coding with FF byte-stuffing, FDCT + quantization) and the
 decoder parses the markers, rebuilds the Huffman tables FROM THE FILE,
 entropy-decodes, dequantizes, inverse-DCTs and unfilters — so any
 baseline grayscale JPEG with in-file tables decodes, not just our own
-output.  Scope kept to 8-bit grayscale (1 component, no subsampling,
-no restart markers): enough to prove the `decoder=` injection contract
+output.  Scope kept to 8-bit grayscale (1 component, no subsampling;
+restart intervals RAISE rather than mis-decode): enough to prove the
+`decoder=` injection contract
 (signature, error channel, batch boundaries) without shipping a
 600-line color pipeline into the test tree.
 
@@ -184,7 +185,18 @@ class _BitReader:
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
-                self.pos += 1  # skip stuffed 0x00
+                nxt = self.data[self.pos]
+                self.pos += 1
+                # only 0x00 is byte-stuffing; a marker inside the scan
+                # (RSTn needs a DC-predictor reset this decoder doesn't
+                # implement) must raise, not be silently swallowed as
+                # stuffing and mis-decode the rest of the image (r10
+                # review)
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"marker 0xFF{nxt:02X} inside entropy data "
+                        "(restart intervals unsupported)"
+                    )
             self.acc = b
             self.n = 8
         self.n -= 1
@@ -260,6 +272,8 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
             comp_q = body[8]
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xDD:  # DRI — restart intervals need predictor resets
+            raise ValueError("restart intervals (DRI) unsupported")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):

@@ -42,12 +42,30 @@ TABLES = [
 US, NUL = "\x1f", "\x02"  # NUL is not representable in a DuckDB varchar literal
 
 
-def spark_fingerprint(df):
+def spark_fingerprint(df, *, canonicalize_complex: bool = False):
+    """(row_count, SUM(int(md5(row)[:15], 16))) — order-independent.
+
+    The strict default refuses non-string columns (cross-engine float
+    formatting is not portable).  ``canonicalize_complex=True`` widens
+    to arbitrary schemas by ``to_json``-ing arrays/structs and casting
+    scalars to string — valid ONLY for Spark-vs-Spark comparison (e.g.
+    tools/stress_occam.py's driver==distributed parity), never against
+    DuckDB."""
     from pyspark.sql import functions as F
 
     bad = [c for c, t in df.dtypes if t != "string"]
-    if bad:
+    if bad and not canonicalize_complex:
         raise ValueError(f"non-string columns not portable for this gate: {bad}")
+    if bad:
+        dtypes = dict(df.dtypes)
+        df = df.select(
+            *[
+                F.to_json(F.col(c)).alias(c)
+                if dtypes[c].startswith(("array", "struct", "map"))
+                else F.col(c).cast("string").alias(c)
+                for c in df.columns
+            ]
+        )
     cols = sorted(df.columns)
     line = F.concat_ws(US, *[F.coalesce(F.col(c), F.lit(NUL)) for c in cols])
     row = df.select(

@@ -39,6 +39,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # f50_value_gate
 
 
 def chain_corpus(spark, chains: int):
@@ -69,31 +70,13 @@ def chain_corpus(spark, chains: int):
     )
 
 
-def _result_hash(df) -> tuple[int, str]:
-    """(rows, md5) over the canonicalized result — same discipline as the
-    sf1 gate (columns sorted by name, rows sorted)."""
-    import hashlib
+def _result_hash(df) -> tuple[int, int]:
+    """(rows, commutative md5-prefix sum) — the SHARED fingerprint from
+    tools/f50_value_gate.py, widened to complex columns (Spark-vs-Spark
+    comparison only, so json-canonicalized arrays are fine)."""
+    from f50_value_gate import spark_fingerprint
 
-    from pyspark.sql import functions as F
-
-    cols = sorted(df.columns)
-    dtypes = dict(df.dtypes)
-    canon = df.select(
-        *[
-            F.to_json(F.col(c)).alias(c)
-            if dtypes[c].startswith("array")
-            else F.col(c).cast("string").alias(c)
-            for c in cols
-        ]
-    )
-    line = F.concat_ws("\x1f", *[F.coalesce(F.col(c), F.lit("\x00")) for c in cols])
-    agg = (
-        canon.select(F.md5(line).alias("h"))
-        .agg(F.count("*").alias("n"), F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"))
-        .first()
-    )
-    # order-independent: sum of per-row md5 prefixes (commutative), plus count
-    return int(agg["n"]), hashlib.md5(str(agg["s"]).encode()).hexdigest()
+    return spark_fingerprint(df, canonicalize_complex=True)
 
 
 def main() -> int:
@@ -137,9 +120,15 @@ def main() -> int:
     psms.unpersist()
 
     # 2. boundary parity: groups = max_groups + 1 forces the switch with
-    # the PUBLIC knob; the driver run lifts the ceiling on the same corpus
-    g = args.boundary_groups
-    psms_b = chain_corpus(spark, g // 4).persist()
+    # the PUBLIC knob; the driver run lifts the ceiling on the same corpus.
+    # chain_corpus builds chains*4 groups, so round UP and derive the
+    # ceiling from the ACTUAL group count — deriving it from the raw
+    # argument under-counted when --boundary-groups wasn't a multiple of
+    # 4, and the "distributed" run silently stayed on the driver loop
+    # (r10 review).
+    chains_b = (args.boundary_groups + 3) // 4
+    g = chains_b * 4
+    psms_b = chain_corpus(spark, chains_b).persist()
     psms_b.count()
     dist = occams_razor(psms_b, max_groups=g - 1)  # g groups > g-1: switch
     drv = occams_razor(psms_b, max_groups=10 * g)  # driver loop
