@@ -53,9 +53,15 @@ def spark_fingerprint(df, *, canonicalize_complex: bool = False):
     DuckDB."""
     from pyspark.sql import functions as F
 
-    bad = [c for c, t in df.dtypes if t != "string"]
+    # ints, booleans and dates cast to identical strings in Spark and
+    # DuckDB ("5", "true", "2020-01-02"); floats/timestamps do NOT
+    # (exponent/precision/zero-padding differ) and stay refused.
+    portable = {"string", "int", "bigint", "smallint", "tinyint", "boolean", "date"}
+    bad = [c for c, t in df.dtypes if t not in portable]
     if bad and not canonicalize_complex:
-        raise ValueError(f"non-string columns not portable for this gate: {bad}")
+        raise ValueError(f"non-portable columns for this gate: {bad}")
+    if not bad:
+        df = df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
     if bad:
         dtypes = dict(df.dtypes)
         df = df.select(
