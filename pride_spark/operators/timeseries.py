@@ -464,12 +464,37 @@ def refresh_hypertable_store(
             f"refresh finest={finest!r} does not match the store's "
             f"recorded finest resolution {stored!r}"
         )
+    if stored is None:
+        # self-heal a meta-less store (e.g. a crash between the first
+        # batch's parquet write and its _write_store_meta): record the
+        # caller's finest NOW so every future refresh/read validates
+        # against it instead of silently skipping validation forever
+        # (r10 review).
+        _write_store_meta(spark, path, finest)
     new_agg = _finest_internal(new_df, ts_col, aggs, finest, by, bucket_col)
-    # bounded collect: one row per DISTINCT calendar date in the batch
-    dates = [r["part_date"] for r in new_agg.select("part_date").distinct().collect()]
+    # bounded collect: one row per DISTINCT calendar date in the batch.
+    # Derived from the RAW events (same part_date expression
+    # _finest_internal uses), not from new_agg — collecting off new_agg
+    # executed the full measure aggregation once for the dates and AGAIN
+    # for the staging write (r10 review).
+    dates = [
+        r["part_date"]
+        for r in new_df.select(
+            F.to_date(time_bucket(ts_col, finest)).alias("part_date")
+        )
+        .distinct()
+        .collect()
+    ]
     if not dates:
         return []
-    old = spark.read.parquet(path).filter(F.col("part_date").isin(dates))
+    # NULL-timestamp events land in the NULL part_date partition; isin()
+    # never matches NULL (SQL semantics), so include it explicitly or the
+    # stored null partition would be dropped from the merge (r10 review).
+    non_null = [d for d in dates if d is not None]
+    keep = F.col("part_date").isin(non_null)
+    if None in dates:
+        keep = keep | F.col("part_date").isNull()
+    old = spark.read.parquet(path).filter(keep)
     merged = (
         old.unionByName(new_agg)
         .groupBy(*by, bucket_col, "part_date")
@@ -481,7 +506,14 @@ def refresh_hypertable_store(
         # lands in staging before any live file is touched
         merged.write.mode("overwrite").partitionBy("part_date").parquet(staging)
         for d in dates:
-            leaf = f"part_date={d}"
+            # Spark writes the NULL partition as __HIVE_DEFAULT_PARTITION__;
+            # "part_date=None" would never match and the finally-rmtree
+            # would silently discard the null bucket's merged output
+            leaf = (
+                "part_date=__HIVE_DEFAULT_PARTITION__"
+                if d is None
+                else f"part_date={d}"
+            )
             src = os.path.join(staging, leaf)
             dst = os.path.join(path, leaf)
             # deterministic retire location: recoverable after a crash

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pride_spark.operators.dedup import minhash_signature, word_shingles
+from pride_spark.operators.lsh_common import array_band_digests
 from pride_spark.operators.dedup import jaccard_of_sets
 
 
@@ -72,37 +73,41 @@ def corpus_band_index(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Precompute the corpus side of the stream-static near-dup join:
-    ``(band, bucket, corpus_id, sh)`` — one row per (corpus doc, band),
-    carrying the doc's distinct shingle set for the verify step.  Build
-    once per corpus generation, write to parquet partitioned by ``band``,
-    and the per-micro-batch join prunes to the arriving bands."""
+    ``(band, bucket, corpus_id, sh)`` — one row per (corpus doc, band).
+    Build once per corpus generation, write to parquet partitioned by
+    ``band``, and the per-micro-batch join prunes to the arriving bands.
+
+    The doc's distinct shingle set (``sh``, the verify payload) is
+    stored ONCE per doc — on its band-0 row, NULL elsewhere (r10
+    review: carrying it on every band row made the index ``bands``×
+    larger in shingle bytes and shipped the arrays through the
+    candidate join for pairs that never survive first-collision-wins).
+    :func:`flag_stream_corpus_dups` reads BOTH this format and the
+    pre-r10 every-row format.
+    """
     sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, shingle_n=shingle_n)
-    rows_per_band = num_hashes // bands
-    digs = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at(sig, i + 1)
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    return (
+    # the shared in-row banding key (lsh_common): BOTH sides of the
+    # stream-static join must compute the identical digest format or the
+    # equi-join silently matches nothing
+    digs = array_band_digests(sig, num_hashes, bands)
+    banded = (
         corpus.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("corpus_id"),
             digs.alias("digs_c"),
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
         )
         .select(
-            "corpus_id", "digs_c", "sh",
+            "corpus_id", "digs_c", "__sh",
             F.posexplode("digs_c").alias("band", "bucket"),
         )
+    )
+    return banded.select(
+        "corpus_id",
+        "digs_c",
+        F.when(F.col("band") == 0, F.col("__sh")).alias("sh"),
+        "band",
+        "bucket",
     )
 
 
@@ -133,21 +138,10 @@ def flag_stream_corpus_dups(
     index's carried shingle sets.
     """
     sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, shingle_n=shingle_n)
-    rows_per_band = num_hashes // bands
-    digs = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at(sig, i + 1)
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
+    # the shared in-row banding key (lsh_common): BOTH sides of the
+    # stream-static join must compute the identical digest format or the
+    # equi-join silently matches nothing
+    digs = array_band_digests(sig, num_hashes, bands)
     new_banded = (
         docs.filter(F.col(text_col).isNotNull())
         .select(
@@ -162,13 +156,29 @@ def flag_stream_corpus_dups(
     first_agree = F.array_position(
         F.zip_with(F.col("digs_n"), F.col("digs_c"), lambda x, y: x == y), True
     )
-    cand = (
-        new_banded.join(corpus_index, ["band", "bucket"])
-        .filter(first_agree == F.col("band") + 1)
-        .select("id", "corpus_id", "sh_new", "sh")
+    # SLIM candidate join: the corpus shingle payload stays out of the
+    # (band, bucket) join and attaches only to pairs that survive
+    # first-collision-wins — one id-keyed static-side join of a
+    # bands×-smaller frame (r10 review).  Handles both index formats:
+    # r10's once-per-doc sh (band-0 row) and the pre-r10 every-row copy
+    # (dropDuplicates collapses them; static-side ops are streaming-legal).
+    slim = corpus_index.select("band", "bucket", "corpus_id", "digs_c")
+    payload = (
+        corpus_index.filter(F.col("sh").isNotNull())
+        .select("corpus_id", "sh")
+        .dropDuplicates(["corpus_id"])
     )
-    return cand.select(
-        "id",
-        F.col("corpus_id").alias("match_id"),
-        F.round(jaccard_of_sets(F.col("sh_new"), F.col("sh")), 6).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    cand = (
+        new_banded.join(slim, ["band", "bucket"])
+        .filter(first_agree == F.col("band") + 1)
+        .select("id", "corpus_id", "sh_new")
+    )
+    return (
+        cand.join(payload, "corpus_id")
+        .select(
+            "id",
+            F.col("corpus_id").alias("match_id"),
+            F.round(jaccard_of_sets(F.col("sh_new"), F.col("sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

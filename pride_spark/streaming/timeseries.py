@@ -20,10 +20,16 @@ crash (at-least-once delivery into ``foreachBatch``); the sink records
 the last merged ``batch_id`` in a marker file inside the store
 (tmp + ``os.replace`` so the marker itself is never torn) and skips
 batches it has already merged — the standard idempotent-foreachBatch
-recipe.  That is exactly-once EXCEPT for one crash window: a failure
-after the merge commits but before the marker replace double-counts
-that single batch on replay.  Closing that window needs the merge and
-the marker in one atomic commit — i.e. a transactional table format
+recipe.  That is exactly-once EXCEPT for crash windows around the
+non-atomic merge commit: (a) a failure after the merge commits but
+before the marker replace double-counts that single batch on replay,
+and (b) because the swap is atomic per PARTITION, not across the set
+of touched dates (refresh_hypertable_store's documented contract), a
+failure MID-swap in a multi-date batch leaves already-swapped dates
+holding the batch's contribution — recovery reverts only the
+un-swapped dates, so the replay double-counts the batch into the
+already-swapped ones.  Closing both windows needs the merge and the
+marker in one atomic commit — i.e. a transactional table format
 (Delta/Iceberg) at production scale.  Restarting with a NEW checkpoint
 replays the source from scratch and would double-count — rebuild the
 store alongside (an empty store clears any stale marker so rebuilt
@@ -40,6 +46,7 @@ from pyspark.sql import DataFrame
 from pride_spark.operators.timeseries import (
     AggSpec,
     _finest_internal,
+    _restore_retired_partitions,
     _write_store_meta,
     refresh_hypertable_store,
 )
@@ -97,6 +104,12 @@ def make_hypertable_batch_sink(
     by = list(by or [])
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # crash recovery BEFORE the has_data probe (r10 review): a crash
+        # inside refresh's two-rename swap on a single-partition store
+        # leaves only .retired-part_date=d — probing first would read
+        # that as "empty store" and the rebuild branch's
+        # mode("overwrite") would destroy the retired history.
+        _restore_retired_partitions(store_path)
         has_data = os.path.isdir(store_path) and any(
             n.startswith("part_date=") for n in os.listdir(store_path)
         )

@@ -113,3 +113,38 @@ def test_flag_stream_corpus_dups_matches_batch_operator(spark, tmp_path):
         ).collect()
     }
     assert cflags == flags
+
+
+def test_flag_stream_corpus_dups_reads_pre_r10_index_format(spark):
+    """Back-compat: a pre-r10 index carries the shingle payload on EVERY
+    band row (the r10 format stores it once, on band 0).  The reader
+    must flag identically against both formats."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [("c1", BASE)], "doc_id string, text string"
+    )
+    new_index = corpus_band_index(corpus, "text", "doc_id")
+    # reconstruct the legacy every-row format: broadcast the band-0
+    # payload back onto every band row
+    pay = new_index.filter(F.col("sh").isNotNull()).select(
+        "corpus_id", F.col("sh").alias("__sh")
+    )
+    old_index = (
+        new_index.drop("sh")
+        .join(pay, "corpus_id")
+        .select("corpus_id", "digs_c", F.col("__sh").alias("sh"), "band", "bucket")
+    )
+    docs = spark.createDataFrame(
+        [("n1", BASE), ("n2", BASE.replace("lazy dog", "sleepy dog"))],
+        "doc_id string, text string",
+    )
+    flag = lambda idx: {  # noqa: E731
+        (r["id"], r["match_id"]): r["jaccard"]
+        for r in flag_stream_corpus_dups(
+            docs, idx, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    got_new, got_old = flag(new_index), flag(old_index)
+    assert got_new == got_old
+    assert got_new[("n1", "c1")] == 1.0

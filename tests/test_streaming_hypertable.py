@@ -84,3 +84,88 @@ def test_batch_sink_replay_is_noop(spark, tmp_path):
     assert tot_n[0]["n"] == 100
 
     assert os.path.exists(os.path.join(store, "_last_refresh_batch"))
+
+
+def test_sink_recovers_retired_partition_before_rebuild_probe(spark, tmp_path):
+    """r10 review: a crash inside refresh's two-rename swap on a
+    single-partition store leaves only .retired-part_date=d; the sink
+    must restore it BEFORE the has_data probe — probing first read the
+    store as empty and the rebuild branch's mode('overwrite') destroyed
+    the retired history."""
+    import shutil
+
+    from pride_spark.operators.timeseries import build_hypertable_store
+
+    store = str(tmp_path / "store")
+    first = _events(spark, 0, 60)
+    build_hypertable_store(first, "ts", AGGS, store, finest="hour")
+    # simulate the crash window on EVERY partition: retired, replacement
+    # missing — the pre-fix probe reads this as an empty store
+    for leaf in [n for n in os.listdir(store) if n.startswith("part_date=")]:
+        os.rename(os.path.join(store, leaf), os.path.join(store, ".retired-" + leaf))
+
+    sink = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
+    second = _events(spark, 60, 60)
+    sink(second, batch_id=0)
+
+    served = read_hypertable(spark, store, AGGS, resolutions=("hour",))
+    want = hypertable_rollup(
+        first.unionByName(second), "ts", AGGS, resolutions=("hour",)
+    )
+    assert _canon(served) == _canon(want)  # history survived the crash
+
+
+def test_refresh_merges_null_timestamp_partition(spark, tmp_path):
+    """r10 review: NULL-ts events live in the __HIVE_DEFAULT_PARTITION__
+    leaf; refresh must read, merge and swap that partition instead of
+    silently dropping it (isin() never matches NULL; 'part_date=None'
+    never matches the hive leaf name)."""
+    from pride_spark.operators.timeseries import (
+        build_hypertable_store,
+        refresh_hypertable_store,
+    )
+
+    store = str(tmp_path / "store")
+    base = _events(spark, 0, 40)
+    null_rows = spark.createDataFrame(
+        [(9000, None, 5.0), (9001, None, 7.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    build_hypertable_store(base.unionByName(null_rows), "ts", AGGS, store, finest="hour")
+
+    more_nulls = spark.createDataFrame(
+        [(9002, None, 11.0)], "event_id long, ts timestamp, value double"
+    )
+    refresh_hypertable_store(spark, store, more_nulls, "ts", AGGS, finest="hour")
+
+    served = read_hypertable(spark, store, AGGS, resolutions=("hour",))
+    want = hypertable_rollup(
+        base.unionByName(null_rows).unionByName(more_nulls),
+        "ts", AGGS, resolutions=("hour",),
+    )
+    assert _canon(served) == _canon(want)
+
+
+def test_refresh_self_heals_missing_meta(spark, tmp_path):
+    """r10 review: a store whose _meta sidecar was lost (crash between
+    the first batch's parquet write and _write_store_meta) gets the
+    caller's finest stamped on the next refresh, so grain validation
+    works for the rest of the store's life instead of being silently
+    disabled."""
+    import shutil
+
+    from pride_spark.operators.timeseries import (
+        build_hypertable_store,
+        refresh_hypertable_store,
+    )
+
+    store = str(tmp_path / "store")
+    build_hypertable_store(_events(spark, 0, 40), "ts", AGGS, store, finest="hour")
+    shutil.rmtree(os.path.join(store, "_meta"))
+
+    refresh_hypertable_store(spark, store, _events(spark, 40, 10), "ts", AGGS, finest="hour")
+    assert os.path.isdir(os.path.join(store, "_meta"))  # healed
+    with pytest.raises(ValueError, match="finest"):
+        refresh_hypertable_store(
+            spark, store, _events(spark, 50, 10), "ts", AGGS, finest="day"
+        )
