@@ -175,7 +175,39 @@ def _index_outputs(spark, args):
     )
     if create_psm_sets:
         psms = psms.withColumn("resultFile", F.col("fileName"))
-    prepared = prepare_psms(psms, args.spectra_files[0])
+    if len(args.spectra_files) > 1:
+        # multi-spectra-file submissions need PER-PSM routing (each PSM's
+        # SpectraData ref names its spectra file); stamping file0 on all
+        # PSMs silently joined run2's identifications to run1's peaks
+        # (r10 review).  Routing needs the SpectraData dimension — only
+        # mzIdentML carries one — and a uniform id format across files.
+        from pride_spark.plans.ingest import _ext as _sext
+
+        exts = {_sext(p) for p in args.spectra_files}
+        if len(exts) > 1:
+            print(
+                "ABORT: multiple spectra files with MIXED formats "
+                f"({sorted(exts)}) — split the run per format",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+        non_mzid = [p for p in result_paths if _sext(p) != "mzid"]
+        if non_mzid:
+            print(
+                "ABORT: multiple spectra files but result files without a "
+                f"SpectraData section to route by ({[os.path.basename(p) for p in non_mzid]}) "
+                "— run one spectra file per invocation",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+        from pride_spark.plans.ingest import route_psms_to_spectra
+        from pride_spark.sources.mzid import read_mzid_spectra_data
+
+        sd = read_mzid_spectra_data(spark, result_paths)
+        psms = route_psms_to_spectra(psms, sd, args.spectra_files)
+        prepared = prepare_psms(psms, args.spectra_files[0], file_col="__specFile")
+    else:
+        prepared = prepare_psms(psms, args.spectra_files[0])
     # MULTI_PEAK formats join on the per-file index; XML formats on the
     # C9-NORMALIZED id — both sides through the same normalization
     spectra_keyed = keyed_spectra(spectra, args.spectra_files[0])
@@ -187,6 +219,8 @@ def _index_outputs(spark, args):
         create_psm_sets=create_psm_sets,
         consider_modifications=getattr(args, "consider_modifications", False),
     )
+    from pride_spark.plans.ingest import _ext as _spec_ext
+
     return generate_index_files(
         prepared,
         spectra_keyed,
@@ -198,6 +232,9 @@ def _index_outputs(spark, args):
         # mzTab PRH/PRT author rows (None for mzid/PRIDE-XML submissions)
         # merge into the T3 protein-evidence output as authorProperties
         author_proteins=read_author_proteins(spark, result_paths),
+        # reference buildUsi scan-type: SCAN for mzML spectra files, INDEX
+        # otherwise (SubmissionPipelineUtils.java:290-293)
+        id_kind="scan" if _spec_ext(args.spectra_files[0]) == "mzml" else "index",
     )
 
 
@@ -341,8 +378,9 @@ def cmd_run_pipeline(args) -> int:
         base.unpersist()
         return 1
 
-    # convert_to_mgf (K5)
-    write_mgf(archive, f"{args.output_dir}/export.mgf")
+    # convert_to_mgf (K5) — usi-ordered: the export feeds MaraCluster,
+    # whose spectrumIndex assign_clusters zips back by the same order
+    write_mgf(archive, f"{args.output_dir}/export.mgf", order_by="usi")
 
     # clustering + final_inference_after_clustering (§3.2) — reads the T1
     # artifact written above: inference's input contract is the archive
@@ -434,7 +472,9 @@ def cmd_generate_mgf_files(args) -> int:
 
     spark = _spark("generate-mgf-files")
     archive = read_archive_spectra(spark, args.archive_json)
-    write_mgf(archive, args.output)
+    # usi-ordered: the reference contract for this export is positional
+    # (MaraCluster indexes it); see write_mgf/assign_clusters docstrings
+    write_mgf(archive, args.output, order_by="usi")
     print(f"wrote MGF export to {args.output}")
     return 0
 

@@ -107,6 +107,17 @@ def stage1_filter_and_fdr(psms: DataFrame, cfg: IndexConfig) -> DataFrame:
             score_col="score",
             better=cfg.score_better,
             file_col="resultFile" if "resultFile" in out.columns else "fileName",
+            # mzTab canonical frames carry no scoreAccession column (the
+            # engine CV lives in the file header, not per PSM row) —
+            # group_psm_sets' default would raise UNRESOLVED_COLUMN on
+            # the exact multi-mzTab shape this path exists for (r10
+            # review); fall back to the provenance file as the engine
+            # key, which is the per-file engine distinction mzTab gives
+            engine_col=(
+                "scoreAccession"
+                if "scoreAccession" in out.columns
+                else ("resultFile" if "resultFile" in out.columns else "fileName")
+            ),
         )
     out = top_n_per_spectrum(
         out,
@@ -156,6 +167,7 @@ def stage2_spectrum_join(
     spectra: DataFrame,
     project: str,
     reanalysis: str | None = None,
+    id_kind: str = "index",
 ) -> DataFrame:
     """J5 big join + USI build (C2–C4) → T1-shaped archive spectra.
 
@@ -167,8 +179,21 @@ def stage2_spectrum_join(
     ``reanalysisAccession`` (:713,:750).
     """
     joined = filtered.join(spectra, ["fileName", "spectrumKey"], "inner")
+    # reference buildUsi (SubmissionPipelineUtils.java:289-305): the file
+    # segment is EXTENSION-STRIPPED and the scan-type segment is SCAN for
+    # mzML spectra files, INDEX otherwise (r10 review: the extension was
+    # kept and "index" hardcoded, so published USIs and the layout
+    # exporter's batch file names deviated from the reference).
+    # Remaining documented deviation: the validWiffId NATIVE_ID variant
+    # (comma-joined nativeID values) is not emitted — C10's wiff
+    # normalization resolves those ids to scan numbers upstream instead.
+    from pride_spark.functions.strings import file_name_no_extension
+
     usi = build_usi(
-        F.lit(project), F.col("fileName"), F.lit("index"), F.col("spectrumKey").cast("string")
+        F.lit(project),
+        file_name_no_extension(F.col("fileName")),
+        F.lit(id_kind),
+        F.col("spectrumKey").cast("string"),
     )
     # the reference's record carries the winning search-engine score as a
     # CvParam (BinaryArchiveSpectrum.bestSearchEngineScore; re-parsed at
@@ -194,7 +219,9 @@ def stage2_spectrum_join(
         out = out.withColumn(
             "usi",
             build_usi(
-                F.lit(reanalysis), F.col("fileName"), F.lit("index"),
+                F.lit(reanalysis),
+                file_name_no_extension(F.col("fileName")),
+                F.lit(id_kind),
                 F.col("spectrumKey").cast("string"),
             ),
         ).withColumn("reanalysisAccession", F.lit(reanalysis))
@@ -303,6 +330,7 @@ def generate_index_files(
     reanalysis: str | None = None,
     sample_props: DataFrame | None = None,
     author_proteins: DataFrame | None = None,
+    id_kind: str = "index",
 ) -> dict[str, DataFrame]:
     """Full §3.1 plan; returns the three output tables as DataFrames.
 
@@ -322,7 +350,7 @@ def generate_index_files(
     filtered = stage1_filter_and_fdr(psms, cfg)
     if enforce_gates:
         validity_gate(psms, filtered, cfg)
-    archive = stage2_spectrum_join(filtered, spectra, project, reanalysis)
+    archive = stage2_spectrum_join(filtered, spectra, project, reanalysis, id_kind)
     if sample_props is not None:
         from pyspark.sql.types import ArrayType
 

@@ -37,11 +37,25 @@ def _sniff_xml(path: str) -> str:
     strips the ``.gz`` suffix, so a gzipped file reaches the sniff too —
     read through :func:`xmlsplit.open_xml`, which decompresses, instead
     of raw bytes (raw gzip bytes decode to garbage and every gzipped
-    mzIdentML-in-``.xml`` would misroute to the PRIDE XML reader)."""
+    mzIdentML-in-``.xml`` would misroute to the PRIDE XML reader).
+
+    Window = the first 20 LINES, the reference's exact contract
+    (``SubmissionPipelineUtils.java:403-421`` reads 20 readLine()s) —
+    a fixed 2048-byte read missed root tags behind a long prolog or
+    comment block (r10 review).  Each line is capped at 64 KiB so a
+    pathological single-line file stays bounded; the substring match
+    itself (an 'mzidentml' mention anywhere in the window wins) is
+    reference parity, shared false-positive surface included."""
     from pride_spark.sources import xmlsplit
 
+    lines = []
     with xmlsplit.open_xml(path) as fh:
-        return sniff_pride_xml(fh.read(2048).decode("utf-8", errors="replace"))
+        for _ in range(20):
+            line = fh.readline(65536)
+            if not line:
+                break
+            lines.append(line)
+    return sniff_pride_xml(b"".join(lines).decode("utf-8", errors="replace"))
 
 
 #: spectra extension → (reader, id-format tag fed to C9, join key column)
@@ -284,10 +298,18 @@ def prepare_psms(
     *,
     id_format: str | None = None,
     zero_based_index: bool = True,
+    file_col: str | None = None,
 ) -> DataFrame:
     """Canonical psms frame → the plan-ready shape ``stage1``/``stage2``
     consume: normalized ``spectrumKey``, ``fileName`` = spectra file,
     ProForma ``peptidoform``, ``modificationNames``, ``precursorMz``.
+
+    ``file_col``: per-PSM spectra-file column (from
+    :func:`route_psms_to_spectra`) for multi-spectra-file submissions —
+    without it every PSM is stamped with ``spectra_file``'s basename,
+    which is only correct for the single-spectra-file shape.
+    ``spectra_file`` still picks the id normalization format (the
+    multi-file caller asserts a uniform format across files).
     """
     fmt = id_format or _SPECTRA_READERS[_ext(spectra_file)][1]
     key = normalize_spectrum_id("sourceId", F.lit(fmt))
@@ -300,9 +322,10 @@ def prepare_psms(
         F.col("modifications"),
         F.array().cast("array<struct<position:int,accession:string,name:string>>"),
     )
-    return (
+    fname = F.col(file_col) if file_col else F.lit(base)
+    out = (
         psms.withColumn("spectrumKey", key)
-        .withColumn("fileName", F.lit(base))
+        .withColumn("fileName", fname)
         .withColumn("modificationNames", F.transform(mods, lambda m: m["name"]))
         .withColumn(
             "peptidoform",
@@ -311,6 +334,67 @@ def prepare_psms(
         .withColumn("precursorMz", F.col("massToCharge"))
         .withColumnRenamed("modifications", "modificationsRaw")
     )
+    return out.drop(file_col) if file_col else out
+
+
+def route_psms_to_spectra(
+    psms: DataFrame,
+    spectra_data: DataFrame,
+    spectra_files: list[str],
+    *,
+    out_col: str = "__specFile",
+) -> DataFrame:
+    """Multi-spectra-file routing (J3∘J4): stamp each PSM with the USER
+    spectra file its ``spectraDataRef`` resolves to.
+
+    The reference resolves every PSM's spectrum through its SpectraData
+    entry (``PrideAnalysisAssayService.java:867-896``); the previous CLI
+    wiring stamped EVERY PSM with the first spectra file's basename,
+    silently joining run2's identifications to run1's peaks on
+    multi-spectra-file submissions (r10 review).  Mapping:
+    ``(fileName=result file, spectraDataRef)`` → SpectraData ``location``
+    basename → case-folded extension-stripped match against
+    ``spectra_files`` (the same J3 key :func:`relate_spectra_files`
+    uses).  A ref with no matching user file raises
+    :class:`SpectraRelationError` — the reference's cardinality abort.
+    """
+    from pride_spark.functions.strings import file_name_no_extension
+    from pride_spark.operators.joins import SpectraRelationError
+
+    spark = psms.sparkSession
+    user = spark.createDataFrame(
+        [(os.path.basename(p),) for p in spectra_files], "__specFile string"
+    ).withColumn(
+        "__key", F.lower(file_name_no_extension(F.col("__specFile")))
+    )
+    refs = spectra_data.select(
+        F.col("fileName").alias("__resFile"),
+        F.col("id").alias("__sdRef"),
+        F.lower(file_name_no_extension(F.col("location"))).alias("__key"),
+    )
+    rel = refs.join(user, "__key", "left")
+    bad = rel.filter(F.col("__specFile").isNull()).limit(5).collect()
+    if bad:
+        missing = ", ".join(f"{r['__resFile']}:{r['__sdRef']}" for r in bad)
+        raise SpectraRelationError(
+            f"SpectraData refs with no matching spectra file: {missing}"
+        )
+    mapping = rel.select("__resFile", "__sdRef", F.col("__specFile").alias(out_col))
+    routed = psms.join(
+        F.broadcast(mapping),
+        (psms["fileName"] == mapping["__resFile"])
+        & (psms["spectraDataRef"] == mapping["__sdRef"]),
+        "left",
+    ).drop("__resFile", "__sdRef")
+    # a PSM whose ref didn't resolve (null spectraDataRef) keeps no
+    # route; fail loudly rather than joining it to the wrong file
+    unrouted = routed.filter(F.col(out_col).isNull()).limit(1).collect()
+    if unrouted:
+        raise SpectraRelationError(
+            "PSM rows with no resolvable SpectraData ref on a "
+            "multi-spectra-file submission (null or unknown spectraDataRef)"
+        )
+    return routed
 
 
 def keyed_spectra(

@@ -23,12 +23,29 @@ from pride_spark.operators.rollup import explode_protein_accessions, protein_rol
 def assign_clusters(archive: DataFrame, clusters: DataFrame) -> DataFrame:
     """J8 — positional zip: i-th archive row ↔ MaraCluster spectrumIndex i.
 
-    Ref: InferenceService.java:99-111 (iteration order over the JSON file);
-    positional_zip_join reproduces it with a row_number over the ingest
-    order — see operators/joins.py for the scale caveat (ingest-order
-    windows need a per-file partition at 100 TB, provided here via
-    ``spectraUsi`` as the file key inside the USI).
+    Ref: InferenceService.java:94-111 — the reference zips the TSV's
+    spectrumIndex against its JSON/MGF export order and IGNORES the
+    TSV's spectraFile column (readMaraClusterResults returns one
+    index→cluster map), because its pipeline clusters exactly ONE
+    exported MGF.  This engine's positional contract is **usi order**:
+    ``write_mgf(..., order_by="usi")`` (the run-pipeline /
+    generate-mgf-files exports) emits records in total usi order, so
+    MaraCluster's i-th spectrum IS the i-th usi-ordered archive row —
+    deterministic under any partitioning, where zipping "ingest order"
+    would depend on file layout.
+
+    A TSV spanning multiple spectra files is REJECTED: spectrumIndex
+    repeats per file, so the positional join would multiply rows and
+    assign clusters from the wrong file (r10 review) — cluster one
+    exported MGF per inference pass, as the reference does.
     """
+    n_files = clusters.select("spectraFile").distinct().limit(2).count()
+    if n_files > 1:
+        raise ValueError(
+            "MaraCluster TSV spans multiple spectra files: spectrumIndex "
+            "is per-file, so a positional zip against one archive order "
+            "would mis-assign clusters. Run inference per exported MGF."
+        )
     return positional_zip_join(
         archive, clusters.select("spectrumIndex", "clusterId"), ["usi"], "spectrumIndex"
     )

@@ -78,20 +78,35 @@ def archive_spectrum_batch_file(out_dir: str, project: str, batch: str) -> str:
     return os.path.join(out_dir, project, f"{project}_{batch}_ArchiveSpectrum.json")
 
 
-def concat_parts(src_dir: str, dest_file: str) -> int:
+def _list_parts(src_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+
+
+def concat_parts(src_dir: str, dest_file: str, *, tree: bool = False) -> int:
     """K6 — concatenate a Spark text/JSON output directory's part files
     into one file, in part-file name order (deterministic: the committer
     numbers parts by partition id).  Returns bytes written.
+
+    ``tree=True`` additionally walks one level of partition
+    subdirectories (``key=value/part-*``) in sorted dir order — the
+    shape a ``partitionBy`` write leaves — so a Total file can be
+    assembled from a single partitioned write instead of writing the
+    table twice (r10 review).
 
     The reference gets this step from Nextflow ``collectFile``; here it
     is a bounded streaming copy (``COPY_CHUNK`` buffer), never a read of
     the whole table into memory.
     """
-    parts = sorted(
-        os.path.join(src_dir, f)
-        for f in os.listdir(src_dir)
-        if f.startswith("part-") and not f.endswith(".crc")
-    )
+    parts = _list_parts(src_dir)
+    if tree:
+        for entry in sorted(os.listdir(src_dir)):
+            sub = os.path.join(src_dir, entry)
+            if os.path.isdir(sub) and "=" in entry:
+                parts.extend(_list_parts(sub))
     written = 0
     os.makedirs(os.path.dirname(dest_file), exist_ok=True)
     tmp = f"{dest_file}.tmp-{uuid.uuid4().hex[:8]}"
@@ -172,12 +187,19 @@ def export_reference_layout(
             concat_parts(d, f)
             out["psm_summary"] = f
         if archive_spectra is not None:
-            d = os.path.join(scratch, "archive")
-            write_jsonlines(archive_spectra, _spark_uri(d))
             f = archive_spectrum_total_file(out_dir, project, assay)
-            concat_parts(d, f)
-            out["archive_total"] = f
-            if batch_files:
+            if not batch_files:
+                d = os.path.join(scratch, "archive")
+                write_jsonlines(archive_spectra, _spark_uri(d))
+                concat_parts(d, f)
+                out["archive_total"] = f
+            else:
+                # ONE distributed write serves BOTH outputs: the batch
+                # files concat per partition dir, and the Total file
+                # concats the whole partition tree (incl. the
+                # no-source-file rows under __HIVE_DEFAULT_PARTITION__) —
+                # previously the full peak-array table was written twice
+                # (r10 review)
                 bd = os.path.join(scratch, "batches")
                 # F.get (not getItem): a usi with no source-file segment
                 # yields NULL under ANSI instead of an array-index error
@@ -187,6 +209,8 @@ def export_reference_layout(
                 # partitionBy drops the derived key from the rows, so the
                 # batch files carry exactly the T1 fields the total does
                 write_jsonlines(batched, _spark_uri(bd), partition_by=_BATCH_KEY)
+                concat_parts(bd, f, tree=True)
+                out["archive_total"] = f
                 for entry in sorted(os.listdir(bd)):
                     if not entry.startswith(f"{_BATCH_KEY}="):
                         continue

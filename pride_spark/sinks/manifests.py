@@ -18,7 +18,46 @@ RELATED_MANIFEST_COLS = ["resultFile", "date", "referenceFile", "fileType", "ftp
 
 
 def _write_tsv(df: DataFrame, path: str, cols: list[str]) -> None:
-    df.select(*cols).coalesce(1).write.mode("overwrite").csv(path, sep="\t", header=True)
+    """Write a SINGLE named TSV file at ``path`` — the reference's
+    manifest is one flat file (PrideArchiveWebService.java:113-126), not
+    a Spark part-file directory (r10 review).  The rows are assembled as
+    raw tab-joined text (the reference's writer does no CSV quoting), a
+    Spark text write lands in a scratch dir, and
+    :func:`layout.concat_parts` folds the parts into the named file —
+    the same bounded streaming concat the reference layout export uses.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    header = "\t".join(cols)
+    body = df.select(
+        F.concat_ws(
+            "\t", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+        ).alias("value")
+    )
+    scratch = tempfile.mkdtemp(prefix="manifest-")
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        body.coalesce(1).write.mode("overwrite").text(scratch)
+        parts = sorted(
+            os.path.join(scratch, f)
+            for f in os.listdir(scratch)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        if os.path.dirname(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(tmp, "wb") as dst:
+            dst.write((header + "\n").encode())
+            for p in parts:
+                with open(p, "rb") as src:
+                    shutil.copyfileobj(src, dst)
+        os.replace(tmp, path)  # atomic: never a torn manifest
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def write_result_file_manifest(files: DataFrame, path: str) -> None:

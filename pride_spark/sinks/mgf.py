@@ -122,7 +122,17 @@ def to_mgf_df(spectra: DataFrame) -> DataFrame:
     )
 
 
-def write_mgf(spectra: DataFrame, path: str) -> None:
+def write_mgf(spectra: DataFrame, path: str, *, order_by: str | None = None) -> None:
     """Distributed MGF write (one part-file per partition; cat to merge —
-    the reference's Nextflow ``collectFile`` step, SURVEY §2.2 K6)."""
-    to_mgf_df(spectra).write.mode("overwrite").text(path)
+    the reference's Nextflow ``collectFile`` step, SURVEY §2.2 K6).
+
+    ``order_by``: declare a TOTAL record order (range-partitioned sort;
+    part files concatenate in name order to the sorted whole).  Required
+    when the export feeds positional consumers — MaraCluster's
+    ``spectrumIndex`` refers to the record's position in this file, and
+    :func:`plans.perform_inference.assign_clusters` zips that index back
+    against the same declared order (``usi``).  An UN-ordered export has
+    arbitrary partition order and the positional zip would mis-assign
+    every cluster (r10 review)."""
+    df = spectra.orderBy(order_by) if order_by else spectra
+    to_mgf_df(df).write.mode("overwrite").text(path)

@@ -14,6 +14,7 @@ require an extra pass over 100 TB and can mistype NaN-able doubles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from pride_spark import schemas
@@ -77,14 +78,31 @@ def write_jsonlines_validated(
     Ref: utility/BackupUtil.java:27-40 (the reference re-parses EVERY row
     before writing it; Spark's committer already guarantees atomicity, so
     one post-write distributed assertion replaces 8M per-row reparses).
+
+    The input count rides the write itself via ``observe`` — a separate
+    ``df.count()`` executed the ENTIRE upstream plan a second time for
+    un-persisted callers (r10 review).  The re-read's row count and the
+    per-column validity counts fold into ONE aggregate over the written
+    files.
     """
-    n_in = df.count()
-    write_jsonlines(df, path, partition_by)
+    from pyspark.sql import Observation
+
+    obs = Observation("k2_in")
+    write_jsonlines(df.observe(obs, F.count(F.lit(1)).alias("n")), path, partition_by)
+    n_in = obs.get["n"]
     back = df.sparkSession.read.schema(schema).json(path)
-    bad = back.filter(
-        " OR ".join(f"(size({c}) <= 0 OR {c} IS NULL)" for c in required_arrays)
-    ).count()
-    n_out = back.count()
+    # one invalid ROW counts once however many required arrays it fails;
+    # the OR-fold over an EMPTY required_arrays is a constant false (the
+    # old string-join built filter("") and threw a ParseException)
+    bad_row = F.lit(False)
+    for c in required_arrays:
+        bad_row = bad_row | F.col(c).isNull() | (F.size(F.col(c)) <= 0)
+    row = back.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(bad_row.cast("long")).alias("__bad"),
+    ).first()
+    n_out = row["__n"]
+    bad = row["__bad"] or 0
     if n_out != n_in or bad:
         raise ValueError(
             f"round-trip validation failed: wrote {n_in}, read {n_out}, invalid {bad}"

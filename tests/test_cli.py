@@ -119,7 +119,7 @@ def test_index_inference_mgf_check_pipeline(spark, project_dir, tmp_path):
     text = "".join(
         p.read_text() for p in mgf_out.iterdir() if p.name.startswith("part-")
     )
-    assert "BEGIN IONS" in text and "mzspec:PXD777:run1.mgf" in text
+    assert "BEGIN IONS" in text and "mzspec:PXD777:run1" in text
 
     # perform-inference with the NATIVE clustering path (no MaraCluster TSV)
     inf_out = tmp_path / "inference"
@@ -175,7 +175,7 @@ def test_run_pipeline_single_app(spark, project_dir, tmp_path):
     assert total.exists()
     assert (proj / "PXD777_abc123_SummaryArchiveSpectrum.json").exists()
     assert (proj / "PXD777_abc123_ArchiveProteinEvidence.json").exists()
-    batch = proj / "PXD777_run1.mgf_ArchiveSpectrum.json"
+    batch = proj / "PXD777_run1_ArchiveSpectrum.json"
     assert batch.exists()
     # total == union of batches == the directory table's rows
     assert len(total.read_text().splitlines()) == len(archive)
@@ -185,7 +185,7 @@ def test_run_pipeline_single_app(spark, project_dir, tmp_path):
         for p in (outdir / "export.mgf").iterdir()
         if p.name.startswith("part-")
     )
-    assert "BEGIN IONS" in text and "mzspec:PXD777:run1.mgf" in text
+    assert "BEGIN IONS" in text and "mzspec:PXD777:run1" in text
     best = _read_jsonl(outdir / "cluster_best")
     assert best and all("usi" in r for r in best)
     assert (outdir / "protein_evidence_final").exists()
@@ -233,8 +233,8 @@ def test_run_reanalysis_folder_glob(spark, tmp_path):
     archive = _read_jsonl(outdir / "archive_spectra")
     assert archive
     for r in archive:
-        assert r["usi"].startswith("mzspec:RPXD000042:run1.mgf:")
-        assert r["spectraUsi"].startswith("mzspec:PXD777:run1.mgf:")
+        assert r["usi"].startswith("mzspec:RPXD000042:run1:")
+        assert r["spectraUsi"].startswith("mzspec:PXD777:run1:")
         assert r["reanalysisAccession"] == "RPXD000042"
         names = {p["name"]: p["value"] for p in r["sampleProperties"]}
         assert names == {"organism": "Homo sapiens", "disease": "none"}
@@ -330,7 +330,7 @@ def test_run_pipeline_pride_xml_submission(spark, tmp_path):
     archive = _read_jsonl(outdir / "archive_spectra")
     assert archive
     for r in archive:
-        assert r["usi"].startswith("mzspec:PXD777:legacy.xml:")
+        assert r["usi"].startswith("mzspec:PXD777:legacy:")
         assert r["peptideSequence"].startswith("PEPTIDEK")
     # decoys never reach the archive output
     assert all(not any(a.startswith("DECOY_") for a in r.get("proteinAccessions", [])) for r in archive)

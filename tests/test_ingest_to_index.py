@@ -131,7 +131,7 @@ def test_files_to_index(spark, tmp_path):
     archive = out["archive_spectra"].collect()
     assert len(archive) > 0
     for r in archive:
-        assert r["usi"].startswith("mzspec:PXD777:run1.mgf:index:")
+        assert r["usi"].startswith("mzspec:PXD777:run1:index:")
         assert len(r["masses"]) == 2
         assert not r["isDecoy"]  # decoy block has FDR 0.33 > 0.1 threshold
     prot = out["protein_evidence"].collect()
@@ -208,7 +208,7 @@ def test_files_to_index_pridexml(spark, tmp_path):
     archive = out["archive_spectra"].collect()
     assert len(archive) > 0
     for r in archive:
-        assert r["usi"].startswith("mzspec:PRD000001:legacy.xml:")
+        assert r["usi"].startswith("mzspec:PRD000001:legacy:")
         assert len(r["masses"]) == 2
 
 
@@ -260,3 +260,52 @@ def test_zip_relative_stage_dir_and_duplicate_members(tmp_path, monkeypatch):
     assert sorted(open(p).read() for p in staged) == ["FIRST", "SECOND"]
     names = sorted(p.rsplit("/", 1)[-1] for p in staged)
     assert names == ["x-1.mgf", "x.mgf"]
+
+
+def test_route_psms_to_spectra_multi_file(spark):
+    """r10 review: multi-spectra-file submissions route each PSM to the
+    file its SpectraData ref names (J3∘J4) — stamping file0 on all PSMs
+    silently joined run2's identifications to run1's peaks."""
+    import pytest
+
+    from pride_spark.operators.joins import SpectraRelationError
+    from pride_spark.plans.ingest import prepare_psms, route_psms_to_spectra
+
+    psms = spark.createDataFrame(
+        [
+            ("res.mzid", "p1", "index=1", "SD_1", "PEPA", 2, 400.0, 10.0, False),
+            ("res.mzid", "p2", "index=1", "SD_2", "PEPB", 2, 500.0, 20.0, False),
+        ],
+        "fileName string, psmId string, sourceId string, spectraDataRef string, "
+        "peptideSequence string, precursorCharge int, massToCharge double, "
+        "score double, isDecoy boolean",
+    ).withColumn(
+        "modifications",
+        F.lit(None).cast("array<struct<position:int,accession:string,name:string>>"),
+    )
+    sd = spark.createDataFrame(
+        [
+            ("res.mzid", "SD_1", "file:///data/run1.mgf", None),
+            ("res.mzid", "SD_2", "file:///data/run2.mgf", None),
+        ],
+        "fileName string, id string, location string, idFormatAccession string",
+    )
+    files = ["/inputs/run1.mgf", "/inputs/run2.mgf"]
+    routed = route_psms_to_spectra(psms, sd, files)
+    prepared = prepare_psms(routed, files[0], file_col="__specFile")
+    got = {r["psmId"]: r["fileName"] for r in prepared.collect()}
+    # each PSM carries ITS OWN spectra file, not file0 for all
+    assert got == {"p1": "run1.mgf", "p2": "run2.mgf"}
+    assert "__specFile" not in prepared.columns
+
+    # a ref with no matching user file aborts (reference cardinality gate)
+    with pytest.raises(SpectraRelationError, match="no matching spectra file"):
+        route_psms_to_spectra(psms, sd, ["/inputs/run1.mgf"])
+
+    # a PSM with a null/unknown ref aborts rather than joining wrongly
+    bad = psms.withColumn(
+        "spectraDataRef",
+        F.when(F.col("psmId") == "p2", F.lit(None)).otherwise(F.col("spectraDataRef")),
+    )
+    with pytest.raises(SpectraRelationError, match="no resolvable"):
+        route_psms_to_spectra(bad, sd, files)

@@ -273,10 +273,13 @@ def test_result_manifest_tsv(spark, tmp_path):
         [("f1.mzid", datetime.date(2020, 5, 17), "PXD1", "ftp://x/f1.mzid")],
         "name string, date date, accession string, ftp string",
     )
-    out = str(tmp_path / "manifest")
+    out = str(tmp_path / "manifest.tsv")
     write_result_file_manifest(df, out)
-    text = "".join(open(f).read() for f in glob.glob(os.path.join(out, "part-*")))
-    assert "name\tdate\taccession\tftp" in text
+    # r10: the manifest is ONE flat named file (the reference's writer
+    # shape), not a Spark part-file directory
+    assert os.path.isfile(out)
+    text = open(out).read()
+    assert text.startswith("name\tdate\taccession\tftp\n")
     assert "f1.mzid\t2020-05-17\tPXD1\tftp://x/f1.mzid" in text
 
 
