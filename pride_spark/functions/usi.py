@@ -28,11 +28,25 @@ def build_usi(
 
     ``id_kind`` is the literal segment label (``index``/``scan``/``nativeId``)
     chosen by the file-type dispatch (SURVEY §2.1 S5).
+
+    NULL-PROPAGATING on the required segments: a null project / file /
+    ref yields a NULL usi (``concat_ws`` silently SKIPPED null segments,
+    producing a plausible-looking but segment-shifted key that grouped
+    unrelated PSMs downstream instead of failing visibly — r10 review).
+    A null ``interpretation`` is simply omitted (the segment is optional
+    by the USI spec).
     """
-    parts = [F.lit(USI_PREFIX), _c(project), _c(file_no_ext), _c(id_kind), _c(spectrum_ref)]
+    sep = F.lit(":")
+    base = F.concat(
+        F.lit(USI_PREFIX), sep, _c(project), sep, _c(file_no_ext), sep,
+        _c(id_kind), sep, _c(spectrum_ref),
+    )
     if interpretation is not None:
-        parts.append(_c(interpretation))
-    return F.concat_ws(":", *parts)
+        interp = _c(interpretation)
+        return F.when(interp.isNull(), base).otherwise(
+            F.concat(base, sep, interp)
+        )
+    return base
 
 
 def spectra_usi(usi: Column | str) -> Column:

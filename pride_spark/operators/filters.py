@@ -48,12 +48,19 @@ def peptide_length_filter(df: DataFrame, min_len: int = 7, col: str = "peptideSe
 def phospho_artifact_filter(df: DataFrame, mods_col: str = "modifications") -> DataFrame:
     """F8 — drop PSMs carrying the phospho-on-Ala artifact (UNIMOD:21 on A).
 
-    Ref: PrideAnalysisAssayService.java:464.  The mod struct carries a 1-based
-    position; residue is looked up in the sequence via ``substring``.
+    Ref: PrideAnalysisAssayService.java:464 (PIA's has_residue_modification
+    "A##UNIMOD:21").  The mod struct carries a 1-based position; residue
+    is looked up in the sequence via ``substring``.  Position 0 is the
+    N-TERMINUS convention (proforma.py / the mzTab ingest emit it) — it
+    has no residue, and Spark's ``substr(0, 1)`` silently aliases to
+    ``substr(1, 1)``, which flagged an N-term phospho on any peptide
+    starting with A as the artifact (r10 review); terminal mods are
+    exempt.
     """
     has_artifact = F.exists(
         F.col(mods_col),
         lambda m: (m["accession"] == "UNIMOD:21")
+        & (m["position"] >= 1)
         & (F.col("peptideSequence").substr(m["position"], F.lit(1)) == "A"),
     )
     return df.filter(~F.coalesce(has_artifact, F.lit(False)))
@@ -114,6 +121,18 @@ def delta_mass_validation(
     Ref: PrideAnalysisAssayService.java:646-660.  Returns the surviving rows
     with a ``deltaMz`` column and a boolean ``deltaMzSuspect`` flag; the
     caller aggregates the flag for the error-rate counter (A14).
+
+    .. warning:: The reference ALWAYS includes the PSM's modification
+       masses in the theoretical mass (``ptmMasses`` at :646-652), so
+       callers MUST pass ``mod_mass_sum`` (a Column summing the per-PSM
+       mod masses) for any corpus with modified PSMs — with the default
+       ``None`` a fixed carbamidomethyl (+57 Da) pushes deltaMz past the
+       hard cutoff and the PSM is wrongly dropped.  The canonical mod
+       struct carries no mass field (mzIdentML's monoisotopicMassDelta
+       is reader-specific), so the mass column is the caller's contract:
+       join a UNIMOD mass dimension on the accession, or carry the
+       reader's mass through.  ``None`` is exact only for unmodified
+       peptides (the q40 oracle fixture's domain).
     """
     d = delta_mz(observed, charge, sequence, mod_mass_sum)
     return (
@@ -126,10 +145,13 @@ def delta_mass_validation(
 def scan_id_validation(df: DataFrame, id_col: str = "spectrumId", is_wiff: Column | None = None) -> DataFrame:
     """F15 — non-WIFF spectrum ids must parse as integers.
 
-    Ref: PrideAnalysisAssayService.java:556-562.
+    Ref: PrideAnalysisAssayService.java:556-562 — the WHOLE id goes
+    through ``Integer.parseInt``, so the predicate is a full-string
+    integer match.  An ends-in-digits test kept ids like the
+    Bruker-style ``1.1.1.5`` that the reference rejects to the error
+    channel (r10 review).
     """
-    numeric = F.regexp_extract(F.col(id_col), r"(\d+)$", 1)
-    ok = numeric != ""
+    ok = F.coalesce(F.col(id_col), F.lit("")).rlike(r"^\d+$")
     if is_wiff is not None:
         ok = ok | is_wiff
     return df.filter(ok)
@@ -150,7 +172,13 @@ def result_file_filters(files: DataFrame) -> DataFrame:
         .filter(
             F.exists(F.col("publicFileLocations"), lambda l: l["accession"] == "PRIDE:0000469")
         )
-        .filter(~name.rlike(r"\.(gz|zip)$"))
+        # F4 is CASE-SENSITIVE endsWith in the reference
+        # (SubmissionPipelineUtils.java:39-41): a 'result.mzid.GZ' is
+        # analyzed by the reference, so lower-casing here silently
+        # skipped assays the reference indexes (r10 review).  The F3
+        # pride.mztab/pride.mgf exclusions above DO lower-case — that is
+        # the reference's own toLowerCase (PrideArchiveWebService.java:89).
+        .filter(~F.col("fileName").rlike(r"\.(gz|zip)$"))
     )
 
 

@@ -36,6 +36,12 @@ def regroup_modifications(mods: Column | str) -> Column:
     whole tree a second time (2× end-to-end).
     """
     m = F.col(mods) if isinstance(mods, str) else mods
+    # the reference SKIPS accession-less PTMs outright
+    # (convertPeptideModifications: `if (ptm.getAccession() == null)
+    # continue`) — keeping them produced a junk (null, null, []) struct
+    # here while the flat variant emitted a real row for the same input,
+    # so the two documented-equivalent variants diverged (r10 review)
+    m = F.filter(m, lambda x: x["accession"].isNotNull())
     accs = F.array_distinct(F.transform(m, lambda x: x["accession"]))
     accs = F.array_sort(accs)
 
@@ -69,8 +75,12 @@ def regroup_modifications_flat(
     (no shuffle); use this when the output is the flattened relation (the
     shuffle replaces the explode's implicit one downstream).
     """
-    flat = df.select(*key_cols, F.posexplode(mods_col).alias("__ord", "m")).select(
-        *key_cols, "__ord", "m.position", "m.accession", "m.name"
+    flat = (
+        df.select(*key_cols, F.posexplode(mods_col).alias("__ord", "m"))
+        .select(*key_cols, "__ord", "m.position", "m.accession", "m.name")
+        # reference parity: accession-less PTMs are skipped (same rule the
+        # in-row variant applies to its input array)
+        .filter(F.col("accession").isNotNull())
     )
     # min_by on the array ordinal keeps the first-occurrence name, matching
     # regroup_modifications (element_at(..., 1)); collect_list drops null

@@ -57,25 +57,40 @@ def protein_rollup(
     # but the downstream aggregate is per-protein anyway.
     psm_protein = psm_protein.repartition(F.col(protein_col))
 
-    # A3 dedup: best row per (protein, peptideSequence), deterministic tie-break.
+    # A3 dedup: best row per (protein, peptideSequence), deterministic
+    # tie-break.  The representative flag rides the rows instead of a
+    # filter so that ONE aggregation serves BOTH scopes: psmAccessions /
+    # numberPSMs over the DEDUPED representatives (the reference's
+    # TreeSet-on-sequence, :948-955), while isDecoy and
+    # modificationsNames accumulate over ALL member PSMs — the
+    # reference's proteinDecoys anyMatch (:845) and proteinPTMs.addAll
+    # (:818-822) run per PSM before any dedup, so a decoy or a PTM seen
+    # only on a non-representative PSM of the same sequence still marks
+    # the protein (r10 review: aggregating those two over the deduped
+    # rows flipped decoy flags and truncated protein mod lists).
     w = Window.partitionBy(protein_col, "peptideSequence").orderBy(order, F.col("usi"))
-    deduped = (
-        psm_protein.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
-    )
-    agg = deduped.groupBy(protein_col).agg(
+    rep = F.col("__rn") == 1
+    flagged = psm_protein.withColumn("__rn", F.row_number().over(w))
+    agg = flagged.groupBy(protein_col).agg(
         F.sort_array(
+            # collect_list skips the NULLs the when() leaves on
+            # non-representative rows — same member set as a pre-filter
             F.collect_list(
-                F.struct(
-                    F.col("precursorCharge").alias("charge"),
-                    F.col("precursorMz").alias("precursorMass"),
-                    F.col("usi").alias("usi"),
-                    F.col("peptideSequence").alias("peptideSequence"),
-                    F.col("peptidoform").alias("peptidoform"),
+                F.when(
+                    rep,
+                    F.struct(
+                        F.col("precursorCharge").alias("charge"),
+                        F.col("precursorMz").alias("precursorMass"),
+                        F.col("usi").alias("usi"),
+                        F.col("peptideSequence").alias("peptideSequence"),
+                        F.col("peptidoform").alias("peptidoform"),
+                    ),
                 )
             )
         ).alias("psmAccessions"),
         # "best" honors better=: min for q-value-like scores, max when
-        # larger is better (the same branch the A3 window takes above)
+        # larger is better.  Over ALL rows == over the representatives
+        # (each group's representative is its best row).
         (F.min if better == "lower" else F.max)(F.col(score_col)).alias(
             "bestSearchEngineScoreValue"
         ),
@@ -83,20 +98,25 @@ def protein_rollup(
         F.sort_array(
             F.array_distinct(F.flatten(F.collect_list(F.col("modificationNames"))))
         ).alias("modificationsNames"),
-        F.count("*").alias("numberPSMs"),
+        F.sum(rep.cast("long")).alias("numberPSMs"),
         F.countDistinct("peptideSequence").alias("numberPeptides"),
     )
     # DecimalFormat("###.#####") parity: HALF_EVEN (bround), fixed 5dp via
     # decimal cast (no scientific notation), then strip trailing zeros and
     # a bare trailing dot — format_number would round HALF_UP, pad zeros,
-    # and insert locale grouping
+    # and insert locale grouping.  A best score of exactly 0 formats as
+    # the reference's DecimalFormat(-log10(0)) = "∞" (Spark's log10(0) is
+    # null and would silently drop the A9 field; the pipeline's A2 repair
+    # means 0 only reaches library callers using raw q-values).
     score_5dp = F.bround(-F.log10(F.col("bestSearchEngineScoreValue")), 5).cast(
         "decimal(14,5)"
     )
     return agg.withColumn(
         "proteinScore",
-        F.regexp_replace(
-            F.regexp_replace(score_5dp.cast("string"), r"0+$", ""), r"\.$", ""
+        F.when(F.col("bestSearchEngineScoreValue") == 0, F.lit("∞")).otherwise(
+            F.regexp_replace(
+                F.regexp_replace(score_5dp.cast("string"), r"0+$", ""), r"\.$", ""
+            )
         ),
     )
 
@@ -113,6 +133,18 @@ def distinguishable_categories(
     this one protein; else ``indistinguishable``.
     Ref: InferenceService.java:52-61 (used PrideAnalysisAssayService.java:841);
     reported under CV ``MS:1001600`` (:966).
+
+    DELIBERATE DEVIATION (documented, r10): the reference's
+    ``peptideToProteins`` lists accumulate ONE ENTRY PER PSM, so its
+    ``value.size() == 1`` test means "this peptidoform was observed in
+    exactly one PSM AND maps to one protein" — a protein whose unique
+    peptidoform is observed twice ([P, P], size 2) can never be
+    distinguishable there, i.e. the category depends on observation
+    COUNT, not the peptide→protein mapping.  This engine uses the
+    standard set semantics (``collect_set``: distinct proteins per
+    peptidoform), which is observation-count-invariant.  Fidelity audits
+    comparing A5 output should expect the engine to label MORE proteins
+    distinguishable on multiply-observed unique peptidoforms.
     """
     pep_sets = (
         psm_protein.groupBy(peptidoform_col)

@@ -1113,15 +1113,26 @@ def q27_inference_category(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT base.*, ROW_NUMBER() OVER (PARTITION BY prot, seq ORDER BY score, usi) AS rn
         FROM base
       ) WHERE rn = 1
+    ), ded_agg AS (
+      SELECT prot,
+             COUNT(*) AS numberPSMs,
+             COUNT(DISTINCT seq) AS numberPeptides,
+             MIN(score) AS bestSearchEngineScoreValue
+      FROM ded GROUP BY prot
+    ), all_agg AS (
+      -- decoy flag + mod names accumulate over ALL member PSMs (the
+      -- reference's per-PSM anyMatch / proteinPTMs.addAll), NOT the
+      -- sequence-deduped representatives (r10 parity fix)
+      SELECT prot,
+             BOOL_OR(dec) AS isDecoy,
+             ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(mod_name))), ',') AS modificationsNames
+      FROM base GROUP BY prot
     )
     SELECT prot AS proteinAccession,
-           COUNT(*) AS numberPSMs,
-           COUNT(DISTINCT seq) AS numberPeptides,
-           MIN(score) AS bestSearchEngineScoreValue,
-           BOOL_OR(dec) AS isDecoy,
-           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(mod_name))), ',') AS modificationsNames,
-           ROUND(-LOG10(MIN(score)), 5) AS proteinScore
-    FROM ded GROUP BY prot
+           numberPSMs, numberPeptides, bestSearchEngineScoreValue,
+           isDecoy, modificationsNames,
+           ROUND(-LOG10(bestSearchEngineScoreValue), 5) AS proteinScore
+    FROM ded_agg JOIN all_agg USING (prot)
     """,
 )
 def q28_protein_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,12 +45,10 @@ def project_dir(tmp_path):
     return tmp_path
 
 
-def _read_tsv(outdir):
-    parts = [p for p in outdir.iterdir() if p.name.startswith("part-")]
-    lines = []
-    for p in parts:
-        lines.extend(p.read_text().splitlines())
-    return lines
+def _read_tsv(out):
+    # r10: manifests are single named files (the reference writer shape)
+    assert out.is_file()
+    return out.read_text().splitlines()
 
 
 def test_get_result_files(spark, project_dir):

@@ -86,11 +86,29 @@ def test_delta_mass_validation_buckets(spark):
 
 
 def test_scan_id_validation(spark):
+    """r10: full Integer.parseInt contract (the reference validates the
+    already-extracted id, PrideAnalysisAssayService.java:556-562) —
+    un-normalized tokens and digit-suffixed non-integers are rejected;
+    callers run C9 normalization first."""
     df = spark.createDataFrame(
-        [("s1", "scan=123"), ("s2", "no-number"), ("s3", "777")], "id string, spectrumId string"
+        [
+            ("s1", "scan=123"),   # un-normalized: caller must run C9 first
+            ("s2", "no-number"),
+            ("s3", "777"),
+            ("s4", "1.1.1.5"),    # Bruker-style, ends in a digit: rejected
+            ("s5", None),
+        ],
+        "id string, spectrumId string",
     )
     got = {r["id"] for r in scan_id_validation(df).collect()}
-    assert got == {"s1", "s3"}
+    assert got == {"s3"}
+    # the C9-normalized form of s1 passes
+    from pride_spark.functions.spectrum_id import normalize_spectrum_id
+
+    norm = df.withColumn(
+        "spectrumId", normalize_spectrum_id("spectrumId", F.lit("MZML"))
+    )
+    assert {r["id"] for r in scan_id_validation(norm).collect()} == {"s1", "s3"}
 
 
 def test_result_file_filters(spark):

@@ -138,9 +138,32 @@ def test_protein_rollup(spark):
     assert p1["numberPeptides"] == 2
     assert p1["bestSearchEngineScoreValue"] == 0.001
     assert p1["isDecoy"] is False
-    assert p1["modificationsNames"] == ["m1"]  # mods of the kept (best) rows only
+    # r10 parity fix: mod names accumulate over ALL member PSMs (the
+    # reference's proteinPTMs.addAll runs per PSM before any dedup), so
+    # u2's m2 — a non-representative PSM of the same sequence — counts
+    assert p1["modificationsNames"] == ["m1", "m2"]
     assert [x["usi"] for x in p1["psmAccessions"]] == ["u1", "u3"]
     assert rolled["P4"]["isDecoy"] is True
+
+
+def test_protein_rollup_decoy_over_all_members(spark):
+    """r10 parity fix: the decoy flag is the reference's anyMatch over
+    ALL member PSMs — a decoy PSM shadowed by a better target PSM of the
+    SAME sequence still marks the protein."""
+    rows = [
+        ("u1", "AAA", "AAA/2", 2, 500.0, False, 0.001, ["m1"], "P1"),
+        ("u2", "AAA", "AAA/2", 2, 500.0, True, 0.002, [], "P1"),  # shadowed decoy
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "usi string, peptideSequence string, peptidoform string, precursorCharge int, "
+        "precursorMz double, isDecoy boolean, qvalue double, modificationNames array<string>, "
+        "proteinAccession string",
+    )
+    p1 = protein_rollup(df).collect()[0]
+    assert p1["isDecoy"] is True       # anyMatch over all, not the kept row
+    assert p1["numberPSMs"] == 1       # representatives still dedupe
+    assert [x["usi"] for x in p1["psmAccessions"]] == ["u1"]
 
 
 def test_distinguishable_categories(spark):
