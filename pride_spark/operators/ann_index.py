@@ -60,6 +60,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pride_spark.session import register_pinned
 from pride_spark.operators.similarity import (
     _kmeans_centroids,
     _nearest_centroids_expr,
@@ -109,6 +110,12 @@ def build_ivf_index(
     )
     cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
+    if pq_codebooks is not None and not pq_codebooks:
+        # an empty list builds an index NEITHER search path can use (the
+        # searches gate on truthiness, the build gated on `is None` —
+        # r10 review): refuse at the API boundary
+        raise ValueError("pq_codebooks must be non-empty when provided")
+
     nearest, order = _nearest_centroids_expr(vec_col, cents)
     bucket = (
         nearest
@@ -154,6 +161,17 @@ def build_ivf_index(
     with open(os.path.join(path.removeprefix("file:"), "meta.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
+
+
+def _resolve_n_probe(n_probe, meta) -> int:
+    """None -> full probe; explicit values validated at the API boundary
+    (n_probe=0 silently became a FULL probe — the opposite extreme — and
+    negatives failed deep inside F.slice; r10 review)."""
+    if n_probe is None:
+        return meta["n_centroids"]
+    if n_probe <= 0:
+        raise ValueError(f"n_probe must be >= 1 (got {n_probe})")
+    return n_probe
 
 
 def _load_meta(path: str) -> dict:
@@ -205,7 +223,7 @@ def search_ivf_index(
         spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
     )
     cents = [list(r["centroid"]) for r in cents_rows]
-    n_probe = n_probe or meta["n_centroids"]
+    n_probe = _resolve_n_probe(n_probe, meta)
 
     _nearest, order = _nearest_centroids_expr(vec_col, cents)
     probed = queries.select(
@@ -216,6 +234,14 @@ def search_ivf_index(
             "centroid_id"
         ),
     )
+    # persist the (narrow, bounded: queries x n_probe) probe frame: the
+    # cid collect below AND the candidate join both consume it, and an
+    # un-persisted plan would re-execute the caller's whole query
+    # pipeline per use — with a NONDETERMINISTIC source the collected
+    # cids could even disagree with the joined rows and silently drop
+    # candidates (r10 review).  register_pinned: released by
+    # pinned_scope / release_cached_state.
+    probed = register_pinned(probed.persist())
     # the probed-cid set is bounded by n_centroids — one tiny job turns it
     # into a STATIC partition filter the parquet scan prunes on (a join
     # would leave pruning to runtime DPP; a literal isin is unconditional)
@@ -282,7 +308,7 @@ def search_ivf_pq_index(
         spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
     )
     cents = [list(r["centroid"]) for r in cents_rows]
-    n_probe = n_probe or meta["n_centroids"]
+    n_probe = _resolve_n_probe(n_probe, meta)
 
     _nearest, order = _nearest_centroids_expr(vec_col, cents)
     probed = queries.select(
@@ -295,6 +321,9 @@ def search_ivf_pq_index(
             "centroid_id"
         ),
     )
+    # persisted for the same three-consumer reasons as search_ivf_index
+    # (cid collect, candidate join, and the rerank query side below)
+    probed = register_pinned(probed.persist())
     probe_cids = [
         r["centroid_id"] for r in probed.select("centroid_id").distinct().collect()
     ]
@@ -326,10 +355,12 @@ def search_ivf_pq_index(
         .filter(F.col("rank") <= max(rerank, k))
         .select("query_id", "nbr_id")
     )
-    qside = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
+    # one row per query from the PERSISTED probe frame — not a third
+    # execution of the caller's query pipeline
+    qside = (
+        probed.select("query_id", "q_vec")
+        .dropDuplicates(["query_id"])
+        .withColumn("__qn", l2_norm(F.col("q_vec")))
     )
     vecs = _rerank_vectors(spark, path, meta, probe_cids)
     # no explicit broadcast hint on the query side (r9 advice): a forced

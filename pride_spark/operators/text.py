@@ -22,8 +22,14 @@ LANG_PROFILES = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (the baseline tokenizer)."""
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace tokenization (the baseline tokenizer).
+
+    Empty / whitespace-only text yields an EMPTY array: Spark's
+    ``split('', '\\s+')`` returns one empty-string element, which made
+    ``token_count('') == 1`` and fed a phantom token into every
+    downstream ratio (r10 review) — the empty element is filtered, the
+    same normalization ``functions/strings.chars`` applies."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:

@@ -563,7 +563,8 @@ def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_token_stats",
     r"""
     SELECT doc_id,
-           LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tokens,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS n_tokens,
            LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe,
            CASE WHEN LEN(text) = 0 THEN 0 ELSE
              LIST_REDUCE(

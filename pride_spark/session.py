@@ -69,6 +69,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate RETURNS A PRE-EXISTING SESSION with builder configs
+    # silently ignored (r10 review): a borrowed session with a non-UTC
+    # timezone would shift every TIMESTAMP_NTZ cast and every window
+    # boundary against the DuckDB oracle.  All RUNTIME_CONF keys (and
+    # typical extra_conf) are runtime-settable, so re-apply them on the
+    # returned session — a no-op on a fresh session, the fix on a
+    # borrowed one.
+    tune(spark)
+    for k, v in (extra_conf or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf (e.g. spark.ui.enabled) on a
+            pass  # pre-existing session cannot change — keep going
     return spark
 
 
@@ -98,19 +111,15 @@ _track_scopes = threading.local()
 
 
 @contextlib.contextmanager
-def tracking_scope():
-    """Release EVERYTHING this package registers via :func:`track_cached`
-    inside the block — persisted frames AND checkpoint handles — at exit.
-
-    Stronger than :func:`pinned_scope`: checkpoint RDDs have truncated
-    lineage, so a plan depending on one is NOT recomputable after the
-    scope exits.  Use only when nothing returned from the block is
-    executed again afterwards (e.g. results were written to files inside
-    the block, and callers get a read-back frame).  Scopes nest; each
-    frees only its own registrations."""
-    stack = getattr(_track_scopes, "stack", None)
+def _scope_on(local: threading.local):
+    """The shared scope mechanics behind :func:`tracking_scope` and
+    :func:`pinned_scope` (previously two byte-identical copies — r10
+    review): push a fresh handle list onto the thread-local stack, pop
+    at exit, non-blocking unpersist of everything registered, exceptions
+    swallowed (cleanup must never mask the block's own error)."""
+    stack = getattr(local, "stack", None)
     if stack is None:
-        stack = _track_scopes.stack = []
+        stack = local.stack = []
     handles: list = []
     stack.append(handles)
     try:
@@ -122,6 +131,21 @@ def tracking_scope():
                 h.unpersist(False)
             except Exception:
                 pass
+
+
+@contextlib.contextmanager
+def tracking_scope():
+    """Release EVERYTHING this package registers via :func:`track_cached`
+    inside the block — persisted frames AND checkpoint handles — at exit.
+
+    Stronger than :func:`pinned_scope`: checkpoint RDDs have truncated
+    lineage, so a plan depending on one is NOT recomputable after the
+    scope exits.  Use only when nothing returned from the block is
+    executed again afterwards (e.g. results were written to files inside
+    the block, and callers get a read-back frame).  Scopes nest; each
+    frees only its own registrations."""
+    with _scope_on(_track_scopes):
+        yield
 
 # Session-global registry of every deliberate pin (persisted DataFrames
 # AND localCheckpoint RDD handles — the latter live OUTSIDE the SQL
@@ -199,20 +223,8 @@ def pinned_scope():
     Scopes nest; each frees only its own registrations.  Run the
     consuming ACTION inside the scope — the returned plan may read the
     pinned frames, and after exit they recompute from lineage."""
-    stack = getattr(_scopes, "stack", None)
-    if stack is None:
-        stack = _scopes.stack = []
-    frames: list = []
-    stack.append(frames)
-    try:
+    with _scope_on(_scopes):
         yield
-    finally:
-        stack.pop()
-        for f in frames:
-            try:
-                f.unpersist(False)
-            except Exception:
-                pass
 
 
 def release_cached_state(spark: SparkSession) -> None:

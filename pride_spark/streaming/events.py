@@ -103,10 +103,18 @@ def read_event_stream(spark: SparkSession, path: str, max_files: int = 16) -> Da
 
     try:
         schema = spark.read.parquet(path).schema
-    except AnalysisException:  # empty dir: 'unable to infer schema'.
-        # Deliberately narrow: a corrupt footer or FS error should surface
-        # HERE, not silently fall back to a guessed schema and misread
-        # timestamps downstream.
+    except AnalysisException as e:
+        # Deliberately narrow: ONLY the empty/absent-directory classes
+        # fall back (a fresh stream directory whose producer hasn't
+        # written).  AnalysisException also covers illegal-parquet-type
+        # errors — e.g. TIMESTAMP(NANOS) files probed on a session
+        # without nanosAsLong — and swallowing those would run the
+        # stream with the WRONG schema against real files (r10 review):
+        # a corrupt footer or type error must surface here.
+        cond = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        klass = (cond() if cond else None) or str(e)
+        if not any(t in klass for t in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")):
+            raise
         schema = EVENTS_SCHEMA_NTZ
     return with_event_time(
         spark.readStream.schema(schema)
@@ -204,8 +212,16 @@ def run_available_now(
     Default mode is ``complete`` (aggregations); stream-stream joins only
     support ``append`` — pass ``output_mode="append"`` for those.
     """
+    if not stream_df.isStreaming:
+        # writeStream.start() on a batch frame raises an opaque
+        # AnalysisException anyway — fail with a usable message instead
+        # of a conditional that implied batch support (r10 review)
+        raise ValueError(
+            "run_available_now drains STREAMING frames; for a batch frame "
+            "just collect()/write() it directly"
+        )
     if output_mode is None:
-        output_mode = "complete" if stream_df.isStreaming else "append"
+        output_mode = "complete"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)

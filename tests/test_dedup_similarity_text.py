@@ -732,3 +732,14 @@ def test_stream_ann_sink_on_plain_ivf_index(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out"))
     want = search_ivf_index(spark, path, emb.filter("vec_id < 6"), k=3)
     assert got.count() == want.count() > 0
+
+
+def test_token_count_empty_text_is_zero(spark):
+    """r10 review: split('') yields [''] in Spark — tokens() filters the
+    empty element so empty/whitespace-only docs count 0 tokens, not 1."""
+    from pride_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [("", ), ("   ",), ("one two",)], "text string"
+    ).select(T.token_count(F.col("text")).alias("n"))
+    assert [r["n"] for r in df.collect()] == [0, 0, 2]

@@ -96,3 +96,26 @@ def test_incremental_flags_cap_parity(spark):
         new, corpus, "text", "doc_id", threshold=0.5
     ).select("id").distinct().collect()
     assert {r["id"] for r in unflags} == {1, 2}
+
+
+def test_ann_index_api_validation(spark, tmp_path):
+    """r10 review: n_probe=0/negative raise at the API boundary instead
+    of silently full-probing / failing inside F.slice; an empty
+    pq_codebooks list is refused at build."""
+    import pytest
+
+    from pride_spark.operators.ann_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    path = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="non-empty"):
+        build_ivf_index(emb, path, n_centroids=4, pq_codebooks=[])
+    build_ivf_index(emb, path, n_centroids=4)
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_probe"):
+            search_ivf_index(spark, path, emb, n_probe=bad).collect()
+    # valid probe still works
+    assert search_ivf_index(spark, path, emb.limit(3), k=2, n_probe=1).count() > 0

@@ -198,3 +198,35 @@ def test_dedup_within_watermark_ntz_generation(spark, events_dir):
         spark.read.parquet(events_dir).select("event_id").distinct().count()
     )
     assert len(got) == n_distinct
+
+
+def test_get_spark_tunes_borrowed_session(spark):
+    """r10 review: getOrCreate returns pre-existing sessions with builder
+    configs silently ignored — get_spark must re-apply the runtime
+    defaults so a borrowed session's timezone/AQE matches the oracle."""
+    from pride_spark.session import RUNTIME_CONF, get_spark
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    got = get_spark("borrowed")
+    assert got is spark  # same session: the borrowed-session path
+    assert got.conf.get("spark.sql.session.timeZone") == "UTC"
+    for k, v in RUNTIME_CONF.items():
+        assert got.conf.get(k) == v
+
+
+def test_read_event_stream_raises_on_non_empty_dir_errors(spark, tmp_path):
+    """r10 review: only the empty/absent-dir probe failures fall back to
+    the NTZ schema; a corrupt footer must surface, not silently run the
+    stream with a guessed schema."""
+    import pytest
+
+    from pride_spark.streaming.events import read_event_stream
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert read_event_stream(spark, str(empty)).isStreaming
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-0.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(Exception, match="[Pp]arquet|footer|magic"):
+        read_event_stream(spark, str(bad))
