@@ -101,6 +101,12 @@ def build_ivf_index(
             f"{path!r}: meta.json and the serve-touch GC protocol use "
             "POSIX io (build locally, then sync to the object store)"
         )
+    if pq_codebooks is not None and not pq_codebooks:
+        # an empty list builds an index NEITHER search path can use (the
+        # searches gate on truthiness, the build gated on `is None` —
+        # r10 review); validated BEFORE any write so a failed build never
+        # leaves a partial index directory behind (r10 advice)
+        raise ValueError("pq_codebooks must be non-empty when provided")
     spark = df.sparkSession
     cents = _kmeans_centroids(df, id_col, vec_col, n_centroids, kmeans_iters)
     if not cents:
@@ -109,12 +115,6 @@ def build_ivf_index(
         [(i, c) for i, c in enumerate(cents)], "centroid_id int, centroid array<double>"
     )
     cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-
-    if pq_codebooks is not None and not pq_codebooks:
-        # an empty list builds an index NEITHER search path can use (the
-        # searches gate on truthiness, the build gated on `is None` —
-        # r10 review): refuse at the API boundary
-        raise ValueError("pq_codebooks must be non-empty when provided")
 
     nearest, order = _nearest_centroids_expr(vec_col, cents)
     bucket = (
@@ -217,7 +217,17 @@ def search_ivf_index(
     n_probe: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors for every query row, reading only probed
-    posting-list partitions.  Output: (query_id, nbr_id, cosine, rank)."""
+    posting-list partitions.  Output: (query_id, nbr_id, cosine, rank).
+
+    Storage contract: each call pins one small probe frame
+    (queries × n_probe rows) via ``register_pinned(persist())`` — it must
+    stay cached while the RETURNED plan executes (the collected probe-cid
+    set and the joined rows must come from the same materialization).
+    Repeated interactive searches on a long-lived session should wrap
+    each search+action in :func:`pride_spark.session.pinned_scope`, or
+    call :func:`pride_spark.session.release_cached_state` periodically —
+    otherwise one pinned probe frame accumulates per call until session
+    end (r10 advice)."""
     meta = _load_meta(path)
     cents_rows = (
         spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
@@ -299,7 +309,12 @@ def search_ivf_pq_index(
     (q43 ``method='ivf_pq'`` gates this identity vs DuckDB); production
     settings shrink both knobs.  Candidate pairing is a plain hash
     equi-join — no BroadcastNestedLoopJoin anywhere in this plan
-    (asserted in tests alongside the ``PartitionFilters`` pruning)."""
+    (asserted in tests alongside the ``PartitionFilters`` pruning).
+
+    Storage contract: same as :func:`search_ivf_index` — one probe frame
+    is pinned per call; wrap repeated searches in ``pinned_scope`` (or
+    call ``release_cached_state`` between batches) so pins don't
+    accumulate over a long session (r10 advice)."""
     meta = _load_meta(path)
     books = meta.get("pq_codebooks")
     if not books:

@@ -367,6 +367,23 @@ def route_psms_to_spectra(
     ).withColumn(
         "__key", F.lower(file_name_no_extension(F.col("__specFile")))
     )
+    # two spectra files sharing a case-folded stem (RUN1.mgf vs run1.mzML,
+    # or same basename from two directories) would fan the refs→user left
+    # join out to duplicate __key rows, silently duplicating every routed
+    # PSM downstream — refuse the ambiguous submission instead (r10 advice)
+    dup = (
+        user.groupBy("__key")
+        .agg(F.collect_set("__specFile").alias("__files"))
+        .filter(F.size("__files") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        clash = "; ".join(f"{r['__key']} <- {sorted(r['__files'])}" for r in dup)
+        raise SpectraRelationError(
+            f"spectra files with colliding case-folded stems (routing would "
+            f"be ambiguous): {clash}"
+        )
     refs = spectra_data.select(
         F.col("fileName").alias("__resFile"),
         F.col("id").alias("__sdRef"),

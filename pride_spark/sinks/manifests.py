@@ -21,14 +21,16 @@ def _write_tsv(df: DataFrame, path: str, cols: list[str]) -> None:
     """Write a SINGLE named TSV file at ``path`` — the reference's
     manifest is one flat file (PrideArchiveWebService.java:113-126), not
     a Spark part-file directory (r10 review).  The rows are assembled as
-    raw tab-joined text (the reference's writer does no CSV quoting), a
-    Spark text write lands in a scratch dir, and
-    :func:`layout.concat_parts` folds the parts into the named file —
-    the same bounded streaming concat the reference layout export uses.
+    raw tab-joined text (the reference's writer does no CSV quoting) and
+    streamed to the driver with ``toLocalIterator`` — manifests are one
+    row per submission file, so driver-side io is the right size, and it
+    sidesteps the earlier scratch-dir hazard: a Spark text write to a
+    driver-local temp dir silently yields NO part files on any session
+    whose tasks don't share the driver's filesystem (non-local
+    fs.defaultFS, multi-node cluster), producing a header-only manifest
+    with no error (r10 advice).
     """
     import os
-    import shutil
-    import tempfile
     import uuid
 
     header = "\t".join(cols)
@@ -37,25 +39,16 @@ def _write_tsv(df: DataFrame, path: str, cols: list[str]) -> None:
             "\t", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
         ).alias("value")
     )
-    scratch = tempfile.mkdtemp(prefix="manifest-")
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     try:
-        body.coalesce(1).write.mode("overwrite").text(scratch)
-        parts = sorted(
-            os.path.join(scratch, f)
-            for f in os.listdir(scratch)
-            if f.startswith("part-") and not f.endswith(".crc")
-        )
-        if os.path.dirname(path):
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(tmp, "wb") as dst:
-            dst.write((header + "\n").encode())
-            for p in parts:
-                with open(p, "rb") as src:
-                    shutil.copyfileobj(src, dst)
+        with open(tmp, "w", encoding="utf-8", newline="") as dst:
+            dst.write(header + "\n")
+            for row in body.toLocalIterator():
+                dst.write(row["value"] + "\n")
         os.replace(tmp, path)  # atomic: never a torn manifest
     finally:
-        shutil.rmtree(scratch, ignore_errors=True)
         if os.path.exists(tmp):
             os.remove(tmp)
 

@@ -309,3 +309,9 @@ def test_route_psms_to_spectra_multi_file(spark):
     )
     with pytest.raises(SpectraRelationError, match="no resolvable"):
         route_psms_to_spectra(bad, sd, files)
+
+    # two user files sharing a case-folded stem would duplicate every
+    # routed PSM through the fanned-out left join — refused (r10 advice)
+    with pytest.raises(SpectraRelationError, match="colliding case-folded stems"):
+        route_psms_to_spectra(psms, sd, ["/inputs/run1.mgf", "/other/RUN1.mzML",
+                                         "/inputs/run2.mgf"])
