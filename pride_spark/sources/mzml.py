@@ -32,7 +32,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pride_spark.sources import xmlsplit
+from pride_spark.sources import numpress, xmlsplit
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -66,21 +66,39 @@ _COLS = [f.name for f in SPECTRA_SCHEMA.fields]
 _local = xmlsplit.localname
 
 
-#: MS-Numpress compression terms (linear/pic/slof + their zlib combos):
-#: present ⇒ the binary payload is NOT raw IEEE floats
+#: MS-Numpress compression terms → (codec, zlib-after-numpress).  The
+#: MS:10027xx accessions mean "numpress THEN zlib", so decode order is
+#: base64 → zlib-inflate → numpress (jmzReader parity; r11 closes the
+#: last reference-reachable ingest format the engine refused).
 _NUMPRESS_ACCS = {
-    "MS:1002312", "MS:1002313", "MS:1002314",
-    "MS:1002746", "MS:1002747", "MS:1002748",
+    "MS:1002312": ("linear", False),
+    "MS:1002313": ("pic", False),
+    "MS:1002314": ("slof", False),
+    "MS:1002746": ("linear", True),
+    "MS:1002747": ("pic", True),
+    "MS:1002748": ("slof", True),
+}
+
+_NUMPRESS_DECODE = {
+    "linear": numpress.decode_linear,
+    "pic": numpress.decode_pic,
+    "slof": numpress.decode_slof,
 }
 
 
 def _decode_array(text: str | None, *, bits: int, zlib_compressed: bool,
-                  big_endian: bool = False) -> np.ndarray:
+                  big_endian: bool = False,
+                  numpress_codec: str | None = None) -> np.ndarray:
     if not text:
         return np.empty(0, dtype=np.float64)
     raw = base64.b64decode("".join(text.split()))
     if zlib_compressed:
         raw = zlib.decompress(raw)
+    if numpress_codec is not None:
+        # numpress replaces the IEEE-float layout entirely — the 32/64-bit
+        # precision accessions (if any) describe the PRE-compression data
+        # and are irrelevant to the byte stream
+        return _NUMPRESS_DECODE[numpress_codec](raw)
     dtype = {32: np.float32, 64: np.float64}[bits]
     arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder(">" if big_endian else "<"))
     return arr.astype(np.float64)
@@ -142,24 +160,24 @@ def _mzml_spectrum_row(elem, base: str, idx: int) -> tuple:
                     pass
         elif name == "binaryDataArray":
             accs = {p.get("accession") for p in child if _local(p.tag) == "cvParam"}
-            numpress = accs & _NUMPRESS_ACCS
-            if numpress:
-                # MS-Numpress is not implemented: np.frombuffer over
-                # numpress bytes yields garbage doubles or a length
-                # error — refuse loudly instead of decoding nonsense
-                raise NotImplementedError(
-                    f"MS-Numpress-compressed binary array ({sorted(numpress)}) "
-                    "is not supported; re-convert without --numpress"
+            np_accs = accs & _NUMPRESS_ACCS.keys()
+            if len(np_accs) > 1:
+                raise ValueError(
+                    f"binary array declares multiple numpress codecs {sorted(np_accs)}"
                 )
+            codec, np_zlib = _NUMPRESS_ACCS[next(iter(np_accs))] if np_accs else (None, False)
             bits = 32 if "MS:1000521" in accs else 64
-            compressed = "MS:1000574" in accs
+            # plain MS:1000574 zlib OR the numpress "followed by zlib"
+            # combined accession — either way inflate before numpress
+            compressed = "MS:1000574" in accs or np_zlib
             kind = ("masses" if "MS:1000514" in accs
                     else "intensities" if "MS:1000515" in accs else None)
             if kind:
                 binary = next((b for b in child if _local(b.tag) == "binary"), None)
                 arrays[kind] = _decode_array(
                     binary.text if binary is not None else None,
-                    bits=bits, zlib_compressed=compressed)
+                    bits=bits, zlib_compressed=compressed,
+                    numpress_codec=codec)
     ms_level = int(cv["MS:1000511"][0]) if "MS:1000511" in cv else None
     rt = None
     if "MS:1000016" in cv:

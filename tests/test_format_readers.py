@@ -1073,9 +1073,9 @@ def test_fromstring_attribute_prefix_recovery():
     assert elem.get("accession") == "MS:1"
 
 
-def test_mzml_numpress_refused_and_empty_selected_ion(spark, tmp_path):
-    """r9 review: numpress-compressed arrays raise a clear error instead
-    of decoding garbage; value-less selectedIon cvParams are skipped."""
+def test_mzml_empty_selected_ion_and_multi_codec_refused(spark, tmp_path):
+    """r9 review: value-less selectedIon cvParams are skipped; r11: an
+    array declaring TWO numpress codecs is ambiguous and refused."""
     import base64
     import struct
 
@@ -1116,7 +1116,127 @@ def test_mzml_numpress_refused_and_empty_selected_ion(spark, tmp_path):
     assert rows[0]["precursorCharge"] == 2
     assert rows[0]["masses"] == [100.25, 200.5]
 
-    bad = tmp_path / "numpress.mzml"
-    bad.write_text(mzml(spectrum('<cvParam accession="MS:1002312"/>')))
-    with _pytest.raises(Exception, match="[Nn]umpress"):
+    bad = tmp_path / "twocodec.mzml"
+    bad.write_text(mzml(spectrum(
+        '<cvParam accession="MS:1002312"/><cvParam accession="MS:1002314"/>'
+    )))
+    with _pytest.raises(Exception, match="multiple numpress codecs"):
         read_mzml(spark, str(bad), mode="whole").collect()
+
+
+def test_numpress_codec_roundtrips():
+    """r11 verdict task #1 — the three MS-Numpress codecs round-trip
+    within their published tolerances, including edge shapes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pride_spark.sources import numpress as npz
+
+    rng = np.random.default_rng(11)
+    mz = np.sort(rng.uniform(100, 2000, 4000))
+    enc = npz.encode_linear(mz)
+    fp = npz.optimal_linear_fixed_point(mz)
+    dec = npz.decode_linear(enc)
+    assert dec.shape == mz.shape
+    # linear is lossy only by fixed-point rounding: |err| <= 0.5/fp
+    assert np.abs(dec - mz).max() <= 0.5 / fp + 1e-12
+    # ~3.5 bytes/value vs 8 raw — the point of the codec
+    assert len(enc) < mz.size * 5
+
+    # edge shapes: empty / one / two values, constant run (all-zero diffs)
+    for arr in ([], [500.0], [500.0, 500.1], [100.0] * 5):
+        a = np.asarray(arr, dtype=np.float64)
+        d = npz.decode_linear(npz.encode_linear(a))
+        assert d.shape == a.shape
+        if a.size:
+            assert np.abs(d - a).max() < 1e-3
+
+    # pic: exact for integral counts, incl. full-width 8-nibble values
+    counts = np.array([0.0, 1.0, 2**31 - 1.0, 0.0, 2**30, 7.0])
+    assert np.array_equal(npz.decode_pic(npz.encode_pic(counts)), counts)
+    assert npz.decode_pic(npz.encode_pic([])).size == 0
+
+    # slof: relative tolerance from the unsigned-short log grid
+    inten = rng.exponential(1e5, 4000)
+    rel = np.abs(npz.decode_slof(npz.encode_slof(inten)) - inten) / (inten + 1)
+    assert rel.max() < 1e-3
+    assert npz.decode_slof(npz.encode_slof([])).size == 0
+
+    # corrupt payloads fail loudly, never silently mis-decode
+    with _pytest.raises(npz.NumpressError):
+        npz.decode_linear(npz.encode_linear(mz)[:10])       # torn header
+    with _pytest.raises(npz.NumpressError):
+        npz.decode_slof(npz.encode_slof(inten)[:11])        # odd body
+    with _pytest.raises(npz.NumpressError):
+        npz.decode_pic(bytes([0x0F]))                        # short int body
+
+
+def test_mzml_numpress_twin_parity(spark, tmp_path):
+    """r11 verdict task #1 done-criterion: a numpress-compressed twin of
+    the mzML fixture reads with array-level parity to its uncompressed
+    twin, for all three codecs AND the three numpress+zlib combined
+    accessions, in whole and split modes."""
+    import base64
+    import zlib as _zlib
+
+    import numpy as np
+
+    from pride_spark.sources import numpress as npz
+    from pride_spark.sources.mzml import read_mzml
+
+    rng = np.random.default_rng(3)
+    mz = np.sort(rng.uniform(100, 2000, 500))
+    inten = rng.exponential(1e4, 500)
+
+    def b64(raw: bytes, deflate: bool) -> str:
+        return base64.b64encode(_zlib.compress(raw) if deflate else raw).decode()
+
+    def spectrum(idx, sid, mz_cv, mz_payload, in_cv, in_payload):
+        return f"""<spectrum index="{idx}" id="{sid}" defaultArrayLength="{mz.size}">
+  <cvParam accession="MS:1000511" value="2"/>
+  <binaryDataArrayList count="2">
+    <binaryDataArray><cvParam accession="{mz_cv}"/><cvParam accession="MS:1000514"/>
+      <binary>{mz_payload}</binary></binaryDataArray>
+    <binaryDataArray><cvParam accession="{in_cv}"/><cvParam accession="MS:1000515"/>
+      <binary>{in_payload}</binary></binaryDataArray>
+  </binaryDataArrayList>
+</spectrum>"""
+
+    lin, pic, slof = npz.encode_linear(mz), npz.encode_pic(inten), npz.encode_slof(inten)
+    plain_mz = base64.b64encode(mz.astype("<f8").tobytes()).decode()
+    plain_in = base64.b64encode(inten.astype("<f8").tobytes()).decode()
+    spectra = [
+        spectrum(0, "plain", "MS:1000523", plain_mz, "MS:1000523", plain_in),
+        spectrum(1, "np", "MS:1002312", b64(lin, False), "MS:1002313", b64(pic, False)),
+        spectrum(2, "np_slof", "MS:1000523", plain_mz, "MS:1002314", b64(slof, False)),
+        spectrum(3, "npz", "MS:1002746", b64(lin, True), "MS:1002747", b64(pic, True)),
+        spectrum(4, "npz_slof", "MS:1000523", plain_mz, "MS:1002748", b64(slof, True)),
+    ]
+    xml = (
+        '<?xml version="1.0"?><mzML><run><spectrumList count="5">'
+        + "".join(spectra)
+        + "</spectrumList></run></mzML>"
+    )
+    p = tmp_path / "numpress.mzML"
+    p.write_text(xml)
+
+    for mode in ("whole", "split"):
+        rows = {r["spectrumId"]: r for r in read_mzml(spark, str(p), mode=mode).collect()}
+        assert len(rows) == 5, mode
+        ref_mz = np.asarray(rows["plain"]["masses"])
+        ref_in = np.asarray(rows["plain"]["intensities"])
+        fp = npz.optimal_linear_fixed_point(mz)
+        for sid in ("np", "npz"):
+            got = rows[sid]
+            assert got["numPeaks"] == mz.size
+            # linear m/z: parity within the fixed-point grid
+            assert np.abs(np.asarray(got["masses"]) - ref_mz).max() <= 0.5 / fp + 1e-12
+            # pic intensities: exact integer rounding of the plain twin
+            assert np.array_equal(
+                np.asarray(got["intensities"]), np.round(ref_in)
+            ), sid
+        for sid in ("np_slof", "npz_slof"):
+            got_in = np.asarray(rows[sid]["intensities"])
+            rel = np.abs(got_in - ref_in) / (ref_in + 1)
+            assert rel.max() < 1e-3, sid
+            assert rows[sid]["masses"] == rows["plain"]["masses"]
