@@ -116,6 +116,14 @@ def main() -> int:
         "audio_wav": lambda: mm.audio_features(audio, decoder="real"),
     }
     out = {"rows": args.rows, "runs": args.runs, "kernels": {}}
+    # r11: optional Pillow fast path through the same seam — measured
+    # against the pure-python JPEG baseline when the library is present,
+    # recorded as unavailable (not silently omitted) when it isn't
+    try:
+        pillow = mm.pillow_image_decoder()
+        kernels["image_jpeg_pillow"] = lambda: mm.image_features(images, decoder=pillow)
+    except ImportError:
+        out["image_jpeg_pillow"] = "unavailable: Pillow not installed"
     for name, mk in kernels.items():
         best = None
         for _ in range(args.runs):
@@ -130,6 +138,10 @@ def main() -> int:
     stub = out["kernels"]["image_stub"]["sec"]
     jpeg = out["kernels"]["image_jpeg"]["sec"]
     out["jpeg_decode_overhead_x"] = round(jpeg / stub, 2) if stub else None
+    if "image_jpeg_pillow" in out["kernels"]:
+        out["pillow_speedup_x"] = round(
+            jpeg / out["kernels"]["image_jpeg_pillow"]["sec"], 2
+        )
     print(json.dumps(out))
     spark.stop()
     return 0
