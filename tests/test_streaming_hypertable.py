@@ -169,3 +169,124 @@ def test_refresh_self_heals_missing_meta(spark, tmp_path):
         refresh_hypertable_store(
             spark, store, _events(spark, 50, 10), "ts", AGGS, finest="day"
         )
+
+
+def _two_date_events(spark, start_id, n_per_date, v):
+    """n_per_date events on each of 2024-05-10 and 2024-05-11."""
+    rows = []
+    for d, day in enumerate((10, 11)):
+        base = datetime.datetime(2024, 5, day, 6, 0, 0)
+        rows += [
+            (start_id + d * n_per_date + i,
+             base + datetime.timedelta(minutes=13 * i), v)
+            for i in range(n_per_date)
+        ]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+
+
+def test_crash_between_merge_and_marker_double_counts_once(spark, tmp_path):
+    """r11 verdict task #3, crash window (a): a kill AFTER the merge
+    commits but BEFORE the marker replace double-counts exactly that one
+    batch on replay — the documented at-least-once boundary
+    (streaming/timeseries.py docstring).  This test injects the kill and
+    pins the contract: the replayed batch is applied twice, the store
+    stays structurally consistent, and later batches merge exactly once."""
+    from pride_spark.streaming import timeseries as st
+
+    store = str(tmp_path / "store")
+    sink = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
+    b0 = _two_date_events(spark, 0, 30, 1.0)
+    b1 = _two_date_events(spark, 100, 30, 2.0)
+    b2 = _two_date_events(spark, 200, 30, 3.0)
+    sink(b0, 0)
+
+    real_write_marker = st._write_marker
+    def killed_marker(path, batch_id):
+        raise RuntimeError("injected kill before marker replace")
+    st._write_marker = killed_marker
+    try:
+        with pytest.raises(RuntimeError, match="injected kill"):
+            sink(b1, 1)
+    finally:
+        st._write_marker = real_write_marker
+
+    # the merge committed, the marker did not: replay (what Structured
+    # Streaming does after the crash) re-merges batch 1 — double count
+    assert st._read_marker(store) == 0
+    sink(b1, 1)
+    assert st._read_marker(store) == 1
+
+    want = hypertable_rollup(
+        b0.unionByName(b1).unionByName(b1), "ts", AGGS, resolutions=("hour",)
+    )
+    got = read_hypertable(spark, store, AGGS, resolutions=("hour",))
+    assert _canon(got) == _canon(want)  # exactly ONE extra application of b1
+
+    # no structural debris, and the next batch merges exactly once
+    assert not [n for n in os.listdir(store)
+                if n.startswith((".retired-", ".staging-"))]
+    sink(b2, 2)
+    want2 = hypertable_rollup(
+        b0.unionByName(b1).unionByName(b1).unionByName(b2),
+        "ts", AGGS, resolutions=("hour",),
+    )
+    assert _canon(read_hypertable(spark, store, AGGS, resolutions=("hour",))) \
+        == _canon(want2)
+
+
+def test_crash_mid_swap_multi_date_reverts_unswapped_only(spark, tmp_path):
+    """r11 verdict task #3, crash window (b): the swap is atomic per
+    PARTITION, not across a multi-date batch — a kill between the two
+    dates' swaps leaves the first date holding the batch's contribution
+    while recovery reverts only the second.  The replay then
+    double-counts the batch into the already-swapped date and applies it
+    once to the reverted one (the exact documented outcome,
+    streaming/timeseries.py docstring + refresh_hypertable_store)."""
+    store = str(tmp_path / "store")
+    sink = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
+    b0 = _two_date_events(spark, 0, 30, 1.0)
+    b1 = _two_date_events(spark, 100, 30, 2.0)
+    sink(b0, 0)
+
+    state = {"staged": 0, "swapped_leaf": None}
+    real_rename = os.rename
+
+    def kill_on_second_swap(src, dst):
+        if ".staging-" in src:
+            state["staged"] += 1
+            if state["staged"] == 2:
+                raise RuntimeError("injected kill mid-swap")
+            state["swapped_leaf"] = os.path.basename(dst)
+        return real_rename(src, dst)
+
+    os.rename = kill_on_second_swap
+    try:
+        with pytest.raises(RuntimeError, match="injected kill mid-swap"):
+            sink(b1, 1)
+    finally:
+        os.rename = real_rename
+
+    # post-crash state: one date swapped (holds b1), the other retired
+    swapped = state["swapped_leaf"]
+    assert swapped is not None and swapped.startswith("part_date=")
+    leaves = set(os.listdir(store))
+    assert swapped in leaves
+    retired = [n for n in leaves if n.startswith(".retired-part_date=")]
+    assert len(retired) == 1
+    unswapped = retired[0][len(".retired-"):]
+    assert unswapped not in leaves  # live partition missing until recovery
+
+    # replay after restart: recovery restores the un-swapped date FIRST,
+    # then the re-merge double-counts b1 into the already-swapped date
+    sink(b1, 1)
+    assert not [n for n in os.listdir(store)
+                if n.startswith((".retired-", ".staging-"))]
+
+    swapped_date = swapped.split("=", 1)[1]
+    b1_swapped_only = b1.filter(F.to_date("ts") == F.lit(swapped_date))
+    want = hypertable_rollup(
+        b0.unionByName(b1).unionByName(b1_swapped_only),
+        "ts", AGGS, resolutions=("hour",),
+    )
+    got = read_hypertable(spark, store, AGGS, resolutions=("hour",))
+    assert _canon(got) == _canon(want)
