@@ -115,9 +115,14 @@ def global_row_index(
     is a pure value function — stable under AQE), per-bucket counts
     collected to the driver, broadcast prefix offsets, then a per-bucket
     ``row_number`` window.  Nothing funnels through a single task.  The
-    input is scanned twice plus a column-pruned quantile pass; the bucket
-    expression is deterministic, so no persist is required for
-    correctness.
+    keyed frame is consumed THREE times (quantile pass, count pass, the
+    window itself), so it is pinned via ``register_pinned(persist())`` —
+    the same pattern as ``fdr._global_two_pass`` — saving two executions
+    of the caller's upstream plan (r10 verdict task #6: q26 at factor 50
+    was re-running its input plan three times).  The bucket expression
+    is deterministic, so the persist is a pure performance choice, not a
+    correctness requirement; long-lived callers release it with
+    ``pinned_scope`` / ``release_cached_state``.
 
     Falls back to the single-partition global window only when the leading
     order column is not numeric/temporal (order-preserving bucket keys need
@@ -143,7 +148,7 @@ def global_row_index(
             if lead_type in ("date", "timestamp_ntz")
             else F.col(lead).cast("double")
         )
-        keyed = left.withColumn("__zkey", zkey)
+        keyed = register_pinned(left.withColumn("__zkey", zkey).persist())
         qs = [i / n for i in range(1, n)]
         # loose relativeError: boundaries only balance load, never values
         bounds = sorted(set(keyed.stat.approxQuantile("__zkey", qs, 0.05))) if qs else []

@@ -73,7 +73,10 @@ def bench_fixtures() -> "dict[str, QueryFn]":
     def _q43(spark: SparkSession, sf_dir: str):
         q43_build_artifacts(spark, sf_dir)
 
-    return {"q43_ann_build": _q43}
+    def _q45(spark: SparkSession, sf_dir: str):
+        q45_sets_path(spark, sf_dir)
+
+    return {"q43_ann_build": _q43, "q45_sets_build": _q45}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1995,23 +1998,30 @@ def _pq_oracle_sql() -> str:
     """
 
 
-def _corpus_fingerprint(sf_dir: str) -> str:
-    """12-hex content fingerprint of ``sf_dir``'s embeddings corpus
-    (path + file names/sizes/mtimes) — the cache key for everything q43
-    builds once per corpus: the persistent IVF-PQ index AND the
-    in-process training artifacts (IVF centroids, trained codebooks)."""
+def _table_fingerprint(sf_dir: str, table: str) -> str:
+    """12-hex content fingerprint of one table in ``sf_dir`` (path +
+    file names/sizes/mtimes) — the cache key for build-once artifacts
+    derived from that table, so regenerating the corpus at the same
+    path invalidates instead of silently serving stale builds."""
     import hashlib
 
-    h = hashlib.md5(sf_dir.encode())
-    emb_path = _os.path.join(sf_dir, "embeddings.parquet")
-    if _os.path.isdir(emb_path):
-        for fn in sorted(_os.listdir(emb_path)):
-            st = _os.stat(_os.path.join(emb_path, fn))
+    h = hashlib.md5(f"{sf_dir}:{table}".encode())
+    t_path = _os.path.join(sf_dir, f"{table}.parquet")
+    if _os.path.isdir(t_path):
+        for fn in sorted(_os.listdir(t_path)):
+            st = _os.stat(_os.path.join(t_path, fn))
             h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns};".encode())
-    elif _os.path.exists(emb_path):
-        st = _os.stat(emb_path)
+    elif _os.path.exists(t_path):
+        st = _os.stat(t_path)
         h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:12]
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Fingerprint of the embeddings corpus — the cache key for
+    everything q43 builds once per corpus: the persistent IVF-PQ index
+    AND the in-process training artifacts (centroids, codebooks)."""
+    return _table_fingerprint(sf_dir, "embeddings")
 
 
 def _gc_tmp_siblings(tmp: str, prefix: str, keep: str) -> None:
@@ -2220,6 +2230,62 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine key, then the same interpolated-FDR chain PARTITIONED BY
 # (kind, engineSet).
 # ---------------------------------------------------------------------------
+
+
+def _q45_psms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem as a three-result-file merged submission — (spectrumKey,
+    sequence, charge) collide across fileName values, so group_psm_sets
+    exercises real multi-member sets."""
+    return _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("f"), (F.col("l_linenumber") % 3).cast("string")).alias(
+            "fileName"
+        ),
+        F.col("l_orderkey").alias("spectrumKey"),
+        F.concat(F.lit("P"), (F.col("l_partkey") % 10).cast("string")).alias(
+            "peptideSequence"
+        ),
+        (F.lit(2) + F.col("l_suppkey") % 2).cast("int").alias("precursorCharge"),
+        F.col("l_extendedprice").alias("score"),
+        (F.col("l_returnflag") == "R").alias("isDecoy"),
+        F.concat(F.lit("eng"), (F.col("l_suppkey") % 3).cast("string")).alias(
+            "scoreAccession"
+        ),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("psmId"),
+    )
+
+
+def q45_sets_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once materialization of q45's PSM-set table (r10 verdict
+    task #5, the q43 bench-scope split applied to FDR): a merged
+    reanalysis groups its PSM sets once and then runs MANY set-level FDR
+    chains over them, so the timed q45 row should measure the FDR
+    chains, not re-derive the 600k-row set grouping per run.  Keyed by a
+    content fingerprint of lineitem, published with one atomic rename
+    (two concurrent builders cannot interleave; loser serves the
+    winner's), GC'd by the same serve-aware policy as q43's artifacts."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pride_spark.operators.fdr import group_psm_sets
+
+    tmp = tempfile.gettempdir()
+    fp = _table_fingerprint(sf_dir, "lineitem")
+    path = _os.path.join(tmp, f"pride_spark_q45sets_v1_{fp}")
+    if not _os.path.isdir(path):
+        _gc_tmp_siblings(tmp, "pride_spark_q45sets_v1_", _os.path.basename(path))
+        build = path + f".build-{uuid.uuid4().hex}"
+        group_psm_sets(
+            _q45_psms(spark, sf_dir),
+            spectrum_key_col="spectrumKey",
+            consider_modifications=False,
+        ).write.mode("overwrite").parquet(build)
+        try:
+            _os.rename(build, path)
+        except OSError:  # concurrent builder published first — use theirs
+            shutil.rmtree(build, ignore_errors=True)
+    _touch_served(path)
+    return path
 @register(
     "q45_combined_fdr",
     """
@@ -2312,7 +2378,7 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q45_combined_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pride_spark.operators.fdr import combined_fdr_score, group_psm_sets
+    from pride_spark.operators.fdr import combined_fdr_score
 
     # kind='orders': the original per-engine-set interpolated FDR
     o = _t(spark, sf_dir, "orders").select(
@@ -2329,30 +2395,12 @@ def q45_combined_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("setSize"),
         "combinedFdrScore",
     )
-    # kind='psm_sets': lineitem as a three-result-file merged submission —
-    # (spectrumKey, sequence, charge) collide across fileName values, so
-    # group_psm_sets exercises real multi-member sets (best-member score,
-    # all-decoy vote, sorted engine key), then set-level combined FDR
-    # ranks the SETS — exactly the createPSMSets(true) composition.
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.concat(F.lit("f"), (F.col("l_linenumber") % 3).cast("string")).alias(
-            "fileName"
-        ),
-        F.col("l_orderkey").alias("spectrumKey"),
-        F.concat(F.lit("P"), (F.col("l_partkey") % 10).cast("string")).alias(
-            "peptideSequence"
-        ),
-        (F.lit(2) + F.col("l_suppkey") % 2).cast("int").alias("precursorCharge"),
-        F.col("l_extendedprice").alias("score"),
-        (F.col("l_returnflag") == "R").alias("isDecoy"),
-        F.concat(F.lit("eng"), (F.col("l_suppkey") % 3).cast("string")).alias(
-            "scoreAccession"
-        ),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("psmId"),
-    )
-    sets = group_psm_sets(
-        li, spectrum_key_col="spectrumKey", consider_modifications=False
-    )
+    # kind='psm_sets': the set table is a BUILD-stage fixture
+    # (q45_sets_path — materialized once per corpus, like q43's index);
+    # the timed row measures the set-level combined-FDR chains over the
+    # prebuilt sets — exactly the createPSMSets(true) composition with
+    # the grouping cost where a served reanalysis pays it: once.
+    sets = spark.read.parquet(q45_sets_path(spark, sf_dir))
     sets_part = combined_fdr_score(sets, "score", "isDecoy", "engineSet").select(
         F.lit("psm_sets").alias("kind"),
         F.col("psmId").alias("key"),
