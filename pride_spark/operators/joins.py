@@ -107,6 +107,7 @@ def global_row_index(
     order_cols_names: Sequence[str],
     index_name: str = "__pos",
     num_range_partitions: int | None = None,
+    pin: bool = False,
 ) -> DataFrame:
     """0-based global row number in the total order of ``order_cols_names``
     — the two-pass distributed form (same shape as
@@ -114,15 +115,21 @@ def global_row_index(
     quantiles of the leading order key (ties share a bucket, so bucketing
     is a pure value function — stable under AQE), per-bucket counts
     collected to the driver, broadcast prefix offsets, then a per-bucket
-    ``row_number`` window.  Nothing funnels through a single task.  The
-    keyed frame is consumed THREE times (quantile pass, count pass, the
-    window itself), so it is pinned via ``register_pinned(persist())`` —
-    the same pattern as ``fdr._global_two_pass`` — saving two executions
-    of the caller's upstream plan (r10 verdict task #6: q26 at factor 50
-    was re-running its input plan three times).  The bucket expression
-    is deterministic, so the persist is a pure performance choice, not a
-    correctness requirement; long-lived callers release it with
-    ``pinned_scope`` / ``release_cached_state``.
+    ``row_number`` window.  Nothing funnels through a single task.
+
+    The keyed frame is consumed THREE times (quantile pass, count pass,
+    the window itself).  ``pin=True`` persists it via
+    ``register_pinned(persist())`` — the ``fdr._global_two_pass``
+    pattern — saving two executions of the caller's upstream plan; use
+    it when that plan is EXPENSIVE (``read_pridexml`` split mode does:
+    its upstream is a full XML record parse).  The default is False
+    because for cheap inputs the cache write costs more than the
+    rescans it saves (measured on q26's column-pruned parquet scan at
+    factor 50: first-run 7.7 s pinned vs 4.0 s unpinned, warm runs
+    equal — r11 A/B).  The bucket expression is deterministic, so the
+    pin is a pure performance choice, never a correctness requirement;
+    long-lived ``pin=True`` callers release it with ``pinned_scope`` /
+    ``release_cached_state``.
 
     Falls back to the single-partition global window only when the leading
     order column is not numeric/temporal (order-preserving bucket keys need
@@ -148,7 +155,9 @@ def global_row_index(
             if lead_type in ("date", "timestamp_ntz")
             else F.col(lead).cast("double")
         )
-        keyed = register_pinned(left.withColumn("__zkey", zkey).persist())
+        keyed = left.withColumn("__zkey", zkey)
+        if pin:
+            keyed = register_pinned(keyed.persist())
         qs = [i / n for i in range(1, n)]
         # loose relativeError: boundaries only balance load, never values
         bounds = sorted(set(keyed.stat.approxQuantile("__zkey", qs, 0.05))) if qs else []

@@ -449,7 +449,10 @@ def read_pridexml(
             spark, [p], b"spectrum", False, _pridexml_split_rows,
             _PRIDEXML_SPLIT_SCHEMA, with_offset=True,
         )
-        indexed = global_row_index(recs, ("__off",), "__idx").select(
+        # pin=True: the upstream here is the full XML record parse —
+        # exactly the expensive-input case the pin exists for (the
+        # quantile/count passes would otherwise re-parse every record)
+        indexed = global_row_index(recs, ("__off",), "__idx", pin=True).select(
             "fileName",
             F.col("__idx").cast("int").alias("index"),
             *[f.name for f in SPECTRA_SCHEMA.fields if f.name not in ("fileName", "index")],
