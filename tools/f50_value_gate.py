@@ -14,12 +14,25 @@ Portability: every gated query emits ONLY string columns (asserted), so
 the row line (columns sorted by name, joined with US, NULL → NUL) and
 its md5 are byte-identical across Spark and DuckDB; the 60-bit hash
 prefix summed into a 128-bit accumulator (decimal(38,0) / HUGEINT)
-cannot overflow below ~10^19 rows.  Float columns would NOT be portable
-this way (formatting differs across engines) — the gate refuses them.
+cannot overflow below ~10^19 rows.  Float columns are NOT portable
+as strings (formatting differs across engines) — the strict default
+refuses them.
+
+``--float-mode round9`` (r11, for the FDR queries q03/q45) widens the
+gate to double columns via ``CAST(ROUND(col * 1e9) AS BIGINT)`` applied
+IDENTICALLY in both engines.  Why this is portable: the sf0.01 oracle
+gate compares these queries' doubles EXACTLY (no rounding in
+check_oracle._norm), so Spark and DuckDB provably hold bit-identical
+IEEE values; ``col * 1e9`` is one IEEE multiplication of identical
+inputs (identical result), and both engines' ROUND is half-away-from-
+zero (Spark HALF_UP == away-from-zero on ties; DuckDB likewise), so
+identical doubles round identically.  Resolution 1e-9 at a magnitude
+bound of ~9e9 (BIGINT) — fine for FDR/q-value ratios in [0, ~1e7].
 
 Usage:
     python tools/f50_value_gate.py --sf-dir /tmp/sf5 \
-        [--queries q33_mgf_record,q39_mod_regroup] [--out FILE]
+        [--queries q33_mgf_record,q39_mod_regroup] [--out FILE] \
+        [--float-mode refuse|round9]
 """
 
 from __future__ import annotations
@@ -42,7 +55,8 @@ TABLES = [
 US, NUL = "\x1f", "\x02"  # NUL is not representable in a DuckDB varchar literal
 
 
-def spark_fingerprint(df, *, canonicalize_complex: bool = False):
+def spark_fingerprint(df, *, canonicalize_complex: bool = False,
+                      float_mode: str = "refuse"):
     """(row_count, SUM(int(md5(row)[:15], 16))) — order-independent.
 
     The strict default refuses non-string columns (cross-engine float
@@ -53,6 +67,16 @@ def spark_fingerprint(df, *, canonicalize_complex: bool = False):
     DuckDB."""
     from pyspark.sql import functions as F
 
+    if float_mode == "round9":
+        dtypes = dict(df.dtypes)
+        df = df.select(
+            *[
+                F.round(F.col(c) * 1e9).cast("bigint").alias(c)
+                if dtypes[c] in ("double", "float")
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
     # ints, booleans and dates cast to identical strings in Spark and
     # DuckDB ("5", "true", "2020-01-02"); floats/timestamps do NOT
     # (exponent/precision/zero-padding differ) and stay refused.
@@ -83,8 +107,19 @@ def spark_fingerprint(df, *, canonicalize_complex: bool = False):
     return int(r["n"]), int(r["s"])
 
 
-def duckdb_fingerprint(con, oracle_sql: str):
-    cols = [d[0] for d in con.sql(f"SELECT * FROM ({oracle_sql}) LIMIT 0").description]
+def duckdb_fingerprint(con, oracle_sql: str, float_mode: str = "refuse"):
+    desc = con.sql(f"DESCRIBE SELECT * FROM ({oracle_sql}) LIMIT 0").fetchall()
+    cols = [d[0] for d in desc]
+    if float_mode == "round9":
+        floats = {d[0] for d in desc if d[1].upper() in ("DOUBLE", "FLOAT", "REAL")}
+        if floats:
+            proj = ", ".join(
+                f"CAST(ROUND({_q(c)} * 1e9) AS BIGINT) AS {_q(c)}"
+                if c in floats
+                else _q(c)
+                for c in cols
+            )
+            oracle_sql = f"SELECT {proj} FROM ({oracle_sql})"
     line = " || chr(31) || ".join(
         f"COALESCE(CAST({_q(c)} AS VARCHAR), chr(2))" for c in sorted(cols)
     )
@@ -110,6 +145,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/tmp/sf5")
     ap.add_argument("--queries", default="q33_mgf_record,q39_mod_regroup")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--float-mode", default="refuse", choices=("refuse", "round9"))
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -129,10 +165,12 @@ def main() -> int:
         name = name.strip()
         t0 = time.time()
         try:
-            n_s, h_s = spark_fingerprint(qs[name](spark, args.sf_dir))
+            n_s, h_s = spark_fingerprint(
+                qs[name](spark, args.sf_dir), float_mode=args.float_mode
+            )
             t_spark = time.time() - t0
             t0 = time.time()
-            n_d, h_d = duckdb_fingerprint(con, oracles[name])
+            n_d, h_d = duckdb_fingerprint(con, oracles[name], args.float_mode)
             t_duck = time.time() - t0
             ok = n_s == n_d and h_s == h_d
             out["queries"][name] = {
