@@ -414,3 +414,83 @@ def test_reference_layout_export_shared_scratch(spark, tmp_path):
     # caller's root survives with its contents; the unique subdir is gone
     assert sentinel.read_text() == "other job's data"
     assert [p for p in os.listdir(shared) if p.startswith("pride_layout_")] == []
+
+
+def test_archive_spectrum_export_golden_bytes(spark, tmp_path):
+    """r11 verdict task #7 — byte-level golden for the reference-layout
+    JSON-lines export, hand-written from the Jackson conventions of
+    BackupUtil.java:27-47 (``objectMapper.writeValueAsString`` + println):
+    one compact JSON object per line (no spaces), fields in bean/schema
+    declaration order, Java double formatting ("10.0", not "10"), LF
+    line terminator.
+
+    One documented divergence (PARITY_AUDIT "JSON-lines writer"): fields
+    that are NULL are OMITTED from the line, where default Jackson would
+    write ``"field":null``.  Read-compatible either way — the
+    reference's own reader (``getObjectsFromFile`` → Jackson
+    ``readValue``) leaves absent properties null, and the engine's
+    schema'd read does the same — so the golden pins the omission
+    explicitly (row 2 has no reanalysisAccession/retentionTime keys)."""
+    from pride_spark import schemas
+    from pride_spark.sinks.layout import (
+        archive_spectrum_total_file,
+        export_reference_layout,
+    )
+
+    rows = [
+        ("mzspec:PXD9:run1:scan:7:PEPA/2", "mzspec:PXD9:run1:scan:7", "PXD9",
+         "RPXD9", "A1", "PEPA", "PEPA/2", False, True, 12.5, 2, 2, 445.12,
+         [100.25, 200.5], [10.0, 20.0], 2, 0, None, ["P001", "P002"],
+         ("MS", "MS:1002257", "score", "0.9"),
+         [("MS", "MS:1002257", "score", "0.9")], None, None, None),
+        ("mzspec:PXD9:run1:scan:8:PEPB/3", "mzspec:PXD9:run1:scan:8", "PXD9",
+         None, "A1", "PEPB", "PEPB/3", True, False, None, 2, 3, 512.9,
+         [300.75], [30.5], 1, 1, None, [], None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schemas.BINARY_ARCHIVE_SPECTRUM).coalesce(1)
+    export_reference_layout(
+        str(tmp_path), "PXD9", "A1", archive_spectra=df, batch_files=False
+    )
+    got = open(archive_spectrum_total_file(str(tmp_path), "PXD9", "A1"), "rb").read()
+
+    expected = (
+        b'{"usi":"mzspec:PXD9:run1:scan:7:PEPA/2"'
+        b',"spectraUsi":"mzspec:PXD9:run1:scan:7"'
+        b',"projectAccession":"PXD9"'
+        b',"reanalysisAccession":"RPXD9"'
+        b',"assayAccession":"A1"'
+        b',"peptideSequence":"PEPA"'
+        b',"peptidoform":"PEPA/2"'
+        b',"isDecoy":false'
+        b',"isValid":true'
+        b',"retentionTime":12.5'
+        b',"msLevel":2'
+        b',"precursorCharge":2'
+        b',"precursorMz":445.12'
+        b',"masses":[100.25,200.5]'
+        b',"intensities":[10.0,20.0]'
+        b',"numPeaks":2'
+        b',"missedCleavages":0'
+        b',"proteinAccessions":["P001","P002"]'
+        b',"bestSearchEngineScore":{"cvLabel":"MS","accession":"MS:1002257"'
+        b',"name":"score","value":"0.9"}'
+        b',"scores":[{"cvLabel":"MS","accession":"MS:1002257"'
+        b',"name":"score","value":"0.9"}]}\n'
+        b'{"usi":"mzspec:PXD9:run1:scan:8:PEPB/3"'
+        b',"spectraUsi":"mzspec:PXD9:run1:scan:8"'
+        b',"projectAccession":"PXD9"'
+        b',"assayAccession":"A1"'
+        b',"peptideSequence":"PEPB"'
+        b',"peptidoform":"PEPB/3"'
+        b',"isDecoy":true'
+        b',"isValid":false'
+        b',"msLevel":2'
+        b',"precursorCharge":3'
+        b',"precursorMz":512.9'
+        b',"masses":[300.75]'
+        b',"intensities":[30.5]'
+        b',"numPeaks":1'
+        b',"missedCleavages":1'
+        b',"proteinAccessions":[]}\n'
+    )
+    assert got == expected
