@@ -141,11 +141,24 @@ def stratified_sample(
     frac = hash_fraction(id_col, seed)
     if isinstance(rates, DataFrame):
         # one rate per stratum — a duplicated key in the dim would fan
-        # the left join out and silently duplicate sampled rows
+        # the left join out and silently duplicate sampled rows, and a
+        # duplicated key with CONFLICTING rates would silently sample at
+        # whichever copy dropDuplicates happened to keep (r11 review):
+        # collapse identical duplicates deterministically, refuse conflicts
         dim = rates.select(
             F.col(rates.columns[0]).alias("__stratum"),
             F.col(rates.columns[1]).cast("double").alias("__rate"),
-        ).dropDuplicates(["__stratum"])
+        ).groupBy("__stratum").agg(
+            F.min("__rate").alias("__rate"),
+            F.countDistinct("__rate").alias("__n_rates"),
+        )
+        conflicts = dim.filter(F.col("__n_rates") > 1).limit(5).collect()
+        if conflicts:
+            keys = ", ".join(repr(r["__stratum"]) for r in conflicts)
+            raise ValueError(
+                f"rates has conflicting duplicate entries for strata: {keys}"
+            )
+        dim = dim.drop("__n_rates")
         return (
             df.join(F.broadcast(dim), F.col(stratum_col) == F.col("__stratum"), "left")
             .filter(frac < F.coalesce(F.col("__rate"), F.lit(float(default_rate))))

@@ -48,7 +48,10 @@ def read_efo_obo(spark: SparkSession, path: str | list[str]) -> DataFrame:
             F.regexp_extract("st", r"(?m)^name:\s*(.+?)\s*$", 1).alias("name"),
         )
         .filter((F.col("accession") != "") & (F.col("name") != ""))
-        .dropDuplicates(["accession"])
+        # deterministic row per accession (multi-shard OBO directories can
+        # repeat ids; dropDuplicates would pick an arbitrary copy)
+        .groupBy("accession")
+        .agg(F.min("name").alias("name"))
     )
 
 
@@ -74,11 +77,14 @@ def enrich_with_efo(characteristics: DataFrame, efo_terms: DataFrame) -> DataFra
     Broadcast left join on the normalized name: the ontology side is
     dim-sized by construction, so the fact side is never shuffled.
     """
+    # min(accession) per name, not dropDuplicates: two terms sharing a
+    # case-folded name (ontologies do have these) must resolve to the
+    # SAME accession on every run — dropDuplicates picks an arbitrary
+    # row per key and made the enrichment nondeterministic (r11 review)
     dim = F.broadcast(
-        efo_terms.select(
-            F.lower(F.trim("name")).alias("__efo_key"),
-            F.col("accession").alias("accession"),
-        ).dropDuplicates(["__efo_key"])
+        efo_terms.groupBy(F.lower(F.trim("name")).alias("__efo_key")).agg(
+            F.min("accession").alias("accession")
+        )
     )
     return (
         characteristics.withColumn("__efo_key", F.lower(F.trim("name")))

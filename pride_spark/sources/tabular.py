@@ -56,7 +56,14 @@ def read_sdrf(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """
     df = spark.read.csv(path, sep="\t", header=True)
     cols = df.columns
-    file_col = next(c for c in cols if c.lower() == "comment[data file]")
+    file_col = next((c for c in cols if c.lower() == "comment[data file]"), None)
+    if file_col is None:
+        # a bare next() raised StopIteration here — a confusing crash for
+        # a malformed-but-real input; name the missing column (r11 review)
+        raise ValueError(
+            "SDRF table has no 'comment[data file]' column; "
+            f"header was: {cols}"
+        )
     chars = [c for c in cols if c.lower().startswith("characteristics[")]
     if not chars:
         return df.select(
@@ -64,7 +71,15 @@ def read_sdrf(spark: SparkSession, path: str | list[str]) -> DataFrame:
             F.lit(None).cast("string").alias("name"),
             F.lit(None).cast("string").alias("value"),
         ).limit(0)
-    pairs = ", ".join(f"'{c[c.index('[') + 1 : c.rindex(']')]}', `{c}`" for c in chars)
+
+    def _lit(c: str) -> str:
+        # characteristic names are embedded as SQL string literals — an
+        # apostrophe ("characteristics[patient's age]") broke the stack()
+        # parse (r11 review); duplicate header names are fine (Spark
+        # dedup-suffixes them AFTER the ']' so extraction is unaffected)
+        return "'" + c[c.index("[") + 1 : c.rindex("]")].replace("'", "\\'") + "'"
+
+    pairs = ", ".join(f"{_lit(c)}, `{c}`" for c in chars)
     return df.select(
         F.col(file_col).alias("dataFile"),
         F.expr(f"stack({len(chars)}, {pairs}) as (name, value)"),

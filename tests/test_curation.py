@@ -359,3 +359,27 @@ def test_sig_params_partial_metadata_mismatch_detected(spark):
     _check_sig_params(full, "c", num_hashes=16, bands=4, shingle_n=5)
     with _pytest.raises(ValueError, match="built with"):
         _check_sig_params(full, "c", num_hashes=8, bands=4, shingle_n=3)
+
+
+def test_stratified_sample_refuses_conflicting_duplicate_rates(spark):
+    """r11 review: a duplicated stratum key with DIFFERENT rates in the
+    dim-table variant silently sampled at whichever copy dropDuplicates
+    kept; identical duplicates still collapse fine, conflicts refuse."""
+    import pytest
+
+    from pride_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "en") for i in range(50)], "id string, lang string"
+    )
+    ok_dim = spark.createDataFrame(
+        [("en", 0.5), ("en", 0.5), ("de", 0.9)], "stratum string, rate double"
+    )
+    out = stratified_sample(df, "lang", ok_dim, id_col="id", seed="s")
+    assert 0 < out.count() < 50  # identical dup keys are fine
+
+    bad_dim = spark.createDataFrame(
+        [("en", 0.5), ("en", 0.9)], "stratum string, rate double"
+    )
+    with pytest.raises(ValueError, match="conflicting duplicate"):
+        stratified_sample(df, "lang", bad_dim, id_col="id", seed="s")

@@ -494,3 +494,67 @@ def test_archive_spectrum_export_golden_bytes(spark, tmp_path):
         b',"proteinAccessions":[]}\n'
     )
     assert got == expected
+
+
+def test_efo_enrichment_deterministic_on_shared_names(spark, tmp_path):
+    """r11 review: two ontology terms sharing a case-folded name must
+    resolve to the SAME accession on every run (min), and repeated ids
+    across OBO shards collapse deterministically — dropDuplicates picked
+    an arbitrary row per key."""
+    from pride_spark.sources.efo import enrich_with_efo, read_efo_obo
+
+    terms = spark.createDataFrame(
+        [("EFO:0002", "Age"), ("EFO:0001", "age"), ("EFO:0009", "organism")],
+        "accession string, name string",
+    )
+    chars = spark.createDataFrame(
+        [("f1", "AGE", "42"), ("f1", "organism", "human")],
+        "dataFile string, name string, value string",
+    )
+    got = {r["name"]: r["accession"] for r in enrich_with_efo(chars, terms).collect()}
+    assert got == {"AGE": "EFO:0001", "organism": "EFO:0009"}  # min, not arbitrary
+
+    import textwrap
+    obo = textwrap.dedent("""\
+        format-version: 1.2
+
+        [Term]
+        id: EFO:0005
+        name: zzz-name
+
+        [Term]
+        id: EFO:0005
+        name: aaa-name
+    """)
+    p = tmp_path / "efo_dup.obo"
+    p.write_text(obo)
+    rows = read_efo_obo(spark, str(p)).collect()
+    assert len(rows) == 1 and rows[0]["name"] == "aaa-name"
+
+
+def test_sdrf_quoted_names_dup_headers_and_missing_file_col(spark, tmp_path):
+    """r11 review: an apostrophe inside characteristics[...] broke the
+    stack() SQL literal; duplicate characteristic headers (legit SDRF)
+    both melt; a missing comment[data file] column names itself instead
+    of raising a bare StopIteration."""
+    import pytest
+
+    from pride_spark.sources.tabular import read_sdrf
+
+    p = tmp_path / "s.sdrf.tsv"
+    p.write_text(
+        "comment[data file]\tcharacteristics[patient's age]"
+        "\tcharacteristics[organism part]\tcharacteristics[organism part]\n"
+        "f1.raw\t42\tliver\tkidney\n"
+    )
+    rows = sorted((r["name"], r["value"]) for r in read_sdrf(spark, str(p)).collect())
+    assert rows == [
+        ("organism part", "kidney"),
+        ("organism part", "liver"),
+        ("patient's age", "42"),
+    ]
+
+    bad = tmp_path / "nofile.sdrf.tsv"
+    bad.write_text("characteristics[organism]\nhuman\n")
+    with pytest.raises(ValueError, match="comment\\[data file\\]"):
+        read_sdrf(spark, str(bad))
