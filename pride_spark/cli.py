@@ -431,11 +431,16 @@ def cmd_run_reanalysis(args) -> int:
     result_files = sorted(_glob.glob(f"{folder}/*.mztab")) + sorted(
         _glob.glob(f"{folder}/*.mzid")
     )
-    spectra_files = [
-        p
-        for ext in ("mzML", "mzml", "mgf", "MGF", "mzXML", "pkl")
-        for p in sorted(_glob.glob(f"{folder}/*.{ext}"))
-    ]
+    # dict.fromkeys: on a case-insensitive mount the mzML/mzml (or
+    # mgf/MGF) patterns both match the same file — dedupe while keeping
+    # the discovery order (a duplicated path would double-ingest spectra)
+    spectra_files = list(
+        dict.fromkeys(
+            p
+            for ext in ("mzML", "mzml", "mgf", "MGF", "mzXML", "pkl")
+            for p in sorted(_glob.glob(f"{folder}/*.{ext}"))
+        )
+    )
     sample_files = sorted(_glob.glob(f"{folder}/*.sdrf.tsv"))
     if not result_files:
         print(f"no *.mztab / *.mzid files under {folder}", file=sys.stderr)
