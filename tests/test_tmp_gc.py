@@ -52,3 +52,38 @@ def test_serve_touch_resets_gc_clock(tmp_path):
     assert served.exists(), "a serve-touch must reset the 24h GC window"
     # and _touch_served on a missing path is a no-op, not an error
     _touch_served(str(tmp_path / "does_not_exist"))
+
+
+def test_q45_sets_fixture_keyed_by_lineitem_content(spark, tmp_path):
+    """r11: the q45 PSM-set fixture must rebuild when the lineitem table
+    is regenerated at the same path — the content fingerprint (names,
+    sizes, mtimes) is the staleness contract, and a stale hit would
+    silently serve the OLD corpus's sets to every later run."""
+    import os
+    import shutil
+    import time
+
+    from pride_spark.registry import q45_sets_path
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    dst = str(sf / "lineitem.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+
+    p1 = q45_sets_path(spark, str(sf))
+    assert os.path.isdir(p1)
+    n1 = spark.read.parquet(p1).count()
+    assert n1 > 0
+    # memo/path hit on unchanged content
+    assert q45_sets_path(spark, str(sf)) == p1
+
+    # regenerate the corpus at the same path (mtime changes => new key)
+    time.sleep(0.01)
+    target = dst if os.path.isfile(dst) else os.path.join(
+        dst, sorted(f for f in os.listdir(dst) if not f.startswith("."))[0]
+    )
+    os.utime(target, None)
+    p2 = q45_sets_path(spark, str(sf))
+    assert p2 != p1, "regenerated corpus must get a fresh sets build"
+    assert spark.read.parquet(p2).count() == n1  # same data -> same sets
