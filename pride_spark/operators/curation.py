@@ -147,18 +147,36 @@ def stratified_sample(
         # collapse identical duplicates deterministically, refuse conflicts
         dim = rates.select(
             F.col(rates.columns[0]).alias("__stratum"),
-            F.col(rates.columns[1]).cast("double").alias("__rate"),
+            # try_cast, not cast: under ANSI mode a non-numeric rate
+            # would throw a generic CAST_INVALID_INPUT mid-shuffle —
+            # fold it to NULL so the named refusal below fires instead
+            F.col(rates.columns[1]).try_cast("double").alias("__rate"),
         ).groupBy("__stratum").agg(
             F.min("__rate").alias("__rate"),
             F.countDistinct("__rate").alias("__n_rates"),
+            # countDistinct ignores NULLs: a stratum with both a valid
+            # rate and a rate that casts to NULL (non-numeric string)
+            # would pass as non-conflicting and silently sample at the
+            # valid copy (r11 advice) — refuse NULL rates outright; a
+            # rate that doesn't cast to double is garbage input, not a
+            # request for default_rate
+            F.count(F.when(F.col("__rate").isNull(), 1)).alias("__n_null"),
         )
-        conflicts = dim.filter(F.col("__n_rates") > 1).limit(5).collect()
-        if conflicts:
-            keys = ", ".join(repr(r["__stratum"]) for r in conflicts)
+        bad = dim.filter(
+            (F.col("__n_rates") > 1) | (F.col("__n_null") > 0)
+        ).limit(5).collect()
+        if bad:
+            nulls = [r for r in bad if r["__n_null"] > 0]
+            if nulls:
+                keys = ", ".join(repr(r["__stratum"]) for r in nulls)
+                raise ValueError(
+                    f"rates has NULL / non-numeric entries for strata: {keys}"
+                )
+            keys = ", ".join(repr(r["__stratum"]) for r in bad)
             raise ValueError(
                 f"rates has conflicting duplicate entries for strata: {keys}"
             )
-        dim = dim.drop("__n_rates")
+        dim = dim.drop("__n_rates", "__n_null")
         return (
             df.join(F.broadcast(dim), F.col(stratum_col) == F.col("__stratum"), "left")
             .filter(frac < F.coalesce(F.col("__rate"), F.lit(float(default_rate))))

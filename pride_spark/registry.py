@@ -2058,6 +2058,26 @@ def _touch_served(path: str) -> None:
         pass
 
 
+def _publish_build(build: str, path: str) -> None:
+    """Atomically publish ``build`` as ``path`` via ``os.rename``.
+
+    A losing ``rename`` is only benign when a CONCURRENT builder already
+    published ``path`` — any other OSError (permissions, cross-device
+    tmp, a non-local default FS so the build never landed on local disk)
+    would previously be swallowed here and surface much later as a
+    confusing parquet-read failure on a nonexistent path (r11 advice).
+    Verify the published dir actually exists before discarding the
+    build; re-raise the original error otherwise."""
+    import shutil
+
+    try:
+        _os.rename(build, path)
+    except OSError:
+        if not _os.path.isdir(path):
+            raise  # nothing was published — the rename failure is real
+        shutil.rmtree(build, ignore_errors=True)  # concurrent builder won
+
+
 def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
     """Build-once path for q43's persistent IVF-PQ index: keyed by a
     CONTENT fingerprint of the corpus (file names + sizes + mtimes of
@@ -2067,7 +2087,6 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
     one atomic ``os.rename`` — two concurrent builders cannot
     interleave writes into the served directory; the rename loser
     discards its copy and serves the winner's."""
-    import shutil
     import tempfile
     import uuid
 
@@ -2089,10 +2108,7 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str, books) -> str:
         ann_index.build_ivf_index(
             emb, build_dir, "vec_id", "embedding", n_centroids=8, pq_codebooks=books
         )
-        try:
-            _os.rename(build_dir, path)
-        except OSError:  # concurrent builder published first — use theirs
-            shutil.rmtree(build_dir, ignore_errors=True)
+        _publish_build(build_dir, path)
     _touch_served(path)
     return path
 
@@ -2123,7 +2139,6 @@ def q43_build_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     the difference between scanning compressed codes and scanning the
     float vectors every search."""
     import hashlib
-    import shutil
     import tempfile
     import uuid
 
@@ -2151,10 +2166,7 @@ def q43_build_artifacts(spark: SparkSession, sf_dir: str) -> dict:
                     F.col("vec_id").alias("nbr_id"),
                     similarity.pq_encode_expr("embedding", bks).alias("codes"),
                 ).write.mode("overwrite").parquet(_os.path.join(build, fam))
-            try:
-                _os.rename(build, codes_dir)
-            except OSError:  # concurrent builder won — serve theirs
-                shutil.rmtree(build, ignore_errors=True)
+            _publish_build(build, codes_dir)
         cached = {
             "ivf_centroids": similarity._kmeans_centroids(
                 emb, "vec_id", "embedding", 8, 2
@@ -2263,7 +2275,6 @@ def q45_sets_path(spark: SparkSession, sf_dir: str) -> str:
     content fingerprint of lineitem, published with one atomic rename
     (two concurrent builders cannot interleave; loser serves the
     winner's), GC'd by the same serve-aware policy as q43's artifacts."""
-    import shutil
     import tempfile
     import uuid
 
@@ -2280,10 +2291,7 @@ def q45_sets_path(spark: SparkSession, sf_dir: str) -> str:
             spectrum_key_col="spectrumKey",
             consider_modifications=False,
         ).write.mode("overwrite").parquet(build)
-        try:
-            _os.rename(build, path)
-        except OSError:  # concurrent builder published first — use theirs
-            shutil.rmtree(build, ignore_errors=True)
+        _publish_build(build, path)
     _touch_served(path)
     return path
 @register(

@@ -442,6 +442,7 @@ def read_pridexml(
     if xmlsplit.pick_mode(paths, mode) != "split":
         return _read_pridexml_whole(spark, paths)
     from pride_spark.operators.joins import global_row_index
+    from pride_spark.session import pinned_scope
 
     out = None
     for p in paths:  # offsets order WITHIN one file; index files separately
@@ -451,8 +452,18 @@ def read_pridexml(
         )
         # pin=True: the upstream here is the full XML record parse —
         # exactly the expensive-input case the pin exists for (the
-        # quantile/count passes would otherwise re-parse every record)
-        indexed = global_row_index(recs, ("__off",), "__idx", pin=True).select(
+        # quantile/count passes would otherwise re-parse every record).
+        # pinned_scope bounds the pin to THIS file's indexing call (r11
+        # advice): without it, a many-file legacy submission accumulated
+        # one persisted frame per file for the session lifetime.  The
+        # two eager passes inside global_row_index (quantile + count)
+        # run inside the scope and hit the cache; the caller's final
+        # action re-parses each file once from lineage — a bounded cost
+        # (2 parses per file total vs 3 unpinned) that buys bounded
+        # executor storage.
+        with pinned_scope():
+            indexed = global_row_index(recs, ("__off",), "__idx", pin=True)
+        indexed = indexed.select(
             "fileName",
             F.col("__idx").cast("int").alias("index"),
             *[f.name for f in SPECTRA_SCHEMA.fields if f.name not in ("fileName", "index")],

@@ -72,17 +72,20 @@ def read_sdrf(spark: SparkSession, path: str | list[str]) -> DataFrame:
             F.lit(None).cast("string").alias("value"),
         ).limit(0)
 
-    def _lit(c: str) -> str:
-        # characteristic names are embedded as SQL string literals — an
-        # apostrophe ("characteristics[patient's age]") broke the stack()
-        # parse (r11 review); duplicate header names are fine (Spark
-        # dedup-suffixes them AFTER the ']' so extraction is unaffected)
-        return "'" + c[c.index("[") + 1 : c.rindex("]")].replace("'", "\\'") + "'"
-
-    pairs = ", ".join(f"{_lit(c)}, `{c}`" for c in chars)
+    # Characteristic names go in as F.lit COLUMNS, never as SQL literal
+    # text: interpolating them into an F.expr string broke on apostrophes
+    # (r11 review) and no static escaping covers both parser modes —
+    # backslashes and '' doubling parse differently under
+    # spark.sql.parser.escapedStringLiterals (r11 advice, verified both
+    # modes).  Duplicate header names are fine (Spark dedup-suffixes
+    # them AFTER the ']' so extraction is unaffected).
+    pairs: list = []
+    for c in chars:
+        pairs.append(F.lit(c[c.index("[") + 1 : c.rindex("]")]))
+        pairs.append(df[c])  # exact-name resolution — no backtick parsing
     return df.select(
         F.col(file_col).alias("dataFile"),
-        F.expr(f"stack({len(chars)}, {pairs}) as (name, value)"),
+        F.stack(F.lit(len(chars)), *pairs).alias("name", "value"),
     ).filter(F.col("value").isNotNull())
 
 

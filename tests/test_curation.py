@@ -383,3 +383,31 @@ def test_stratified_sample_refuses_conflicting_duplicate_rates(spark):
     )
     with pytest.raises(ValueError, match="conflicting duplicate"):
         stratified_sample(df, "lang", bad_dim, id_col="id", seed="s")
+
+
+def test_stratified_sample_refuses_null_rates_in_dim(spark):
+    """r11 advice: countDistinct ignores NULLs, so a stratum carrying
+    both a valid rate and a non-numeric one (casts to NULL) passed the
+    conflict check and silently sampled at the valid copy.  NULL rates
+    in the dim are garbage input, not a default_rate request — refuse
+    them whether or not a valid duplicate exists."""
+    import pytest
+
+    from pride_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "en") for i in range(50)], "id string, lang string"
+    )
+    # valid + NULL-casting duplicate: previously slipped through
+    mixed = spark.createDataFrame(
+        [("en", "0.5"), ("en", "half")], "stratum string, rate string"
+    )
+    with pytest.raises(ValueError, match="NULL / non-numeric"):
+        stratified_sample(df, "lang", mixed, id_col="id", seed="s")
+
+    # a lone NULL rate is refused too
+    lone = spark.createDataFrame(
+        [("en", None)], "stratum string, rate double"
+    )
+    with pytest.raises(ValueError, match="NULL / non-numeric"):
+        stratified_sample(df, "lang", lone, id_col="id", seed="s")

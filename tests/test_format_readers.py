@@ -514,6 +514,40 @@ def test_pridexml_split_matches_whole(spark, tmp_path):
     assert whole == split and len(split) > 0
 
 
+def test_pridexml_split_releases_per_file_pins(spark, tmp_path):
+    """r11 advice: split mode pinned one persisted frame PER FILE for
+    the session lifetime (global_row_index pin=True inside the loop) —
+    a many-file legacy submission accumulated executor storage.  The
+    per-file indexing now runs in pinned_scope, so after read_pridexml
+    returns no new persisted RDDs remain, and the result (which
+    recomputes the parse from lineage once) is still exact."""
+    from pride_spark.sources.mzml import _read_pridexml_whole, read_pridexml
+
+    xml, _mz, _inten = _pridexml_fixture()
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"legacy{i}.xml"
+        p.write_text(xml)
+        paths.append(str(p))
+
+    sc = spark.sparkContext
+
+    def n_persisted():
+        try:
+            return sc._jsc.getPersistentRDDs().size()
+        except Exception:
+            return None
+
+    before = n_persisted()
+    split_df = read_pridexml(spark, paths, mode="split")
+    after_build = n_persisted()
+    if before is not None:
+        assert after_build == before, "per-file pins must not outlive the call"
+    split = sorted(map(tuple, split_df.collect()))
+    whole = sorted(map(tuple, _read_pridexml_whole(spark, paths).collect()))
+    assert whole == split and len(split) > 0
+
+
 def test_scan_records_gt_inside_attribute_values(tmp_path, monkeypatch):
     """'>' is legal inside XML attribute values (only '<' and '&' must
     be escaped): a title like m/z>400 must not truncate an attr-only

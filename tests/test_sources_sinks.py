@@ -558,3 +558,31 @@ def test_sdrf_quoted_names_dup_headers_and_missing_file_col(spark, tmp_path):
     bad.write_text("characteristics[organism]\nhuman\n")
     with pytest.raises(ValueError, match="comment\\[data file\\]"):
         read_sdrf(spark, str(bad))
+
+
+def test_sdrf_backslash_names_survive_both_parser_modes(spark, tmp_path):
+    """r11 advice: characteristic names reached stack() as interpolated
+    SQL literal text, so a backslash ("characteristics[a\\b]") was
+    mangled by escape processing and a trailing backslash ate the
+    closing quote; \\' also depended on the parser mode.  Names now ride
+    in as F.lit columns — exact round-trip regardless of
+    spark.sql.parser.escapedStringLiterals."""
+    from pride_spark.sources.tabular import read_sdrf
+
+    p = tmp_path / "b.sdrf.tsv"
+    p.write_text(
+        "comment[data file]\tcharacteristics[a\\b]"
+        "\tcharacteristics[trail\\]\tcharacteristics[it's \\ mixed]\n"
+        "f1.raw\tv1\tv2\tv3\n"
+    )
+    want = [("a\\b", "v1"), ("it's \\ mixed", "v3"), ("trail\\", "v2")]
+    old = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    try:
+        for mode in ("false", "true"):
+            spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+            rows = sorted(
+                (r["name"], r["value"]) for r in read_sdrf(spark, str(p)).collect()
+            )
+            assert rows == want, mode
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", old)

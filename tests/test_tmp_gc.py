@@ -87,3 +87,39 @@ def test_q45_sets_fixture_keyed_by_lineitem_content(spark, tmp_path):
     p2 = q45_sets_path(spark, str(sf))
     assert p2 != p1, "regenerated corpus must get a fresh sets build"
     assert spark.read.parquet(p2).count() == n1  # same data -> same sets
+
+
+def test_publish_build_reraises_when_nothing_published(tmp_path):
+    """r11 advice: a failed publish rename was always read as 'a
+    concurrent builder won' and the build discarded — if the rename
+    failed for a REAL reason (permissions, cross-device tmp, build dir
+    never landed locally) a nonexistent path was served and surfaced
+    later as a baffling parquet-read error.  Now: rename-loser only
+    when the published dir actually exists; re-raise otherwise."""
+    import pytest
+
+    from pride_spark.registry import _publish_build
+
+    # real failure: the build dir does not exist, target not published
+    missing_build = str(tmp_path / "nope.build-abc")
+    target = str(tmp_path / "published")
+    with pytest.raises(OSError):
+        _publish_build(missing_build, target)
+
+    # benign loss: target already published (non-empty => ENOTEMPTY)
+    build = tmp_path / "mine.build-def"
+    build.mkdir()
+    (build / "part").write_text("x")
+    os.makedirs(target)
+    with open(os.path.join(target, "winner-part"), "w") as fh:
+        fh.write("w")
+    _publish_build(str(build), target)  # no raise
+    assert not build.exists()  # loser's copy discarded
+    assert os.path.exists(os.path.join(target, "winner-part"))  # winner served
+
+    # happy path still renames
+    build2 = tmp_path / "b2.build-xyz"
+    build2.mkdir()
+    t2 = str(tmp_path / "t2")
+    _publish_build(str(build2), t2)
+    assert os.path.isdir(t2) and not build2.exists()
