@@ -413,6 +413,44 @@ def _read_store_meta(spark, path: str) -> str | None:
     return rows[0]["finest"] if rows else None
 
 
+#: per-partition sidecar recording the last merge batch installed into
+#: that partition — underscore-prefixed so every parquet reader ignores
+#: it.  Written into the STAGED partition dir before its swap rename, so
+#: the stamp and the data it describes are installed in ONE atomic
+#: rename: a partition either has the batch's contribution AND its
+#: stamp, or neither.
+_BATCH_SIDECAR = "_merged_batch"
+
+
+def _partition_merged_batch(part_dir: str) -> int | None:
+    """The batch id stamped into a live partition dir, or None."""
+    import os
+
+    try:
+        with open(os.path.join(part_dir, _BATCH_SIDECAR)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _stamp_partition_batch(part_dir: str, batch_id: int) -> None:
+    # plain write, no tmp+replace: the dir is still STAGING-private here
+    # (a torn write cannot survive a crash — staging is swept on the
+    # next refresh) and becomes visible only via the swap rename
+    import os
+
+    with open(os.path.join(part_dir, _BATCH_SIDECAR), "w") as fh:
+        fh.write(str(batch_id))
+
+
+def _part_leaf(d) -> str:
+    # Spark writes the NULL partition as __HIVE_DEFAULT_PARTITION__;
+    # "part_date=None" would never match the hive leaf name
+    return (
+        "part_date=__HIVE_DEFAULT_PARTITION__" if d is None else f"part_date={d}"
+    )
+
+
 def refresh_hypertable_store(
     spark,
     path: str,
@@ -423,18 +461,30 @@ def refresh_hypertable_store(
     finest: str = "hour",
     by: Sequence[str] | None = None,
     bucket_col: str = "bucket_start",
+    batch_id: int | None = None,
 ) -> list:
     """Merge a new event batch into the store, rewriting ONLY the
     date partitions the batch touches (dynamic partition overwrite +
     partition-pruned read of the old values).  Cost is
     O(|batch| + |stored buckets in touched dates|) — the 100 TB corpus
     of untouched history is never read.  Returns the touched dates.
+    An EMPTY store (no ``part_date=`` partitions yet) is valid input:
+    the merge degenerates to the batch's own rollup, installed through
+    the same staged swap — so first-build and every later refresh share
+    one crash-safety story.
 
-    The merge is ADDITIVE (old ⊕ new per bucket): deliver each event
-    batch exactly once — re-refreshing the same batch double-counts,
-    as with any incremental aggregate; pair with an ingestion ledger
-    for exactly-once.  Late events are handled for free: a stale date's
-    partition is simply touched again.
+    The merge is ADDITIVE (old ⊕ new per bucket).  With
+    ``batch_id=None`` deliver each event batch exactly once —
+    re-refreshing the same batch double-counts, as with any incremental
+    aggregate.  Pass ``batch_id`` (the streaming sink does) to make the
+    merge IDEMPOTENT per (batch_id, partition): each swapped partition
+    is stamped with the installing batch id (``_merged_batch`` sidecar,
+    installed by the same atomic rename as the data), and a re-refresh
+    with the same batch_id skips every partition already stamped with
+    it — replaying a crashed batch completes the partitions it missed
+    without double-counting the ones it already merged.  Late events
+    are handled for free either way: a stale date's partition is simply
+    touched again.
 
     Durability: the merged partitions are computed into a STAGING
     directory first (old values read before anything is deleted), then
@@ -447,10 +497,11 @@ def refresh_hypertable_store(
     every partition is eventually either fully old or fully new, never
     lost.  Retired dirs are deleted only after their replacement is in
     place.  The swap is atomic per PARTITION, not across the set of
-    touched dates; production deployments wanting one atomic commit
-    across all partitions (plus concurrent readers during the swap)
-    should put the store on a transactional table format
-    (Delta/Iceberg) — the merge logic is unchanged.
+    touched dates — which is exactly why the per-partition batch stamp
+    exists; production deployments wanting one atomic commit across all
+    partitions (plus concurrent readers during the swap) should put the
+    store on a transactional table format (Delta/Iceberg) — the merge
+    logic is unchanged.
     """
     import os
     import shutil
@@ -469,8 +520,10 @@ def refresh_hypertable_store(
         # batch's parquet write and its _write_store_meta): record the
         # caller's finest NOW so every future refresh/read validates
         # against it instead of silently skipping validation forever
-        # (r10 review).
+        # (r10 review).  On a brand-new path this is also the first
+        # write that creates the store directory.
         _write_store_meta(spark, path, finest)
+    has_data = any(n.startswith("part_date=") for n in os.listdir(path))
     new_agg = _finest_internal(new_df, ts_col, aggs, finest, by, bucket_col)
     # bounded collect: one row per DISTINCT calendar date in the batch.
     # Derived from the RAW events (same part_date expression
@@ -487,33 +540,48 @@ def refresh_hypertable_store(
     ]
     if not dates:
         return []
+    if batch_id is None:
+        pending = list(dates)
+    else:
+        # idempotent replay: skip dates whose LIVE partition is already
+        # stamped with this batch id — its contribution (and stamp) were
+        # installed by one atomic rename, so presence of the stamp
+        # proves presence of the data
+        pending = [
+            d
+            for d in dates
+            if _partition_merged_batch(os.path.join(path, _part_leaf(d)))
+            != batch_id
+        ]
+    if not pending:
+        return dates
     # NULL-timestamp events land in the NULL part_date partition; isin()
     # never matches NULL (SQL semantics), so include it explicitly or the
     # stored null partition would be dropped from the merge (r10 review).
-    non_null = [d for d in dates if d is not None]
+    non_null = [d for d in pending if d is not None]
     keep = F.col("part_date").isin(non_null)
-    if None in dates:
+    if None in pending:
         keep = keep | F.col("part_date").isNull()
-    old = spark.read.parquet(path).filter(keep)
-    merged = (
-        old.unionByName(new_agg)
-        .groupBy(*by, bucket_col, "part_date")
-        .agg(*[a.reagg() for a in aggs])
-    )
+    # restrict the batch side to the pending dates too: on a partial
+    # replay the already-merged dates must not be recomputed (their
+    # staged output would be discarded unswapped — wasted work at best)
+    new_agg = new_agg.filter(keep)
+    if has_data:
+        old = spark.read.parquet(path).filter(keep)
+        merged = (
+            old.unionByName(new_agg)
+            .groupBy(*by, bucket_col, "part_date")
+            .agg(*[a.reagg() for a in aggs])
+        )
+    else:
+        merged = new_agg  # first batch: nothing stored to fold in
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     try:
         # full compute (including the read of the OLD partition values)
         # lands in staging before any live file is touched
         merged.write.mode("overwrite").partitionBy("part_date").parquet(staging)
-        for d in dates:
-            # Spark writes the NULL partition as __HIVE_DEFAULT_PARTITION__;
-            # "part_date=None" would never match and the finally-rmtree
-            # would silently discard the null bucket's merged output
-            leaf = (
-                "part_date=__HIVE_DEFAULT_PARTITION__"
-                if d is None
-                else f"part_date={d}"
-            )
+        for d in pending:
+            leaf = _part_leaf(d)
             src = os.path.join(staging, leaf)
             dst = os.path.join(path, leaf)
             # deterministic retire location: recoverable after a crash
@@ -521,6 +589,8 @@ def refresh_hypertable_store(
             retired = os.path.join(path, ".retired-" + leaf)
             if not os.path.isdir(src):
                 continue  # date aggregated away (shouldn't happen; be safe)
+            if batch_id is not None:
+                _stamp_partition_batch(src, batch_id)
             if os.path.isdir(retired):
                 shutil.rmtree(retired)  # stale: crash AFTER a prior swap
             if os.path.isdir(dst):

@@ -15,25 +15,39 @@ instead keeps buckets queryable immediately (updated in place on every
 batch) and handles arbitrarily late events for free (a stale date's
 partition is simply touched again), with no state store at all.
 
-Delivery guarantee: Structured Streaming replays a micro-batch after a
-crash (at-least-once delivery into ``foreachBatch``); the sink records
-the last merged ``batch_id`` in a marker file inside the store
-(tmp + ``os.replace`` so the marker itself is never torn) and skips
-batches it has already merged — the standard idempotent-foreachBatch
-recipe.  That is exactly-once EXCEPT for crash windows around the
-non-atomic merge commit: (a) a failure after the merge commits but
-before the marker replace double-counts that single batch on replay,
-and (b) because the swap is atomic per PARTITION, not across the set
-of touched dates (refresh_hypertable_store's documented contract), a
-failure MID-swap in a multi-date batch leaves already-swapped dates
-holding the batch's contribution — recovery reverts only the
-un-swapped dates, so the replay double-counts the batch into the
-already-swapped ones.  Closing both windows needs the merge and the
-marker in one atomic commit — i.e. a transactional table format
-(Delta/Iceberg) at production scale.  Restarting with a NEW checkpoint
-replays the source from scratch and would double-count — rebuild the
-store alongside (an empty store clears any stale marker so rebuilt
-batch ids starting at 0 are not skipped).
+Delivery guarantee: EXACTLY-ONCE per micro-batch under the same
+checkpoint.  Structured Streaming replays a micro-batch after a crash
+(at-least-once delivery into ``foreachBatch``); two layers make the
+replayed merge idempotent:
+
+1. A store-level marker file records the last fully-merged
+   ``batch_id`` (tmp + ``os.replace`` so the marker itself is never
+   torn); batches at or below it are skipped outright — the standard
+   idempotent-foreachBatch recipe, and the fast path for clean replays.
+2. Each swapped date partition carries a ``_merged_batch`` sidecar
+   stamped with the installing batch id, written into the staged dir
+   and installed by the SAME atomic rename as the partition's data
+   (``refresh_hypertable_store(batch_id=...)``).  A replay that finds a
+   partition already stamped with the current batch id skips it and
+   merges only the partitions the crashed run missed.
+
+Layer 2 closes the two crash windows layer 1 alone leaves open
+(previously documented as at-least-once, now pinned exactly-once by
+injection tests): (a) a failure after the merge commits but before the
+marker replace — the replay finds every touched partition stamped,
+re-merges nothing, and just writes the marker; (b) a failure MID-swap
+in a multi-date batch — already-swapped dates are stamped and skipped,
+recovery restores the un-swapped dates and the replay merges exactly
+those.  The initial store build goes through the same staged
+stamp-and-swap path, so a crash during the FIRST batch recovers
+exactly-once too.  A transactional table format (Delta/Iceberg)
+remains the production answer for one atomic commit across partitions
+plus concurrent readers mid-swap, but is no longer needed for
+exactly-once counts.  Restarting with a NEW checkpoint replays the
+source from scratch and would double-count — rebuild the store
+alongside (an empty store clears any stale marker so rebuilt batch ids
+starting at 0 are not skipped; stale per-partition stamps die with the
+rebuilt partitions themselves).
 """
 
 from __future__ import annotations
@@ -45,9 +59,7 @@ from pyspark.sql import DataFrame
 
 from pride_spark.operators.timeseries import (
     AggSpec,
-    _finest_internal,
     _restore_retired_partitions,
-    _write_store_meta,
     refresh_hypertable_store,
 )
 
@@ -64,10 +76,10 @@ def _read_marker(store_path: str) -> int:
 
 def _write_marker(store_path: str, batch_id: int) -> None:
     # tmp + os.replace so a crash mid-write never leaves a truncated
-    # marker.  A crash BETWEEN the merge commit and this replace still
-    # double-counts that one batch on replay (documented crash window —
-    # at-least-once across that boundary; a transactional table format
-    # is the fix for exactly-once at production scale).
+    # marker.  A crash BETWEEN the merge commit and this replace is
+    # harmless: the replay finds every touched partition stamped with
+    # this batch id (the _merged_batch sidecars travel inside the
+    # atomic partition swaps), re-merges nothing, and lands here again.
     os.makedirs(store_path, exist_ok=True)
     final = os.path.join(store_path, _MARKER)
     tmp = final + ".tmp"
@@ -93,9 +105,10 @@ def make_hypertable_batch_sink(
     bucket_col: str = "bucket_start",
 ):
     """The ``foreachBatch`` callable: merge each micro-batch into the
-    store (building it on the first batch), idempotent per ``batch_id``.
-    Exposed separately so tests and backfill scripts can drive it with
-    plain batch frames.
+    store (building it on the first batch), EXACTLY-ONCE per
+    ``batch_id`` (marker fast path + per-partition batch stamps — see
+    module docstring).  Exposed separately so tests and backfill
+    scripts can drive it with plain batch frames.
 
     The marker file uses the local/posix filesystem; on an object-store
     deployment swap ``_read_marker``/``_write_marker`` for the Hadoop
@@ -107,8 +120,7 @@ def make_hypertable_batch_sink(
         # crash recovery BEFORE the has_data probe (r10 review): a crash
         # inside refresh's two-rename swap on a single-partition store
         # leaves only .retired-part_date=d — probing first would read
-        # that as "empty store" and the rebuild branch's
-        # mode("overwrite") would destroy the retired history.
+        # that as "empty store" and clear the marker mid-stream.
         _restore_retired_partitions(store_path)
         has_data = os.path.isdir(store_path) and any(
             n.startswith("part_date=") for n in os.listdir(store_path)
@@ -120,17 +132,14 @@ def make_hypertable_batch_sink(
             _clear_marker(store_path)
         elif batch_id <= _read_marker(store_path):
             return  # replayed batch under the same checkpoint: already merged
-        spark = batch_df.sparkSession
-        if has_data:
-            refresh_hypertable_store(
-                spark, store_path, batch_df, ts_col, aggs,
-                finest=finest, by=by, bucket_col=bucket_col,
-            )
-        else:
-            _finest_internal(batch_df, ts_col, aggs, finest, by, bucket_col).write.mode(
-                "overwrite"
-            ).partitionBy("part_date").parquet(store_path)
-            _write_store_meta(spark, store_path, finest)
+        # one path for first build and every later merge: refresh
+        # handles the empty store (degenerates to the batch's own
+        # rollup) and, given batch_id, stamps every swapped partition —
+        # the replay-idempotence layer the marker alone can't provide
+        refresh_hypertable_store(
+            batch_df.sparkSession, store_path, batch_df, ts_col, aggs,
+            finest=finest, by=by, bucket_col=bucket_col, batch_id=batch_id,
+        )
         _write_marker(store_path, batch_id)
 
     return _sink

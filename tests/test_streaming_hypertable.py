@@ -7,7 +7,6 @@ import datetime
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
 from pride_spark.operators.timeseries import AggSpec, hypertable_rollup, read_hypertable
 from pride_spark.streaming.timeseries import (
@@ -184,13 +183,15 @@ def _two_date_events(spark, start_id, n_per_date, v):
     return spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
 
 
-def test_crash_between_merge_and_marker_double_counts_once(spark, tmp_path):
-    """r11 verdict task #3, crash window (a): a kill AFTER the merge
-    commits but BEFORE the marker replace double-counts exactly that one
-    batch on replay — the documented at-least-once boundary
-    (streaming/timeseries.py docstring).  This test injects the kill and
-    pins the contract: the replayed batch is applied twice, the store
-    stays structurally consistent, and later batches merge exactly once."""
+def test_crash_between_merge_and_marker_is_exactly_once(spark, tmp_path):
+    """r11 verdict task #2, crash window (a): a kill AFTER the merge
+    commits but BEFORE the marker replace previously double-counted that
+    batch on replay.  The per-partition _merged_batch stamps (installed
+    by the same atomic rename as each partition's data) now make the
+    replay a no-op merge: it finds every touched partition stamped with
+    the batch id, re-merges nothing, and writes the marker — EXACTLY
+    once, with the store structurally clean and later batches merging
+    normally."""
     from pride_spark.streaming import timeseries as st
 
     store = str(tmp_path / "store")
@@ -211,37 +212,39 @@ def test_crash_between_merge_and_marker_double_counts_once(spark, tmp_path):
         st._write_marker = real_write_marker
 
     # the merge committed, the marker did not: replay (what Structured
-    # Streaming does after the crash) re-merges batch 1 — double count
+    # Streaming does after the crash) finds the partition stamps and
+    # skips the re-merge instead of double-counting
     assert st._read_marker(store) == 0
     sink(b1, 1)
     assert st._read_marker(store) == 1
 
     want = hypertable_rollup(
-        b0.unionByName(b1).unionByName(b1), "ts", AGGS, resolutions=("hour",)
+        b0.unionByName(b1), "ts", AGGS, resolutions=("hour",)
     )
     got = read_hypertable(spark, store, AGGS, resolutions=("hour",))
-    assert _canon(got) == _canon(want)  # exactly ONE extra application of b1
+    assert _canon(got) == _canon(want)  # b1 applied EXACTLY once
 
     # no structural debris, and the next batch merges exactly once
     assert not [n for n in os.listdir(store)
                 if n.startswith((".retired-", ".staging-"))]
     sink(b2, 2)
     want2 = hypertable_rollup(
-        b0.unionByName(b1).unionByName(b1).unionByName(b2),
+        b0.unionByName(b1).unionByName(b2),
         "ts", AGGS, resolutions=("hour",),
     )
     assert _canon(read_hypertable(spark, store, AGGS, resolutions=("hour",))) \
         == _canon(want2)
 
 
-def test_crash_mid_swap_multi_date_reverts_unswapped_only(spark, tmp_path):
-    """r11 verdict task #3, crash window (b): the swap is atomic per
+def test_crash_mid_swap_multi_date_is_exactly_once(spark, tmp_path):
+    """r11 verdict task #2, crash window (b): the swap is atomic per
     PARTITION, not across a multi-date batch — a kill between the two
     dates' swaps leaves the first date holding the batch's contribution
-    while recovery reverts only the second.  The replay then
-    double-counts the batch into the already-swapped date and applies it
-    once to the reverted one (the exact documented outcome,
-    streaming/timeseries.py docstring + refresh_hypertable_store)."""
+    (with its _merged_batch stamp) while recovery reverts the second to
+    its pre-batch state.  The replay previously double-counted the batch
+    into the already-swapped date; now the stamp makes it skip that date
+    and merge ONLY the reverted one — the whole batch lands exactly
+    once."""
     store = str(tmp_path / "store")
     sink = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
     b0 = _two_date_events(spark, 0, 30, 1.0)
@@ -266,27 +269,70 @@ def test_crash_mid_swap_multi_date_reverts_unswapped_only(spark, tmp_path):
     finally:
         os.rename = real_rename
 
-    # post-crash state: one date swapped (holds b1), the other retired
+    # post-crash state: one date swapped (holds b1 + its stamp), the
+    # other retired
     swapped = state["swapped_leaf"]
     assert swapped is not None and swapped.startswith("part_date=")
     leaves = set(os.listdir(store))
     assert swapped in leaves
+    assert os.path.exists(os.path.join(store, swapped, "_merged_batch"))
     retired = [n for n in leaves if n.startswith(".retired-part_date=")]
     assert len(retired) == 1
     unswapped = retired[0][len(".retired-"):]
     assert unswapped not in leaves  # live partition missing until recovery
 
     # replay after restart: recovery restores the un-swapped date FIRST,
-    # then the re-merge double-counts b1 into the already-swapped date
+    # then the re-merge skips the stamped date and applies b1 only to
+    # the reverted one — no double count anywhere
     sink(b1, 1)
     assert not [n for n in os.listdir(store)
                 if n.startswith((".retired-", ".staging-"))]
 
-    swapped_date = swapped.split("=", 1)[1]
-    b1_swapped_only = b1.filter(F.to_date("ts") == F.lit(swapped_date))
     want = hypertable_rollup(
-        b0.unionByName(b1).unionByName(b1_swapped_only),
-        "ts", AGGS, resolutions=("hour",),
+        b0.unionByName(b1), "ts", AGGS, resolutions=("hour",),
     )
     got = read_hypertable(spark, store, AGGS, resolutions=("hour",))
+    assert _canon(got) == _canon(want)  # exactly-once across both dates
+
+
+def test_crash_during_first_batch_build_is_exactly_once(spark, tmp_path):
+    """The initial store build routes through the same staged
+    stamp-and-swap path as every refresh (r12): a kill between the first
+    batch's two date swaps leaves a partial store, and the replay
+    completes ONLY the missing date — previously the build branch's
+    whole-store overwrite made this window a silent double-count or a
+    history wipe depending on timing."""
+    store = str(tmp_path / "store")
+    sink = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
+    b0 = _two_date_events(spark, 0, 30, 1.0)
+
+    state = {"staged": 0}
+    real_rename = os.rename
+
+    def kill_on_second_swap(src, dst):
+        if ".staging-" in src:
+            state["staged"] += 1
+            if state["staged"] == 2:
+                raise RuntimeError("injected kill mid-first-build")
+        return real_rename(src, dst)
+
+    os.rename = kill_on_second_swap
+    try:
+        with pytest.raises(RuntimeError, match="mid-first-build"):
+            sink(b0, 0)
+    finally:
+        os.rename = real_rename
+
+    # partial store: exactly one of the two dates is live, no marker yet
+    live = [n for n in os.listdir(store) if n.startswith("part_date=")]
+    assert len(live) == 1
+    from pride_spark.streaming import timeseries as st
+    assert st._read_marker(store) == -1
+
+    sink(b0, 0)  # replay completes the missing date only
+    want = hypertable_rollup(b0, "ts", AGGS, resolutions=("hour",))
+    got = read_hypertable(spark, store, AGGS, resolutions=("hour",))
     assert _canon(got) == _canon(want)
+    assert st._read_marker(store) == 0
+    assert not [n for n in os.listdir(store)
+                if n.startswith((".retired-", ".staging-"))]
