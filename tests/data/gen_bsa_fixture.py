@@ -424,6 +424,190 @@ def write_pridexml(specs: list[dict]) -> None:
         fh.write(doc)
 
 
+def write_mzml_f2(specs: list[dict]) -> None:
+    """``BSA1_F2.mzML`` — the SAME spectra as F1 (identical ids, RTs,
+    precursors, peak counts) but with the binary arrays MS-Numpress
+    encoded, cycling through all six numpress CV accessions the mzML
+    kernel dispatches (plain linear/pic/slof + each numpress-then-zlib
+    variant).  Pairing it with F1 in one two-file project makes the r11
+    numpress decode path a FULL-PIPELINE golden gate instead of a
+    unit-level twin-parity check.  (pic quantizes intensities to ints
+    and linear/slof are fixed-point — peak VALUES differ from F1 within
+    codec error, which no pipeline count depends on.)"""
+    from pride_spark.sources import numpress
+
+    def b64b(raw: bytes) -> str:
+        return base64.b64encode(raw).decode()
+
+    def arr(values, codec: str, with_zlib: bool, kind: str) -> str:
+        acc = {
+            ("linear", False): ("MS:1002312", "MS-Numpress linear prediction compression"),
+            ("pic", False): ("MS:1002313", "MS-Numpress positive integer compression"),
+            ("slof", False): ("MS:1002314", "MS-Numpress short logged float compression"),
+            ("linear", True): ("MS:1002746", "MS-Numpress linear prediction compression followed by zlib compression"),
+            ("pic", True): ("MS:1002747", "MS-Numpress positive integer compression followed by zlib compression"),
+            ("slof", True): ("MS:1002748", "MS-Numpress short logged float compression followed by zlib compression"),
+        }[(codec, with_zlib)]
+        enc = {
+            "linear": numpress.encode_linear,
+            "pic": numpress.encode_pic,
+            "slof": numpress.encode_slof,
+        }[codec]
+        raw = enc(values)
+        if with_zlib:
+            raw = zlib.compress(raw)
+        kind_acc, kind_name = (
+            ("MS:1000514", "m/z array") if kind == "mz"
+            else ("MS:1000515", "intensity array")
+        )
+        return (
+            "     <binaryDataArray>\n"
+            f'      <cvParam cvRef="MS" accession="{acc[0]}" name="{acc[1]}" value=""/>\n'
+            f'      <cvParam cvRef="MS" accession="{kind_acc}" name="{kind_name}" value=""/>\n'
+            f"      <binary>{b64b(raw)}</binary>\n"
+            "     </binaryDataArray>"
+        )
+
+    parts = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<mzML xmlns="http://psi.hupo.org/ms/mzml" version="1.1.0">',
+        '  <run id="BSA1_F2" defaultInstrumentConfigurationRef="IC1">',
+        f'  <spectrumList count="{len(specs)}" defaultDataProcessingRef="DP1">',
+    ]
+    for s in specs:
+        i = s["index"]
+        if i % 3 == 0:
+            mz_arr = arr(s["masses"], "linear", False, "mz")
+            in_arr = arr(s["intens"], "slof", False, "inten")
+        elif i % 3 == 1:
+            mz_arr = arr(s["masses"], "linear", True, "mz")
+            in_arr = arr(s["intens"], "pic", False, "inten")
+        else:
+            mz_arr = (
+                "     <binaryDataArray>\n"
+                '      <cvParam cvRef="MS" accession="MS:1000523" name="64-bit float" value=""/>\n'
+                '      <cvParam cvRef="MS" accession="MS:1000576" name="no compression" value=""/>\n'
+                '      <cvParam cvRef="MS" accession="MS:1000514" name="m/z array" value=""/>\n'
+                f"      <binary>{_b64(s['masses'])}</binary>\n"
+                "     </binaryDataArray>"
+            )
+            in_arr = arr(s["intens"], "slof", True, "inten")
+        n = len(s["masses"])
+        parts.append(f'''   <spectrum index="{s['index']}" id="{s['id']}" defaultArrayLength="{n}">
+    <cvParam cvRef="MS" accession="MS:1000511" name="ms level" value="2"/>
+    <cvParam cvRef="MS" accession="MS:1000580" name="MSn spectrum" value=""/>
+    <scanList count="1">
+     <scan>
+      <cvParam cvRef="MS" accession="MS:1000016" name="scan start time" value="{s['rt']}" unitName="second"/>
+     </scan>
+    </scanList>
+    <precursorList count="1">
+     <precursor>
+      <selectedIonList count="1">
+       <selectedIon>
+        <cvParam cvRef="MS" accession="MS:1000744" name="selected ion m/z" value="{s['mz']}"/>
+        <cvParam cvRef="MS" accession="MS:1000041" name="charge state" value="{s['z']}"/>
+       </selectedIon>
+      </selectedIonList>
+     </precursor>
+    </precursorList>
+    <binaryDataArrayList count="2">
+{mz_arr}
+{in_arr}
+    </binaryDataArrayList>
+   </spectrum>''')
+    parts += ["  </spectrumList>", " </run>", "</mzML>", ""]
+    with open(os.path.join(OUT, "bsa_fixture", "BSA1_F2.mzML"), "w") as fh:
+        fh.write("\n".join(parts))
+
+
+def write_mzid_two(specs: list[dict]) -> None:
+    """``bsa_two.mzid`` — the two-file project: the same 64
+    identifications ONCE PER spectra file (SD_1 → BSA1_F1.mzML plain
+    arrays, SD_2 → BSA1_F2.mzML numpress arrays), identical score
+    streams per file.  Because the score MULTISET doubles
+    proportionally, every FDR/q-value decision matches the single-file
+    run — so the two-file golden counts relate to the one-file golden by
+    exact invariants the test asserts (archive doubles, distinct
+    peptides/proteins unchanged)."""
+    seqs, evs, db = {}, [], {}
+    file_results = {1: [], 2: []}
+    for i, s in enumerate(specs):
+        decoy = i % 4 == 3
+        acc = ("rev_" + s["acc"]) if decoy else s["acc"]
+        db.setdefault(acc, f"DBSeq_{len(db)}")
+        pid = f"Pep_{i}"
+        mods = []
+        for pos, a in enumerate(s["seq"], start=1):
+            if a == "C":
+                mods.append(
+                    f'   <Modification location="{pos}" residues="C" monoisotopicMassDelta="57.021464">\n'
+                    f'    <cvParam cvRef="UNIMOD" accession="UNIMOD:4" name="Carbamidomethyl"/>\n'
+                    f"   </Modification>"
+                )
+            elif a == "M" and i % 2 == 0:
+                mods.append(
+                    f'   <Modification location="{pos}" residues="M" monoisotopicMassDelta="15.994915">\n'
+                    f'    <cvParam cvRef="UNIMOD" accession="UNIMOD:35" name="Oxidation"/>\n'
+                    f"   </Modification>"
+                )
+        seqs[pid] = (
+            f'  <Peptide id="{pid}">\n   <PeptideSequence>{s["seq"]}</PeptideSequence>\n'
+            + ("\n".join(mods) + "\n" if mods else "")
+            + "  </Peptide>"
+        )
+        evs.append(
+            f'  <PeptideEvidence id="PE_{i}" peptide_ref="{pid}" '
+            f'dBSequence_ref="{db[acc]}" isDecoy="{str(decoy).lower()}"/>'
+        )
+    for f in (1, 2):
+        rng = _lcg(99)  # same stream per file → identical scores
+        for i, s in enumerate(specs):
+            decoy = i % 4 == 3
+            score = round(
+                (0.35 + 0.25 * next(rng)) if decoy else (0.80 + 0.19 * next(rng)), 6
+            )
+            file_results[f].append(f'''  <SpectrumIdentificationResult id="SIR_F{f}_{i}" spectrumID="{s['id']}" spectraData_ref="SD_{f}">
+   <SpectrumIdentificationItem id="SII_F{f}_{i}" rank="1" chargeState="{s['z']}" experimentalMassToCharge="{s['mz']}" peptide_ref="Pep_{i}" passThreshold="true">
+    <PeptideEvidenceRef peptideEvidence_ref="PE_{i}"/>
+    <cvParam cvRef="PSI-MS" accession="MS:1002257" name="Comet:expectation value" value="{score}"/>
+   </SpectrumIdentificationItem>
+  </SpectrumIdentificationResult>''')
+    dbs = "\n".join(
+        f'  <DBSequence id="{v}" accession="{k}" searchDatabase_ref="SDB_1"/>'
+        for k, v in db.items()
+    )
+    nl = chr(10)
+    doc = f'''<?xml version="1.0" encoding="UTF-8"?>
+<MzIdentML xmlns="http://psidev.info/psi/pi/mzIdentML/1.1" version="1.1.0">
+ <SequenceCollection>
+{dbs}
+{nl.join(seqs.values())}
+{nl.join(evs)}
+ </SequenceCollection>
+ <DataCollection>
+  <Inputs>
+   <SearchDatabase id="SDB_1" location="file:///data/18Protein_SoCe_Tr_detergents_trace_target_decoy.fasta"/>
+   <SpectraData id="SD_1" location="file:///data/BSA1_F1.mzML">
+    <SpectrumIDFormat><cvParam cvRef="PSI-MS" accession="MS:1000768" name="Thermo nativeID format"/></SpectrumIDFormat>
+   </SpectraData>
+   <SpectraData id="SD_2" location="file:///data/BSA1_F2.mzML">
+    <SpectrumIDFormat><cvParam cvRef="PSI-MS" accession="MS:1000768" name="Thermo nativeID format"/></SpectrumIDFormat>
+   </SpectraData>
+  </Inputs>
+  <AnalysisData>
+   <SpectrumIdentificationList id="SIL_1">
+{nl.join(file_results[1])}
+{nl.join(file_results[2])}
+   </SpectrumIdentificationList>
+  </AnalysisData>
+ </DataCollection>
+</MzIdentML>
+'''
+    with open(os.path.join(OUT, "bsa_fixture", "bsa_two.mzid"), "w") as fh:
+        fh.write(doc)
+
+
 def main() -> None:
     os.makedirs(os.path.join(OUT, "bsa_fixture"), exist_ok=True)
     specs = spectra()
@@ -431,8 +615,11 @@ def main() -> None:
     write_mzid(specs)
     write_mztab(specs)
     write_pridexml(specs)
-    print("wrote BSA1_F1.mzML + bsa.mzid + bsa.mztab + bsa.pride.xml; run the "
-          "pipeline once and freeze golden_counts.json "
+    write_mzml_f2(specs)
+    write_mzid_two(specs)
+    print("wrote BSA1_F1.mzML + bsa.mzid + bsa.mztab + bsa.pride.xml + "
+          "BSA1_F2.mzML (numpress) + bsa_two.mzid; run the pipeline once "
+          "and freeze golden_counts.json / golden_counts_two_files.json "
           "(see tests/test_golden_fixture.py)")
 
 

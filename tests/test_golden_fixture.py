@@ -36,13 +36,17 @@ def _jsonl_rows(outdir: str) -> list[dict]:
     return rows
 
 
-def pipeline_counts(out: str, result_file: str = "bsa.mzid") -> dict:
+def pipeline_counts(
+    out: str,
+    result_file: str = "bsa.mzid",
+    spectra_files: tuple = ("BSA1_F1.mzML",),
+) -> dict:
     """Run the full §3.3 DAG on the fixture and measure every stage."""
     rc = main([
         "run-pipeline",
         "--project", "PXBSA000",
         "--result-files", os.path.join(DATA, result_file),
-        "--spectra-files", os.path.join(DATA, "BSA1_F1.mzML"),
+        "--spectra-files", *[os.path.join(DATA, f) for f in spectra_files],
         "--output-dir", out,
         "--min-psms", "10",
     ])
@@ -195,3 +199,56 @@ def test_bsa_mztab_author_properties_reach_t3_output(tmp_path):
     assert rc == 0
     rows2 = _jsonl_rows(os.path.join(out2, "protein_evidence"))
     assert rows2 and all("authorProperties" not in r for r in rows2)
+
+
+GOLDEN2 = os.path.join(DATA, "golden_counts_two_files.json")
+
+
+def test_bsa_two_file_numpress_project_golden_counts(tmp_path):
+    """r12 (verdict task #1 direction): the numpress decode path runs
+    through the FULL pipeline, not just unit twin-parity.  BSA1_F2.mzML
+    carries the same 64 spectra as F1 with every binary array
+    MS-Numpress encoded (all six CV accessions across the file);
+    bsa_two.mzid identifies both files with identical per-file score
+    streams.  Frozen two-file counts plus exact relations to the
+    single-file golden:
+
+    - the score multiset doubles proportionally, so every FDR decision
+      matches the single-file run → archive/summary/MGF counts are
+      exactly 2×, split evenly across the two files;
+    - peptide/protein identity is peak-value independent → distinct
+      peptides/proteins unchanged (numpress codec error must not leak
+      into any counted column);
+    - clustering collapses the cross-file duplicates → cluster_best and
+      winner counts equal the single-file golden, not 2×.
+    """
+    out = str(tmp_path / "two")
+    got = pipeline_counts(
+        out, result_file="bsa_two.mzid",
+        spectra_files=("BSA1_F1.mzML", "BSA1_F2.mzML"),
+    )
+    want = json.load(open(GOLDEN2))
+    assert got == want, {
+        k: (want.get(k), got.get(k))
+        for k in sorted(set(want) | set(got))
+        if want.get(k) != got.get(k)
+    }
+
+    one = json.load(open(GOLDEN))
+    assert got["archive_spectra"] == 2 * one["archive_spectra"]
+    assert got["mgf_records"] == 2 * one["mgf_records"]
+    assert got["archive_distinct_peptides"] == one["archive_distinct_peptides"]
+    assert got["archive_distinct_proteins"] == one["archive_distinct_proteins"]
+    assert got["cluster_best"] == one["cluster_best"]
+    assert got["winner_spectra"] == one["winner_spectra"]
+
+    # even per-file split: the numpress file survives every gate at the
+    # same rate as the plain-array file
+    rows = _jsonl_rows(os.path.join(out, "archive_spectra"))
+    per_file = {}
+    for r in rows:
+        per_file[r["fileName"]] = per_file.get(r["fileName"], 0) + 1
+    assert per_file == {
+        "BSA1_F1.mzML": one["archive_spectra"],
+        "BSA1_F2.mzML": one["archive_spectra"],
+    }
