@@ -40,6 +40,23 @@ RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+#: Config that must be set at SESSION CREATION (read once by JVM-static
+#: initializers — runtime sets are silently ignored, so these are NOT in
+#: RUNTIME_CONF / tune()).
+STATIC_CONF = {
+    # The whole-stage-codegen compiled-class cache defaults to 100
+    # entries; a many-query session (the bench battery, a query server,
+    # run-pipeline's DAG) generates far more codegen units than that, so
+    # every re-run re-compiles via Janino on the DRIVER — measured ~1s
+    # per warm q48_spectral_cluster run lost to recompilation alone
+    # (warm median 5.1 -> 4.1 s; the base-edges lazy-checkpoint toRdd
+    # 2.1 -> 1.0-1.5 s; STRESS_r12 q48_codegen_cache_ab).
+    # 5000 compiled classes cost tens of MB of driver memory — noise
+    # against the driver heap, and a pure win at any scale since this is
+    # driver-side cost that data size never amortizes.
+    "spark.sql.codegen.cache.maxEntries": "5000",
+}
+
 
 def get_spark(
     app_name: str = "pride-spark",
@@ -64,6 +81,8 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    for k, v in STATIC_CONF.items():
+        builder = builder.config(k, v)
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():

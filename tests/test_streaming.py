@@ -212,6 +212,13 @@ def test_get_spark_tunes_borrowed_session(spark):
     assert got.conf.get("spark.sql.session.timeZone") == "UTC"
     for k, v in RUNTIME_CONF.items():
         assert got.conf.get(k) == v
+    # STATIC_CONF lands at creation (conftest builds via get_spark):
+    # the codegen-class cache must be big enough for a many-query
+    # session — the r12 battery lever (session.py STATIC_CONF)
+    from pride_spark.session import STATIC_CONF
+
+    for k, v in STATIC_CONF.items():
+        assert got.conf.get(k) == v
 
 
 def test_read_event_stream_raises_on_non_empty_dir_errors(spark, tmp_path):
