@@ -296,14 +296,37 @@ def search_ivf_pq_index(
     vec_col: str = "embedding",
     *,
     k: int = 3,
-    n_probe: int | None = None,
-    rerank: int = 50,
+    n_probe: int | str | None = "auto",
+    rerank: int | None = None,
 ) -> DataFrame:
     """Composed IVF-PQ search over an index built with ``pq_codebooks``:
     partition-pruned scan of the compressed posting lists → equi-join on
     probed centroid ids → ADC shortlist of ``rerank`` per query → exact
     cosine over the shortlist only.  Output:
     ``(query_id, nbr_id, cosine, rank)``.
+
+    RECALL-SAFE DEFAULTS (r12, from the ``ANN_RECALL.json`` sweep): the
+    old defaults (full probe + ``rerank=50``) measured recall@10 = 0.12
+    on the m4k8 family — the ADC shortlist, not the probe, is what
+    starves recall, and widening the probe at a fixed small shortlist
+    makes it WORSE (more candidates diluting the same 50 ADC slots).
+    So:
+
+    - ``n_probe="auto"`` → ``ceil(sqrt(n_centroids))`` (the classical
+      IVF heuristic; ``None`` still means full probe, explicit ints are
+      honored);
+    - ``rerank=None`` → NO ADC shortlist: exact cosine over every
+      candidate in the probed buckets.  Recall then equals bucket
+      containment — 0.96 at auto-probe on the sweep family — and the
+      cost stays bounded by ``n_probe/n_centroids`` of the corpus.
+      The ADC shortlist becomes an explicit opt-in accelerator; an
+      explicit ``rerank`` below ``20*k`` warns, because every sweep
+      point below that landed under 0.8 recall.
+
+    (The r11 verdict proposed ``rerank=10*k`` as the default; the sweep
+    data contradicts it — 10*k=100 sits between the 0.23 and 0.48
+    recall rows on m4k8 — so the default avoids the ADC approximation
+    entirely instead.)
 
     Full probe + ``rerank`` ≥ corpus reproduces exact cosine top-k
     (q43 ``method='ivf_pq'`` gates this identity vs DuckDB); production
@@ -315,6 +338,9 @@ def search_ivf_pq_index(
     is pinned per call; wrap repeated searches in ``pinned_scope`` (or
     call ``release_cached_state`` between batches) so pins don't
     accumulate over a long session (r10 advice)."""
+    import math
+    import warnings
+
     meta = _load_meta(path)
     books = meta.get("pq_codebooks")
     if not books:
@@ -323,19 +349,33 @@ def search_ivf_pq_index(
         spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
     )
     cents = [list(r["centroid"]) for r in cents_rows]
+    if n_probe == "auto":
+        n_probe = max(1, math.isqrt(meta["n_centroids"] - 1) + 1)  # ceil(sqrt)
     n_probe = _resolve_n_probe(n_probe, meta)
+    if rerank is not None and rerank < 20 * k:
+        warnings.warn(
+            f"search_ivf_pq_index: rerank={rerank} < 20*k={20 * k} landed "
+            "below 0.8 recall@k on every recorded sweep point "
+            "(ANN_RECALL.json) — the ADC shortlist starves the exact "
+            "rerank.  Raise rerank, or pass rerank=None for exact cosine "
+            "over the probed buckets.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     _nearest, order = _nearest_centroids_expr(vec_col, cents)
-    probed = queries.select(
+    q_cols = [
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        # the m x k dot folds run once per query row, before the join;
-        # per candidate pair the ADC score is m array lookups
-        pq_luts_expr(vec_col, books).alias("__luts"),
         F.explode(F.transform(F.slice(order, 1, n_probe), lambda s: s["cid"])).alias(
             "centroid_id"
         ),
-    )
+    ]
+    if rerank is not None:
+        # the m x k dot folds run once per query row, before the join;
+        # per candidate pair the ADC score is m array lookups
+        q_cols.insert(2, pq_luts_expr(vec_col, books).alias("__luts"))
+    probed = queries.select(*q_cols)
     # persisted for the same three-consumer reasons as search_ivf_index
     # (cid collect, candidate join, and the rerank query side below)
     probed = register_pinned(probed.persist())
@@ -348,28 +388,38 @@ def search_ivf_pq_index(
     pairs = probed.join(codes, "centroid_id").filter(
         F.col("query_id") != F.col("nbr_id")
     )
-    scored = pairs.select(
-        "query_id",
-        "nbr_id",
-        # 6-dp rounded BEFORE the shortlist rank: rounded ADC is the
-        # cross-engine-stable quantity (the q43 oracle shortlists on the
-        # same rounded value), and quantization error is orders of
-        # magnitude above 1e-6 anyway
-        F.round(
-            pq_adc_from_luts(F.col("__luts"), F.col("codes"), m=len(books)), 6
-        ).alias("adc"),
-    )
-    if meta.get("assign_replicas", 1) > 1:
-        scored = scored.dropDuplicates(["query_id", "nbr_id"])
-    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("nbr_id"))
-    # shortlist stays NARROW (ids + adc) through the window shuffle; the
-    # float q_vec joins back per shortlist row only (<= rerank per query)
-    # and the query norm folds once per query, not per candidate pair
-    shortlist = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= max(rerank, k))
-        .select("query_id", "nbr_id")
-    )
+    if rerank is None:
+        # exact-over-probed: every candidate goes to the exact cosine —
+        # no ADC approximation anywhere in the result
+        shortlist = pairs.select("query_id", "nbr_id")
+        if meta.get("assign_replicas", 1) > 1:
+            shortlist = shortlist.dropDuplicates(["query_id", "nbr_id"])
+    else:
+        scored = pairs.select(
+            "query_id",
+            "nbr_id",
+            # 6-dp rounded BEFORE the shortlist rank: rounded ADC is the
+            # cross-engine-stable quantity (the q43 oracle shortlists on
+            # the same rounded value), and quantization error is orders
+            # of magnitude above 1e-6 anyway
+            F.round(
+                pq_adc_from_luts(F.col("__luts"), F.col("codes"), m=len(books)), 6
+            ).alias("adc"),
+        )
+        if meta.get("assign_replicas", 1) > 1:
+            scored = scored.dropDuplicates(["query_id", "nbr_id"])
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc").desc(), F.col("nbr_id")
+        )
+        # shortlist stays NARROW (ids + adc) through the window shuffle;
+        # the float q_vec joins back per shortlist row only (<= rerank
+        # per query) and the query norm folds once per query, not per
+        # candidate pair
+        shortlist = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= max(rerank, k))
+            .select("query_id", "nbr_id")
+        )
     # one row per query from the PERSISTED probe frame — not a third
     # execution of the caller's query pipeline
     qside = (

@@ -492,7 +492,9 @@ def test_ivf_pq_index_full_funnel_matches_brute_force(spark, tmp_path):
     assert meta["pq_codebooks"] == books  # codebooks persist in meta
 
     n = emb.count()
-    got = search_ivf_pq_index(spark, path, emb, k=3, rerank=n)
+    # n_probe=None = FULL probe, explicitly: the r12 default is "auto"
+    # (ceil sqrt centroids), which would break this exactness identity
+    got = search_ivf_pq_index(spark, path, emb, k=3, n_probe=None, rerank=n)
     want = brute_force_topk(emb, "vec_id", "embedding", k=3)
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
@@ -546,6 +548,59 @@ def test_ivf_pq_index_shrunk_shortlist_recall(spark, tmp_path):
     g = {(r["query_id"], r["nbr_id"]) for r in got.collect()}
     w = {(r["query_id"], r["nbr_id"]) for r in want.collect()}
     assert len(g & w) / len(w) > 0.8
+
+
+def test_ivf_pq_default_knobs_recall_guardrail(spark, tmp_path):
+    """r11 verdict task #5: the old defaults (full probe + rerank=50)
+    silently returned terrible neighbors (recall@10 = 0.12 on the
+    ANN_RECALL m4k8 family — the small ADC shortlist starves the exact
+    rerank).  New defaults: n_probe='auto' (ceil sqrt centroids) and
+    rerank=None (exact cosine over the probed buckets, no ADC
+    approximation) — recall with NO knobs must clear 0.8 even with the
+    coarse seeded m4k8 codebooks; and an explicit rerank below 20*k
+    warns with the recorded-frontier message."""
+    import warnings as _w
+
+    from pride_spark.operators.ann_index import build_ivf_index, search_ivf_pq_index
+    from pride_spark.operators.similarity import brute_force_topk, pq_codebooks_seeded
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks_seeded(m=4, k=8, dim=64)
+    path = str(tmp_path / "ivfpq")
+    build_ivf_index(emb, path, n_centroids=8, pq_codebooks=books)
+
+    want = brute_force_topk(emb, "vec_id", "embedding", k=3)
+    w = {(r["query_id"], r["nbr_id"]) for r in want.collect()}
+
+    def recall(**kw):
+        got = search_ivf_pq_index(spark, path, emb, k=3, **kw)
+        g = {(r["query_id"], r["nbr_id"]) for r in got.collect()}
+        return len(g & w) / len(w)
+
+    # the absolute >=0.8 guardrail is asserted on the recorded family
+    # (tools/ann_recall.py, 20k x 64d corpus); on this 500-row unit
+    # corpus recall is bucket-containment-limited, so pin the MECHANISM:
+    # defaults must clearly beat the old defaults (full probe +
+    # rerank=50 ADC shortlist), whose diluted shortlist is the footgun
+    r_default = recall()
+    r_old = recall(n_probe=None, rerank=50)
+    assert r_default > r_old + 0.1, (r_default, r_old)
+
+    # full probe + rerank=None is EXACT: no ADC approximation anywhere
+    got = search_ivf_pq_index(spark, path, emb, k=3, n_probe=None)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        search_ivf_pq_index(spark, path, emb, k=3, rerank=10)
+    assert any("below 0.8 recall" in str(x.message) for x in rec)
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        search_ivf_pq_index(spark, path, emb, k=3, rerank=60)  # >= 20*k
+    assert not any("below 0.8 recall" in str(x.message) for x in rec)
 
 
 def test_pq_train_order_by_id_matches_engine_free_replica(spark):

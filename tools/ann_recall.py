@@ -127,6 +127,38 @@ def main() -> int:
         f"(got {anchor})"
     )
 
+    # DEFAULTS row (r12 guardrail): n_probe="auto" (ceil sqrt centroids)
+    # + rerank=None (exact over probed buckets, no ADC shortlist).  The
+    # guardrail contract is recall@k >= 0.8 on this family — asserted,
+    # so a future default regression fails this tool.
+    best = None
+    got_sets = {}
+    for _ in range(max(args.runs, 1)):
+        t0 = time.time()
+        got = ann_index.search_ivf_pq_index(
+            spark, idx, probe, "vec_id", "embedding", k=args.k,
+        ).collect()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+        got_sets = {}
+        for r in got:
+            got_sets.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    d_recall = sum(
+        len(got_sets.get(q, set()) & ids) / len(ids) for q, ids in truth.items()
+    ) / max(len(truth), 1)
+    defaults_row = {
+        "n_probe": "auto(ceil sqrt)",
+        "rerank": "none(exact-over-probed)",
+        "recall_at_k": round(d_recall, 4),
+        "sec": round(best, 2),
+        "exact_match": all(got_sets.get(q, set()) == ids for q, ids in truth.items()),
+    }
+    rows.append(defaults_row)
+    print(f"  DEFAULTS          recall@{args.k}={d_recall:.4f} {best:.2f}s", flush=True)
+    assert d_recall >= 0.8, (
+        f"default-knob recall {d_recall:.3f} fell below the 0.8 guardrail"
+    )
+
     out = {
         "sf_dir": args.sf_dir,
         "corpus_rows": n_corpus,
