@@ -29,10 +29,20 @@ zero (Spark HALF_UP == away-from-zero on ties; DuckDB likewise), so
 identical doubles round identically.  Resolution 1e-9 at a magnitude
 bound of ~9e9 (BIGINT) — fine for FDR/q-value ratios in [0, ~1e7].
 
+``--float-mode bits`` (r12, verdict task #8) is the EXACT form: every
+double column maps to its raw IEEE-754 bit pattern as a BIGINT
+(``Double.doubleToRawLongBits`` semantics) via an Arrow-vectorized
+numpy ``view(int64)`` registered as a UDF in BOTH engines — zero
+rounding, so a single-ulp divergence anywhere in 34M rows fails the
+gate.  NaNs are canonicalized to one quiet-NaN pattern (doubleToLongBits
+convention) and -0.0 is kept distinct from 0.0.  This retires round9's
+"sub-nano systematic divergence could hide" caveat for any query it
+gates.
+
 Usage:
     python tools/f50_value_gate.py --sf-dir /tmp/sf5 \
         [--queries q33_mgf_record,q39_mod_regroup] [--out FILE] \
-        [--float-mode refuse|round9]
+        [--float-mode refuse|round9|bits]
 """
 
 from __future__ import annotations
@@ -53,6 +63,76 @@ TABLES = [
 ]
 
 US, NUL = "\x1f", "\x02"  # NUL is not representable in a DuckDB varchar literal
+
+#: Double.doubleToLongBits' canonical quiet-NaN pattern — both engines'
+#: bit UDFs collapse every NaN payload to this, so a NaN compares equal
+#: to a NaN regardless of which operation produced it.
+_CANON_NAN_BITS = 0x7FF8000000000000
+
+
+def _bits_numpy(values):
+    """float64 array → IEEE-754 bit patterns as int64 (NaN canonicalized,
+    -0.0 kept distinct from 0.0) — the shared kernel of both engines'
+    ``--float-mode bits`` UDFs."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(values, dtype=np.float64)
+    bits = arr.view(np.int64).copy()
+    bits[np.isnan(arr)] = _CANON_NAN_BITS
+    return bits
+
+
+def _spark_double_bits_udf():
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def dbits(s):
+        # self-contained (no module globals): executors unpickle this
+        # closure without importing the tools module, which is not on
+        # the worker path when another tool imports f50_value_gate
+        import numpy as np
+        import pandas as pd
+
+        mask = s.isna()  # SQL NULL must stay NULL, not become NaN bits
+        arr = np.ascontiguousarray(s.fillna(0.0).to_numpy(), dtype=np.float64)
+        bits = arr.view(np.int64).copy()
+        bits[np.isnan(arr)] = 0x7FF8000000000000
+        out = pd.Series(bits, index=s.index)
+        out[mask] = None
+        return out.astype("Int64")
+
+    # real class objects, not strings: the module's `from __future__
+    # import annotations` would stringify inline hints and pandas is
+    # only imported locally, so Spark's hint resolution cannot see it
+    dbits.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(dbits, "bigint")
+
+
+def _register_duckdb_bits(con) -> None:
+    """Register ``dbits(DOUBLE) -> BIGINT`` in DuckDB with the SAME numpy
+    kernel (Arrow-vectorized; DuckDB passes NULLs through by default for
+    scalar Python UDFs)."""
+    import duckdb.typing as T
+    import pyarrow as pa
+
+    def dbits(v):
+        import numpy as np
+
+        # arrow UDFs DO receive nulls; to_numpy would conflate them with
+        # real NaN values, so carry the validity mask explicitly — SQL
+        # NULL stays NULL (matching the Spark side), NaN gets the
+        # canonical pattern
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        null_mask = np.asarray(v.is_null())
+        arr = np.asarray(v.to_numpy(zero_copy_only=False), dtype=np.float64)
+        bits = _bits_numpy(np.where(null_mask, 0.0, arr))
+        return pa.array(bits, type=pa.int64(), mask=null_mask)
+
+    try:
+        con.create_function("dbits", dbits, [T.DOUBLE], T.BIGINT, type="arrow")
+    except (duckdb.CatalogException, duckdb.NotImplementedException):
+        pass  # already registered on this connection
 
 
 def spark_fingerprint(df, *, canonicalize_complex: bool = False,
@@ -77,6 +157,27 @@ def spark_fingerprint(df, *, canonicalize_complex: bool = False,
                 for c in df.columns
             ]
         )
+    elif float_mode == "bits":
+        dtypes = dict(df.dtypes)
+        dbl = [c for c in df.columns if dtypes[c] in ("double", "float")]
+        if dbl:
+            bits = _spark_double_bits_udf()
+
+            def _b(c):
+                # NaN is decided HERE, not in the pandas UDF: Arrow hands
+                # the UDF SQL NULLs and NaNs as the same float64 NaN, so
+                # the UDF alone cannot keep NULL -> NULL and NaN ->
+                # canonical bits apart
+                col = F.col(c).cast("double")
+                return (
+                    F.when(F.isnan(col), F.lit(_CANON_NAN_BITS))
+                    .otherwise(bits(col))
+                    .alias(c)
+                )
+
+            df = df.select(
+                *[_b(c) if c in dbl else F.col(c) for c in df.columns]
+            )
     # ints, booleans and dates cast to identical strings in Spark and
     # DuckDB ("5", "true", "2020-01-02"); floats/timestamps do NOT
     # (exponent/precision/zero-padding differ) and stay refused.
@@ -110,14 +211,16 @@ def spark_fingerprint(df, *, canonicalize_complex: bool = False,
 def duckdb_fingerprint(con, oracle_sql: str, float_mode: str = "refuse"):
     desc = con.sql(f"DESCRIBE SELECT * FROM ({oracle_sql}) LIMIT 0").fetchall()
     cols = [d[0] for d in desc]
-    if float_mode == "round9":
+    if float_mode in ("round9", "bits"):
         floats = {d[0] for d in desc if d[1].upper() in ("DOUBLE", "FLOAT", "REAL")}
         if floats:
+            if float_mode == "bits":
+                _register_duckdb_bits(con)
+                f_expr = "dbits(CAST({c} AS DOUBLE)) AS {c}"
+            else:
+                f_expr = "CAST(ROUND({c} * 1e9) AS BIGINT) AS {c}"
             proj = ", ".join(
-                f"CAST(ROUND({_q(c)} * 1e9) AS BIGINT) AS {_q(c)}"
-                if c in floats
-                else _q(c)
-                for c in cols
+                f_expr.format(c=_q(c)) if c in floats else _q(c) for c in cols
             )
             oracle_sql = f"SELECT {proj} FROM ({oracle_sql})"
     line = " || chr(31) || ".join(
@@ -145,7 +248,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/tmp/sf5")
     ap.add_argument("--queries", default="q33_mgf_record,q39_mod_regroup")
     ap.add_argument("--out", default=None)
-    ap.add_argument("--float-mode", default="refuse", choices=("refuse", "round9"))
+    ap.add_argument("--float-mode", default="refuse", choices=("refuse", "round9", "bits"))
     args = ap.parse_args()
 
     import __spark_entry__ as e

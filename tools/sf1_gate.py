@@ -88,6 +88,19 @@ def main() -> int:
         "gate from the HEAVY subset to every query). Pass 'heavy' for the "
         "legacy 20-query subset.",
     )
+    ap.add_argument(
+        "--hash",
+        default="collect",
+        choices=("collect", "distributed"),
+        help="collect = pandas hash of the full result on the driver (the "
+        "r4 default; exceeds driver.maxResultSize on wide outputs past "
+        "factor ~20).  distributed = each engine folds every column of "
+        "every row into (count, SUM(md5-prefix)) inside itself and only "
+        "two scalars cross the driver (r12, verdict task #6) — the same "
+        "full-row equality strength at ANY scale.  Doubles ride through "
+        "bit-exact IEEE-bits UDFs (f50_value_gate --float-mode bits), so "
+        "nothing is rounded.",
+    )
     args = ap.parse_args()
 
     import pandas as pd
@@ -119,11 +132,53 @@ def main() -> int:
         names = [n.strip() for n in args.queries.split(",")]
     else:
         names = [n for n in qs if n in oracles]
+    if args.hash == "distributed":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import f50_value_gate as fvg
+
     results: dict[str, dict] = {}
     n_fail = 0
     for name in names:
         t0 = time.time()
         try:
+            if args.hash == "distributed":
+                sdf = qs[name](spark, args.sf_dir)
+                # the folds hash VALUES only (column names never enter the
+                # line), so schema equality is checked explicitly here
+                d_cols = [
+                    d[0]
+                    for d in con.sql(
+                        f"DESCRIBE SELECT * FROM ({oracles[name]}) LIMIT 0"
+                    ).fetchall()
+                ]
+                schema_ok = sorted(sdf.columns) == sorted(d_cols)
+                n_s, h_s = fvg.spark_fingerprint(sdf, float_mode="bits")
+                t_spark = round(time.time() - t0, 2)
+                t0 = time.time()
+                n_d, h_d = fvg.duckdb_fingerprint(con, oracles[name], "bits")
+                t_duck = round(time.time() - t0, 2)
+                results[name] = {
+                    "rows_spark": n_s,
+                    "rows_duckdb": n_d,
+                    "sec_spark": t_spark,
+                    "sec_duckdb": t_duck,
+                    "hash_mode": "distributed-bits",
+                    "status": (
+                        "FAIL_SCHEMA" if not schema_ok
+                        else "FAIL_ROWS" if n_s != n_d
+                        else "PASS" if h_s == h_d
+                        else "FAIL_HASH"
+                    ),
+                }
+                n_fail += results[name]["status"] != "PASS"
+                print(f"  {name:28s} {results[name]['status']}  "
+                      f"{results[name].get('rows_spark', '-')} rows", flush=True)
+                release_cached_state(spark)
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
+                continue
             s_pd = _canon(qs[name](spark, args.sf_dir).toPandas())
             t_spark = round(time.time() - t0, 2)
             t0 = time.time()
