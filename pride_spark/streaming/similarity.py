@@ -42,7 +42,7 @@ def make_ann_batch_sink(
     vec_col: str = "embedding",
     k: int = 3,
     n_probe: int | None = None,
-    rerank: int | None = 50,
+    rerank: int | None = None,
 ):
     """``foreachBatch`` sink: search each micro-batch against the index,
     append results partitioned by micro-batch id.
@@ -50,9 +50,14 @@ def make_ann_batch_sink(
     The search path dispatches on the INDEX's own meta (a plain IVF
     index — built without ``pq_codebooks`` — always takes
     :func:`~pride_spark.operators.ann_index.search_ivf_index`, whatever
-    ``rerank`` says): wiring the default ``rerank=50`` sink to a non-PQ
-    index must not crash the stream on its first non-empty batch.
-    ``rerank=None`` forces the float-vector search on a PQ index too.
+    ``rerank`` says): wiring a rerank-carrying sink to a non-PQ index
+    must not crash the stream on its first non-empty batch.
+    ``rerank=None`` (the default since r12 — the old ``rerank=50``
+    default reproduced the recall footgun the batch API fixed, 0.12
+    recall@10 on the recorded sweep) uses the float-vector search on a
+    PQ index too: exact cosine over the probed buckets.  Pass an
+    explicit ``rerank`` to opt into the ADC shortlist, which warns
+    below ``20*k`` (see ``search_ivf_pq_index``).
     Output layout ``output_path/batch_id=N/`` is overwritten per batch
     id, so a checkpoint-replayed batch rewrites its own partition
     instead of duplicating rows (idempotent under at-least-once
@@ -93,7 +98,7 @@ def stream_ann_search(
     vec_col: str = "embedding",
     k: int = 3,
     n_probe: int | None = None,
-    rerank: int | None = 50,
+    rerank: int | None = None,
     available_now: bool = False,
 ):
     """Wire a query-embedding stream into continuous ANN serving;
