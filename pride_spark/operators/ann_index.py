@@ -164,11 +164,21 @@ def build_ivf_index(
 
 
 def _resolve_n_probe(n_probe, meta) -> int:
-    """None -> full probe; explicit values validated at the API boundary
-    (n_probe=0 silently became a FULL probe — the opposite extreme — and
-    negatives failed deep inside F.slice; r10 review)."""
+    """None -> full probe; "auto" -> ceil(sqrt(n_centroids)), the
+    classical IVF heuristic (resolved HERE so both search siblings and
+    the streaming sink accept it — r12 review: the auto branch lived
+    only in the PQ search, so search_ivf_index("auto") crashed with an
+    opaque str-vs-int TypeError); explicit values validated at the API
+    boundary (n_probe=0 silently became a FULL probe — the opposite
+    extreme — and negatives failed deep inside F.slice; r10 review)."""
+    import math
+
     if n_probe is None:
         return meta["n_centroids"]
+    if n_probe == "auto":
+        return max(1, math.isqrt(meta["n_centroids"] - 1) + 1)  # ceil(sqrt)
+    if isinstance(n_probe, str):
+        raise ValueError(f"n_probe must be an int, None, or 'auto' (got {n_probe!r})")
     if n_probe <= 0:
         raise ValueError(f"n_probe must be >= 1 (got {n_probe})")
     return n_probe
@@ -214,7 +224,7 @@ def search_ivf_index(
     vec_col: str = "embedding",
     *,
     k: int = 3,
-    n_probe: int | None = None,
+    n_probe: int | str | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors for every query row, reading only probed
     posting-list partitions.  Output: (query_id, nbr_id, cosine, rank).
@@ -298,6 +308,7 @@ def search_ivf_pq_index(
     k: int = 3,
     n_probe: int | str | None = "auto",
     rerank: int | None = None,
+    warn_low_recall: bool = True,
 ) -> DataFrame:
     """Composed IVF-PQ search over an index built with ``pq_codebooks``:
     partition-pruned scan of the compressed posting lists → equi-join on
@@ -338,7 +349,6 @@ def search_ivf_pq_index(
     is pinned per call; wrap repeated searches in ``pinned_scope`` (or
     call ``release_cached_state`` between batches) so pins don't
     accumulate over a long session (r10 advice)."""
-    import math
     import warnings
 
     meta = _load_meta(path)
@@ -349,10 +359,12 @@ def search_ivf_pq_index(
         spark.read.parquet(f"{path}/centroids").orderBy("centroid_id").collect()
     )
     cents = [list(r["centroid"]) for r in cents_rows]
-    if n_probe == "auto":
-        n_probe = max(1, math.isqrt(meta["n_centroids"] - 1) + 1)  # ceil(sqrt)
-    n_probe = _resolve_n_probe(n_probe, meta)
-    if rerank is not None and rerank < 20 * k:
+    n_probe = _resolve_n_probe(n_probe, meta)  # "auto" resolved there too
+    # warn_low_recall=False is for ORACLE-IDENTITY call sites (q43
+    # mirrors the same shortlist size in its DuckDB SQL, so recall
+    # against brute force is not the quantity under test) — end users
+    # keep the guardrail on by default
+    if warn_low_recall and rerank is not None and rerank < 20 * k:
         warnings.warn(
             f"search_ivf_pq_index: rerank={rerank} < 20*k={20 * k} landed "
             "below 0.8 recall@k on every recorded sweep point "

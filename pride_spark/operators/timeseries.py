@@ -423,24 +423,48 @@ _BATCH_SIDECAR = "_merged_batch"
 
 
 def _partition_merged_batch(part_dir: str) -> int | None:
-    """The batch id stamped into a live partition dir, or None."""
+    """The batch id stamped into a live partition dir; None if absent.
+
+    A PRESENT-but-unparseable sidecar is refused loudly instead of
+    being read as "not stamped" (r12 review): the stamp is fsync'd
+    before the swap rename, so a torn stamp next to live data means the
+    filesystem reordered durability around the journal — the partition
+    data itself is then suspect and silently re-merging it would
+    double-count.  Ambiguity needs an operator, not a guess."""
     import os
 
+    p = os.path.join(part_dir, _BATCH_SIDECAR)
     try:
-        with open(os.path.join(part_dir, _BATCH_SIDECAR)) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return None
+        with open(p) as fh:
+            text = fh.read().strip()
+    except OSError:
+        return None  # no sidecar: pre-r12 store or batch_id=None refresh
+    try:
+        return int(text)
+    except ValueError:
+        raise ValueError(
+            f"corrupt {_BATCH_SIDECAR} sidecar at {p!r} (content "
+            f"{text[:40]!r}): the partition's replay provenance is "
+            "ambiguous — restore the partition from upstream or delete "
+            "the store and rebuild"
+        ) from None
 
 
 def _stamp_partition_batch(part_dir: str, batch_id: int) -> None:
-    # plain write, no tmp+replace: the dir is still STAGING-private here
-    # (a torn write cannot survive a crash — staging is swept on the
-    # next refresh) and becomes visible only via the swap rename
+    # the dir is still STAGING-private here and becomes visible only
+    # via the swap rename; fsync BEFORE that rename so the stamp's
+    # bytes are durable by the time the partition can be seen as live —
+    # without it a power loss (not just a process kill) could persist
+    # the rename but not the stamp content (r12 review).  Directory-
+    # entry durability of the rename itself is the journal's business,
+    # as with every other rename in this store.
     import os
 
-    with open(os.path.join(part_dir, _BATCH_SIDECAR), "w") as fh:
+    p = os.path.join(part_dir, _BATCH_SIDECAR)
+    with open(p, "w") as fh:
         fh.write(str(batch_id))
+        fh.flush()
+        os.fsync(fh.fileno())
 
 
 def _part_leaf(d) -> str:

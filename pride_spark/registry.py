@@ -2210,7 +2210,9 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivfpq = ann_index.search_ivf_pq_index(
         spark, art["index_path"], probe, "vec_id", "embedding",
-        k=3, n_probe=8, rerank=_PQ_RERANK,
+        # warn_low_recall off: this is the oracle-identity configuration
+        # (DuckDB shortlists on the same rerank=40), not a recall claim
+        k=3, n_probe=8, rerank=_PQ_RERANK, warn_low_recall=False,
     ).select(
         F.lit("ivf_pq").alias("method"), "query_id", "nbr_id",
         F.col("cosine").alias("score"), "rank",

@@ -41,11 +41,18 @@ def make_ann_batch_sink(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    n_probe: int | None = None,
+    n_probe: int | str | None = "auto",
     rerank: int | None = None,
 ):
     """``foreachBatch`` sink: search each micro-batch against the index,
     append results partitioned by micro-batch id.
+
+    ``n_probe="auto"`` (default, r12 review) resolves to
+    ceil(sqrt(n_centroids)) inside the searches — a full-probe default
+    here would turn every micro-batch into an exact scan of the whole
+    corpus, which at serving scale is precisely what the index exists
+    to avoid; ``None`` still means full probe for callers that want
+    exact results per batch.
 
     The search path dispatches on the INDEX's own meta (a plain IVF
     index — built without ``pq_codebooks`` — always takes
@@ -97,7 +104,7 @@ def stream_ann_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    n_probe: int | None = None,
+    n_probe: int | str | None = "auto",
     rerank: int | None = None,
     available_now: bool = False,
 ):

@@ -40,7 +40,12 @@ in a multi-date batch — already-swapped dates are stamped and skipped,
 recovery restores the un-swapped dates and the replay merges exactly
 those.  The initial store build goes through the same staged
 stamp-and-swap path, so a crash during the FIRST batch recovers
-exactly-once too.  A transactional table format (Delta/Iceberg)
+exactly-once too.  Scope of the guarantee: process crashes/kills are
+what the injection tests prove; for POWER LOSS the stamp is fsync'd
+before its partition's swap rename (so a live partition implies a
+durable stamp on a journaled fs — rename-ordering semantics), and a
+sidecar torn despite that is refused loudly as ambiguous rather than
+silently re-merged (``_partition_merged_batch``).  A transactional table format (Delta/Iceberg)
 remains the production answer for one atomic commit across partitions
 plus concurrent readers mid-swap, but is no longer needed for
 exactly-once counts.  Restarting with a NEW checkpoint replays the

@@ -97,9 +97,14 @@ def _spark_double_bits_udf():
         arr = np.ascontiguousarray(s.fillna(0.0).to_numpy(), dtype=np.float64)
         bits = arr.view(np.int64).copy()
         bits[np.isnan(arr)] = 0x7FF8000000000000
-        out = pd.Series(bits, index=s.index)
-        out[mask] = None
-        return out.astype("Int64")
+        # nullable-Int64 FIRST, then pd.NA: assigning None into a plain
+        # int64 Series upcasts it to float64, silently rounding every
+        # bit pattern above 2^53 in any batch that contains a NULL —
+        # which is exactly the false-FAIL a bit-exact gate must not
+        # manufacture (r12 review, reproduced on pandas 2.2)
+        out = pd.Series(bits, index=s.index).astype("Int64")
+        out[mask] = pd.NA
+        return out
 
     # real class objects, not strings: the module's `from __future__
     # import annotations` would stringify inline hints and pandas is

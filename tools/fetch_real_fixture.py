@@ -97,7 +97,12 @@ def validate() -> int:
 
 
 def fetch() -> int:
-    tmp = tempfile.mkdtemp(prefix="real_bsa_")
+    # staged NEXT TO the target so the final publish is one same-device
+    # rename (a /tmp staging dir could be another filesystem -> EXDEV)
+    os.makedirs(os.path.dirname(DATADIR), exist_ok=True)
+    tmp = tempfile.mkdtemp(
+        dir=os.path.dirname(DATADIR), prefix=".real_bsa_stage_"
+    )
     try:
         for name in MZML + [FASTA]:
             url = f"{BASE}/{name}"
@@ -118,11 +123,20 @@ def fetch() -> int:
                 for name in MZML + [FASTA]
             },
         }
-        os.makedirs(DATADIR, exist_ok=True)
-        for name in MZML + [FASTA]:
-            shutil.move(os.path.join(tmp, name), os.path.join(DATADIR, name))
-        with open(MANIFEST, "w") as fh:
+        # manifest joins the staged set, then ONE directory swap (r12
+        # review): a per-file move loop could crash mid-way and leave an
+        # OLD manifest next to NEW files — a torn fixture the docstring
+        # promises cannot happen.  Same retire-then-rename shape as the
+        # hypertable partition swap.
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=2, sort_keys=True)
+        os.makedirs(os.path.dirname(DATADIR), exist_ok=True)
+        retired = DATADIR + ".old"
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(DATADIR):
+            os.rename(DATADIR, retired)
+        os.rename(tmp, DATADIR)
+        shutil.rmtree(retired, ignore_errors=True)
         print(f"froze {MANIFEST}: " + ", ".join(f"{k}={v}" for k, v in counts.items()))
         return 0
     finally:

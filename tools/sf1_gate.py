@@ -142,6 +142,9 @@ def main() -> int:
         t0 = time.time()
         try:
             if args.hash == "distributed":
+                # only the FINGERPRINTING differs between modes — the
+                # loop tail (fail count, print, session hygiene) is
+                # shared below (r12 review: a copy-pasted tail drifts)
                 sdf = qs[name](spark, args.sf_dir)
                 # the folds hash VALUES only (column names never enter the
                 # line), so schema equality is checked explicitly here
@@ -170,40 +173,35 @@ def main() -> int:
                         else "FAIL_HASH"
                     ),
                 }
-                n_fail += results[name]["status"] != "PASS"
-                print(f"  {name:28s} {results[name]['status']}  "
-                      f"{results[name].get('rows_spark', '-')} rows", flush=True)
-                release_cached_state(spark)
-                try:
-                    spark.sparkContext._jvm.System.gc()
-                except Exception:
-                    pass
-                continue
-            s_pd = _canon(qs[name](spark, args.sf_dir).toPandas())
-            t_spark = round(time.time() - t0, 2)
-            t0 = time.time()
-            d_pd = _canon(con.execute(oracles[name]).df())
-            t_duck = round(time.time() - t0, 2)
-            entry: dict = {
-                "rows_spark": int(len(s_pd)),
-                "rows_duckdb": int(len(d_pd)),
-                "sec_spark": t_spark,
-                "sec_duckdb": t_duck,
-            }
-            if len(s_pd) != len(d_pd):
-                entry["status"] = "FAIL_ROWS"
-            elif sorted(s_pd.columns) != sorted(d_pd.columns):
-                entry["status"] = "FAIL_SCHEMA"
             else:
-                h_s = pd.util.hash_pandas_object(s_pd, index=False).sum()
-                h_d = pd.util.hash_pandas_object(d_pd, index=False).sum()
-                if h_s == h_d:
-                    entry["status"] = "PASS"
+                s_pd = _canon(qs[name](spark, args.sf_dir).toPandas())
+                t_spark = round(time.time() - t0, 2)
+                t0 = time.time()
+                d_pd = _canon(con.execute(oracles[name]).df())
+                t_duck = round(time.time() - t0, 2)
+                entry: dict = {
+                    "rows_spark": int(len(s_pd)),
+                    "rows_duckdb": int(len(d_pd)),
+                    "sec_spark": t_spark,
+                    "sec_duckdb": t_duck,
+                }
+                if len(s_pd) != len(d_pd):
+                    entry["status"] = "FAIL_ROWS"
+                elif sorted(s_pd.columns) != sorted(d_pd.columns):
+                    entry["status"] = "FAIL_SCHEMA"
                 else:
-                    neq = [c for c in s_pd.columns if not s_pd[c].equals(d_pd[c])]
-                    entry["status"] = "FAIL_HASH"
-                    entry["unequal_cols"] = neq
-            results[name] = entry
+                    h_s = pd.util.hash_pandas_object(s_pd, index=False).sum()
+                    h_d = pd.util.hash_pandas_object(d_pd, index=False).sum()
+                    if h_s == h_d:
+                        entry["status"] = "PASS"
+                    else:
+                        neq = [
+                            c for c in s_pd.columns
+                            if not s_pd[c].equals(d_pd[c])
+                        ]
+                        entry["status"] = "FAIL_HASH"
+                        entry["unequal_cols"] = neq
+                results[name] = entry
         except Exception as ex:
             results[name] = {
                 "status": "ERROR",
