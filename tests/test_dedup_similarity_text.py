@@ -516,17 +516,28 @@ def test_ivf_pq_index_partition_pruning_and_no_bnlj(spark, tmp_path):
     path = str(tmp_path / "ivfpq")
     build_ivf_index(emb, path, n_centroids=8, pq_codebooks=books)
 
-    out = search_ivf_pq_index(spark, path, emb.limit(1), k=3, n_probe=2, rerank=10)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        out.explain("formatted")
-    plan = buf.getvalue()
-    assert "BroadcastNestedLoopJoin" not in plan
-    idx_scan = next(b for b in plan.split("\n\n") if "assignments" in b)
-    assert "PartitionFilters" in idx_scan
-    assert "centroid_id" in idx_scan.split("PartitionFilters")[1].split("\n")[0]
-    rows = out.collect()
-    assert 0 < len(rows) <= 3
+    def check(out):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastNestedLoopJoin" not in plan
+        idx_scan = next(b for b in plan.split("\n\n") if "assignments" in b)
+        assert "PartitionFilters" in idx_scan
+        assert "centroid_id" in idx_scan.split("PartitionFilters")[1].split("\n")[0]
+        rows = out.collect()
+        assert 0 < len(rows) <= 3
+
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # rerank=10 < 20*k trips the guardrail
+        check(search_ivf_pq_index(
+            spark, path, emb.limit(1), k=3, n_probe=2, rerank=10
+        ))
+    # the r12 DEFAULT path (auto probe, rerank=None exact-over-probed)
+    # keeps the same physical properties: pruned codes scan, no BNLJ
+    check(search_ivf_pq_index(spark, path, emb.limit(1), k=3))
 
 
 def test_ivf_pq_index_shrunk_shortlist_recall(spark, tmp_path):
