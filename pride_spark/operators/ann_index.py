@@ -177,7 +177,11 @@ def _resolve_n_probe(n_probe, meta) -> int:
         return meta["n_centroids"]
     if n_probe == "auto":
         return max(1, math.isqrt(meta["n_centroids"] - 1) + 1)  # ceil(sqrt)
-    if isinstance(n_probe, str):
+    if isinstance(n_probe, str) or isinstance(n_probe, bool):
+        # bool passes isinstance(int) and the <=0 check (True == 1), so
+        # n_probe=True would reach F.slice as a boolean literal and die
+        # with an opaque Catalyst type error instead of this named
+        # refusal (r12 advice)
         raise ValueError(f"n_probe must be an int, None, or 'auto' (got {n_probe!r})")
     if n_probe <= 0:
         raise ValueError(f"n_probe must be >= 1 (got {n_probe})")

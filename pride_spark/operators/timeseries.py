@@ -437,8 +437,18 @@ def _partition_merged_batch(part_dir: str) -> int | None:
     try:
         with open(p) as fh:
             text = fh.read().strip()
-    except OSError:
+    except (FileNotFoundError, NotADirectoryError):
         return None  # no sidecar: pre-r12 store or batch_id=None refresh
+    except OSError as e:
+        # EACCES/EIO/... are NOT "not stamped" — mapping them to None
+        # would silently re-merge an already-installed partition and
+        # double-count (r12 advice).  Same refuse-loudly stance as the
+        # unparseable-content branch below.
+        raise ValueError(
+            f"cannot read {_BATCH_SIDECAR} sidecar at {p!r} ({e}): the "
+            "partition's replay provenance is ambiguous — fix the "
+            "filesystem error before replaying"
+        ) from e
     try:
         return int(text)
     except ValueError:

@@ -296,10 +296,37 @@ def tune(spark: SparkSession) -> SparkSession:
 
     The correctness driver hands us its own session; timestamp/AQE conf must
     still match the oracle's semantics.
+
+    STATIC_CONF keys cannot be applied here (read once by JVM-static
+    initializers; runtime sets are silently ignored), so a BORROWED
+    session keeps whatever it was built with — e.g. the 100-entry
+    codegen class cache, which silently regresses the many-query bench
+    numbers with no code change (r12 verdict watch item).  We can't fix
+    that after the fact, but we can refuse to be silent about it: read
+    each static key back and warn loudly when the live value differs.
     """
+    import warnings
+
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # immutable conf on some builds — keep going
             pass
+    for k, want in STATIC_CONF.items():
+        try:
+            live = spark.conf.get(k, None)
+        except Exception:
+            continue  # key unknown to this build: nothing to compare
+        if live is not None and str(live) != str(want):
+            warnings.warn(
+                f"borrowed SparkSession has {k}={live!r} (package default "
+                f"{want!r}); this key is fixed at session creation, so it "
+                "cannot be corrected here. Expect driver-side Janino "
+                "recompilation thrash in many-query sessions (the r12 "
+                "codegen-cache finding: ~10% battery slowdown). Build the "
+                "session via pride_spark.session.get_spark() to get the "
+                "static defaults.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark

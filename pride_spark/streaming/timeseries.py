@@ -40,15 +40,17 @@ in a multi-date batch — already-swapped dates are stamped and skipped,
 recovery restores the un-swapped dates and the replay merges exactly
 those.  The initial store build goes through the same staged
 stamp-and-swap path, so a crash during the FIRST batch recovers
-exactly-once too.  Scope of the guarantee: process crashes/kills are
-what the injection tests prove; for POWER LOSS the stamp is fsync'd
-before its partition's swap rename (so a live partition implies a
-durable stamp on a journaled fs — rename-ordering semantics), and a
-sidecar torn despite that is refused loudly as ambiguous rather than
-silently re-merged (``_partition_merged_batch``).  A transactional table format (Delta/Iceberg)
-remains the production answer for one atomic commit across partitions
-plus concurrent readers mid-swap, but is no longer needed for
-exactly-once counts.  Restarting with a NEW checkpoint replays the
+exactly-once too.  SCOPE: the exactly-once guarantee covers PROCESS
+crashes/kills — that is what the injection tests prove.  It does NOT
+extend to power loss: the batch-id stamp is fsync'd before the swap
+rename (so a live partition implies a durable stamp on a journaled
+fs), but the partition's parquet DATA files written by Spark are not
+fsync'd — after power loss a live, durably-stamped partition can hold
+torn data that the replay then rightly skips, an under-count the stamp
+cannot detect (r12 advice).  Closing that needs data-file fsync (an
+fs/deployment concern) or a transactional table format; a sidecar torn
+despite the fsync ordering is refused loudly as ambiguous rather than
+silently re-merged (``_partition_merged_batch``).  Restarting with a NEW checkpoint replays the
 source from scratch and would double-count — rebuild the store
 alongside (an empty store clears any stale marker so rebuilt batch ids
 starting at 0 are not skipped; stale per-partition stamps die with the

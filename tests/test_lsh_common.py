@@ -101,7 +101,8 @@ def test_incremental_flags_cap_parity(spark):
 def test_ann_index_api_validation(spark, tmp_path):
     """r10 review: n_probe=0/negative raise at the API boundary instead
     of silently full-probing / failing inside F.slice; an empty
-    pq_codebooks list is refused at build."""
+    pq_codebooks list is refused at build.  r12 advice: bool sneaks past
+    isinstance(int) (True == 1) and must be refused by name too."""
     import pytest
 
     from pride_spark.operators.ann_index import (
@@ -114,7 +115,7 @@ def test_ann_index_api_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="non-empty"):
         build_ivf_index(emb, path, n_centroids=4, pq_codebooks=[])
     build_ivf_index(emb, path, n_centroids=4)
-    for bad in (0, -3):
+    for bad in (0, -3, True, False, "sqrt"):
         with pytest.raises(ValueError, match="n_probe"):
             search_ivf_index(spark, path, emb, n_probe=bad).collect()
     # valid probe still works
