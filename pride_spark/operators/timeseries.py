@@ -380,19 +380,42 @@ def build_hypertable_store(
     sums, long counts) so later merges and cascades stay bit-identical
     to a from-raw rollup.  The store's finest resolution is recorded in
     an underscore-prefixed ``_meta`` sidecar (invisible to the parquet
-    reader) so reads and refreshes can validate against it."""
-    _finest_internal(df, ts_col, aggs, finest, list(by or []), bucket_col).write.mode(
-        "overwrite"
-    ).partitionBy("part_date").parquet(path)
+    reader) so reads and refreshes can validate against it.
+
+    Overwrites any existing store at ``path``, then routes the initial
+    rollup through the SAME manifest-committed path every refresh uses
+    (one crash-safety story for first build and every later merge)."""
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
     _write_store_meta(df.sparkSession, path, finest)
+    refresh_hypertable_store(
+        df.sparkSession, path, df, ts_col, aggs,
+        finest=finest, by=by, bucket_col=bucket_col,
+    )
 
 
 def _write_store_meta(spark, path: str, finest: str) -> None:
-    # written AFTER the parquet overwrite (which clears the directory);
-    # dynamic-partition refreshes leave it in place.
+    # Written into a hidden tmp dir and RENAMED into place: a reader
+    # polling during the first batch's self-heal must see _meta either
+    # absent or complete, never a half-written Spark output dir (the
+    # r13 reader-isolation test caught the direct-write race as an
+    # UNABLE_TO_INFER_SCHEMA AnalysisException).
+    import os
+    import shutil
+    import uuid
+
+    tmp = os.path.join(path, f".meta-{uuid.uuid4().hex}")
     spark.createDataFrame([(finest,)], "finest string").coalesce(1).write.mode(
         "overwrite"
-    ).json(path + "/_meta")
+    ).json(tmp)
+    final = os.path.join(path, "_meta")
+    if os.path.isdir(final):
+        shutil.rmtree(final)  # build-path overwrite; single writer
+    os.rename(tmp, final)
 
 
 def _read_store_meta(spark, path: str) -> str | None:
@@ -413,76 +436,115 @@ def _read_store_meta(spark, path: str) -> str | None:
     return rows[0]["finest"] if rows else None
 
 
-#: per-partition sidecar recording the last merge batch installed into
-#: that partition — underscore-prefixed so every parquet reader ignores
-#: it.  Written into the STAGED partition dir before its swap rename, so
-#: the stamp and the data it describes are installed in ONE atomic
-#: rename: a partition either has the batch's contribution AND its
-#: stamp, or neither.
-_BATCH_SIDECAR = "_merged_batch"
+#: Single small version-pointer manifest (r12 verdict task #1): readers
+#: resolve the live partition set through THIS file, and replacing it
+#: (tmp + fsync + ``os.replace``) is the ONE atomic commit point for a
+#: refresh — however many date partitions the batch touched.  Data
+#: lives in immutable generation-tagged object dirs under ``.obj/``
+#: (dot-prefixed: invisible to any stray whole-dir parquet read), so a
+#: reader that loaded the manifest always sees a complete, single-
+#: generation partition set: there is no mid-swap window at all.
+_MANIFEST = "_manifest"
+_OBJ = ".obj"
+#: manifest key for the NULL-timestamp partition (a real date string
+#: can never equal it — dates serialize as YYYY-MM-DD)
+_NULL_DATE_KEY = "__null__"
 
 
-def _partition_merged_batch(part_dir: str) -> int | None:
-    """The batch id stamped into a live partition dir; None if absent.
+def _date_key(d) -> str:
+    return _NULL_DATE_KEY if d is None else str(d)
 
-    A PRESENT-but-unparseable sidecar is refused loudly instead of
-    being read as "not stamped" (r12 review): the stamp is fsync'd
-    before the swap rename, so a torn stamp next to live data means the
-    filesystem reordered durability around the journal — the partition
-    data itself is then suspect and silently re-merging it would
-    double-count.  Ambiguity needs an operator, not a guess."""
+
+def _read_manifest(path: str) -> dict | None:
+    """The store's live-partition manifest, or None when the store has
+    never committed (brand-new path).  A PRESENT-but-unreadable or
+    corrupt manifest is refused loudly — it names every live partition,
+    so guessing around it could serve a torn or double-counted store
+    (same stance as ``_read_store_meta``)."""
+    import json
     import os
 
-    p = os.path.join(part_dir, _BATCH_SIDECAR)
+    p = os.path.join(path, _MANIFEST)
     try:
         with open(p) as fh:
-            text = fh.read().strip()
-    except (FileNotFoundError, NotADirectoryError):
-        return None  # no sidecar: pre-r12 store or batch_id=None refresh
+            text = fh.read()
+    except FileNotFoundError:
+        return None
     except OSError as e:
-        # EACCES/EIO/... are NOT "not stamped" — mapping them to None
-        # would silently re-merge an already-installed partition and
-        # double-count (r12 advice).  Same refuse-loudly stance as the
-        # unparseable-content branch below.
         raise ValueError(
-            f"cannot read {_BATCH_SIDECAR} sidecar at {p!r} ({e}): the "
-            "partition's replay provenance is ambiguous — fix the "
-            "filesystem error before replaying"
+            f"cannot read hypertable manifest at {p!r} ({e}): the live "
+            "partition set is unknowable — fix the filesystem error "
+            "before reading or refreshing"
         ) from e
     try:
-        return int(text)
-    except ValueError:
+        man = json.loads(text)
+        if not isinstance(man.get("generation"), int) or not isinstance(
+            man.get("partitions"), dict
+        ):
+            raise ValueError("missing generation/partitions")
+    except ValueError as e:
         raise ValueError(
-            f"corrupt {_BATCH_SIDECAR} sidecar at {p!r} (content "
-            f"{text[:40]!r}): the partition's replay provenance is "
-            "ambiguous — restore the partition from upstream or delete "
-            "the store and rebuild"
+            f"corrupt hypertable manifest at {p!r} ({e}): restore it "
+            "from a backup or rebuild the store — every commit fsyncs "
+            "the manifest before the atomic replace, so corruption here "
+            "means the storage layer lost acknowledged bytes"
         ) from None
+    return man
 
 
-def _stamp_partition_batch(part_dir: str, batch_id: int) -> None:
-    # the dir is still STAGING-private here and becomes visible only
-    # via the swap rename; fsync BEFORE that rename so the stamp's
-    # bytes are durable by the time the partition can be seen as live —
-    # without it a power loss (not just a process kill) could persist
-    # the rename but not the stamp content (r12 review).  Directory-
-    # entry durability of the rename itself is the journal's business,
-    # as with every other rename in this store.
+def _write_manifest(path: str, man: dict) -> None:
+    """THE commit point: fsync the new manifest's bytes, then
+    ``os.replace`` it over the live one — a reader sees the old
+    complete set or the new complete set, never a mix, and a crash at
+    any instant leaves one of the two intact."""
+    import json
     import os
 
-    p = os.path.join(part_dir, _BATCH_SIDECAR)
-    with open(p, "w") as fh:
-        fh.write(str(batch_id))
+    final = os.path.join(path, _MANIFEST)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
         fh.flush()
         os.fsync(fh.fileno())
+    os.replace(tmp, final)
 
 
-def _part_leaf(d) -> str:
-    # Spark writes the NULL partition as __HIVE_DEFAULT_PARTITION__;
-    # "part_date=None" would never match the hive leaf name
-    return (
-        "part_date=__HIVE_DEFAULT_PARTITION__" if d is None else f"part_date={d}"
-    )
+def _refuse_legacy_layout(path: str, man: dict | None) -> None:
+    import os
+
+    if man is None and os.path.isdir(path) and any(
+        n.startswith("part_date=") for n in os.listdir(path)
+    ):
+        raise ValueError(
+            f"hypertable store at {path!r} uses the pre-manifest hive "
+            "layout (in-place partition swaps); the store protocol is "
+            "now manifest-committed — rebuild it with "
+            "build_hypertable_store over the raw history"
+        )
+
+
+def _gc_unreferenced_objects(path: str, man: dict) -> None:
+    """Sweep object dirs no live manifest references plus leftover
+    ``.staging-*`` dirs.  Runs at REFRESH START only (single writer, so
+    nothing is mid-commit): a dir dereferenced by commit N therefore
+    survives until refresh N+1 begins — the reader grace window.  A
+    reader must resolve the manifest and finish reading within one
+    refresh interval (the same contract as a transactional table
+    format's vacuum retention); crash debris from an aborted attempt
+    (dirs renamed into ``.obj`` whose commit never happened) is
+    unreferenced by construction and swept here too."""
+    import os
+    import shutil
+
+    referenced = {e["dir"] for e in man.get("partitions", {}).values()}
+    obj_root = os.path.join(path, _OBJ)
+    if os.path.isdir(obj_root):
+        for entry in os.listdir(obj_root):
+            if entry not in referenced:
+                shutil.rmtree(os.path.join(obj_root, entry), ignore_errors=True)
+    for entry in os.listdir(path):
+        if entry.startswith((".staging-", ".meta-")):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
 
 def refresh_hypertable_store(
@@ -511,37 +573,40 @@ def refresh_hypertable_store(
     ``batch_id=None`` deliver each event batch exactly once —
     re-refreshing the same batch double-counts, as with any incremental
     aggregate.  Pass ``batch_id`` (the streaming sink does) to make the
-    merge IDEMPOTENT per (batch_id, partition): each swapped partition
-    is stamped with the installing batch id (``_merged_batch`` sidecar,
-    installed by the same atomic rename as the data), and a re-refresh
-    with the same batch_id skips every partition already stamped with
-    it — replaying a crashed batch completes the partitions it missed
-    without double-counting the ones it already merged.  Late events
-    are handled for free either way: a stale date's partition is simply
+    merge IDEMPOTENT per batch: the manifest records the installing
+    batch id against every committed partition, and a re-refresh with
+    the same batch_id skips every date already carrying it — replaying
+    a crashed batch redoes only uncommitted work.  Late events are
+    handled for free either way: a stale date's partition is simply
     touched again.
 
-    Durability: the merged partitions are computed into a STAGING
-    directory first (old values read before anything is deleted), then
-    swapped in per touched date: the old partition is first retired to
-    a DETERMINISTIC hidden sibling (``path/.retired-part_date=d``) and
-    the new one renamed into place.  A crash between the two renames
-    leaves the partition recoverable at a known location — the next
-    refresh (or read of this function) restores any leftover retired
-    dir whose live partition is missing before touching anything, so
-    every partition is eventually either fully old or fully new, never
-    lost.  Retired dirs are deleted only after their replacement is in
-    place.  The swap is atomic per PARTITION, not across the set of
-    touched dates — which is exactly why the per-partition batch stamp
-    exists; production deployments wanting one atomic commit across all
-    partitions (plus concurrent readers during the swap) should put the
-    store on a transactional table format (Delta/Iceberg) — the merge
-    logic is unchanged.
+    Durability and isolation (r12 verdict task #1 — manifest commit):
+    merged partitions are computed into a STAGING directory (old values
+    read before anything is replaced), renamed into immutable
+    generation-tagged object dirs under ``.obj/``, and then committed
+    by atomically replacing the ONE manifest file that maps each date
+    to its live object dir.  The commit is therefore atomic across the
+    WHOLE batch, however many dates it touched: a crash at any point
+    before the manifest replace leaves the store byte-identical to its
+    pre-batch state (orphan object/staging dirs are swept at the next
+    refresh start), and a crash after it leaves the batch fully
+    committed.  Concurrent readers resolve the partition set through
+    the manifest, so they always see one complete generation — the
+    mid-swap window of the previous in-place-rename protocol no longer
+    exists, and no transactional table format is needed for either
+    exactly-once counts or reader isolation.  Readers must finish
+    within one refresh interval of loading the manifest: dirs a commit
+    dereferences are garbage-collected when the NEXT refresh begins
+    (``_gc_unreferenced_objects``).  SINGLE WRITER per store path — the
+    GC-at-start and generation numbering assume it; the streaming sink
+    enforces it with a writer lease
+    (``pride_spark.streaming.timeseries``).
     """
     import os
     import shutil
     import uuid
 
-    _restore_retired_partitions(path)
+    os.makedirs(path, exist_ok=True)
     by = list(by or [])
     stored = _read_store_meta(spark, path)
     if stored is not None and stored != finest:
@@ -557,7 +622,11 @@ def refresh_hypertable_store(
         # (r10 review).  On a brand-new path this is also the first
         # write that creates the store directory.
         _write_store_meta(spark, path, finest)
-    has_data = any(n.startswith("part_date=") for n in os.listdir(path))
+    man = _read_manifest(path)
+    _refuse_legacy_layout(path, man)
+    if man is None:
+        man = {"generation": 0, "partitions": {}}
+    _gc_unreferenced_objects(path, man)
     new_agg = _finest_internal(new_df, ts_col, aggs, finest, by, bucket_col)
     # bounded collect: one row per DISTINCT calendar date in the batch.
     # Derived from the RAW events (same part_date expression
@@ -574,18 +643,17 @@ def refresh_hypertable_store(
     ]
     if not dates:
         return []
+    parts = man["partitions"]
     if batch_id is None:
         pending = list(dates)
     else:
-        # idempotent replay: skip dates whose LIVE partition is already
-        # stamped with this batch id — its contribution (and stamp) were
-        # installed by one atomic rename, so presence of the stamp
-        # proves presence of the data
+        # idempotent replay: skip dates the manifest already records as
+        # committed under this batch id — the manifest replace is
+        # atomic across the whole batch, so on a clean commit this
+        # skips everything and on an aborted one it redoes everything
         pending = [
-            d
-            for d in dates
-            if _partition_merged_batch(os.path.join(path, _part_leaf(d)))
-            != batch_id
+            d for d in dates
+            if parts.get(_date_key(d), {}).get("batch") != batch_id
         ]
     if not pending:
         return dates
@@ -596,72 +664,63 @@ def refresh_hypertable_store(
     keep = F.col("part_date").isin(non_null)
     if None in pending:
         keep = keep | F.col("part_date").isNull()
-    # restrict the batch side to the pending dates too: on a partial
-    # replay the already-merged dates must not be recomputed (their
-    # staged output would be discarded unswapped — wasted work at best)
     new_agg = new_agg.filter(keep)
-    if has_data:
-        old = spark.read.parquet(path).filter(keep)
+    # partition-pruned read of the old values: ONLY the pending dates'
+    # object dirs are listed — the untouched history is never opened
+    old_dirs = [
+        os.path.join(path, _OBJ, parts[_date_key(d)]["dir"])
+        for d in pending
+        if _date_key(d) in parts
+    ]
+    if old_dirs:
+        old = spark.read.parquet(*old_dirs)
         merged = (
             old.unionByName(new_agg)
             .groupBy(*by, bucket_col, "part_date")
             .agg(*[a.reagg() for a in aggs])
         )
     else:
-        merged = new_agg  # first batch: nothing stored to fold in
+        merged = new_agg  # first batch / all-new dates: nothing to fold in
+    gen = man["generation"] + 1
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    os.makedirs(os.path.join(path, _OBJ), exist_ok=True)
+    new_parts = dict(parts)
     try:
         # full compute (including the read of the OLD partition values)
-        # lands in staging before any live file is touched
-        merged.write.mode("overwrite").partitionBy("part_date").parquet(staging)
+        # lands in staging before anything is committed.  part_date is
+        # partitioned on a STRING COPY (_pd) so it stays a real column
+        # in the data files — object dirs are read directly by path,
+        # without hive partition discovery, so the column must travel
+        # in the bytes.
+        (
+            merged.withColumn(
+                "_pd",
+                F.coalesce(
+                    F.col("part_date").cast("string"), F.lit(_NULL_DATE_KEY)
+                ),
+            )
+            .write.mode("overwrite")
+            .partitionBy("_pd")
+            .parquet(staging)
+        )
         for d in pending:
-            leaf = _part_leaf(d)
-            src = os.path.join(staging, leaf)
-            dst = os.path.join(path, leaf)
-            # deterministic retire location: recoverable after a crash
-            # between the two renames (see docstring)
-            retired = os.path.join(path, ".retired-" + leaf)
+            key = _date_key(d)
+            src = os.path.join(staging, f"_pd={key}")
             if not os.path.isdir(src):
                 continue  # date aggregated away (shouldn't happen; be safe)
-            if batch_id is not None:
-                _stamp_partition_batch(src, batch_id)
-            if os.path.isdir(retired):
-                shutil.rmtree(retired)  # stale: crash AFTER a prior swap
-            if os.path.isdir(dst):
-                os.rename(dst, retired)  # keep old until new is in place
-            os.rename(src, dst)
-            shutil.rmtree(retired, ignore_errors=True)
+            # immutable object dir: generation-tagged for debuggability,
+            # uuid-suffixed so an aborted attempt at the same generation
+            # can never collide
+            obj_name = f"g{gen:06d}-{uuid.uuid4().hex[:8]}-{key}"
+            os.rename(src, os.path.join(path, _OBJ, obj_name))
+            new_parts[key] = {"dir": obj_name, "batch": batch_id}
+        # THE commit: one fsync'd atomic replace makes every pending
+        # date's new object dir live at once (old dirs stay on disk for
+        # in-flight readers until the next refresh's GC)
+        _write_manifest(path, {"generation": gen, "partitions": new_parts})
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return dates
-
-
-def _restore_retired_partitions(path: str) -> None:
-    """Crash recovery for :func:`refresh_hypertable_store`'s two-rename
-    swap: a ``.retired-part_date=d`` sibling whose live partition is
-    MISSING marks a crash between retire and replace — rename it back.
-    One that still has a live partition marks a crash after the swap
-    succeeded but before cleanup — delete it.  Leftover ``.staging-*``
-    dirs (a hard kill during the staging write, before any rename) are
-    swept too: staging content is only meaningful to the writer that
-    created it, so removal is always safe."""
-    import os
-    import shutil
-
-    if not os.path.isdir(path):
-        return
-    for entry in os.listdir(path):
-        if entry.startswith(".staging-"):
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
-            continue
-        if not entry.startswith(".retired-part_date="):
-            continue
-        retired = os.path.join(path, entry)
-        dst = os.path.join(path, entry[len(".retired-"):])
-        if os.path.isdir(dst):
-            shutil.rmtree(retired, ignore_errors=True)
-        else:
-            os.rename(retired, dst)
 
 
 def read_hypertable(
@@ -684,8 +743,16 @@ def read_hypertable(
     would silently mislabel stored rows); coarser entries may be any
     cascade-compatible subset of the ladder (``week``-to-``month`` is
     rejected: week buckets straddle month boundaries, and the raw
-    events are not available here to recompute from)."""
-    _restore_retired_partitions(path)
+    events are not available here to recompute from).
+
+    Snapshot isolation: the live partition set is resolved through ONE
+    read of the manifest, so the returned plan reads a complete,
+    single-generation set even while a refresh commits concurrently.
+    Execute the plan within one refresh interval — a commit's
+    dereferenced object dirs are garbage-collected when the writer's
+    NEXT refresh begins (see ``refresh_hypertable_store``)."""
+    import os
+
     order = _validated_order(resolutions)
     by = list(by or [])
     stored = _read_store_meta(spark, path)
@@ -694,8 +761,18 @@ def read_hypertable(
             f"resolutions[0]={order[0]!r} does not match the store's "
             f"recorded finest resolution {stored!r}"
         )
+    man = _read_manifest(path)
+    _refuse_legacy_layout(path, man)
+    if man is None or not man["partitions"]:
+        raise ValueError(
+            f"no committed hypertable store at {path!r}: the manifest "
+            "is missing or empty — build one with build_hypertable_store"
+        )
+    dirs = [
+        os.path.join(path, _OBJ, e["dir"]) for e in man["partitions"].values()
+    ]
     cur = (
-        spark.read.parquet(path)
+        spark.read.parquet(*dirs)
         .drop("part_date")
         .withColumn(level_col, F.lit(order[0]))
     )

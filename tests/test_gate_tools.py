@@ -78,3 +78,34 @@ def test_bits_fingerprint_nan_and_signed_zero(spark, fvg):
         "bits",
     )
     assert s == d and s[0] == 4
+
+
+def test_fingerprint_timestamps_fold_as_epoch_micros(spark, fvg):
+    """r13 (verdict task: factor-10 gate in distributed mode): the
+    window queries carry TIMESTAMP columns, whose string renderings
+    differ across engines — the fold encodes them as epoch MICROS
+    (exact, both engines store micros) under the UTC session timezone.
+    NULL timestamps must stay NULL (not epoch 0)."""
+    df = spark.createDataFrame(
+        [("a", "2024-05-10 06:30:00.123456"), ("b", None)],
+        "k string, t string",
+    ).selectExpr("k", "cast(t as timestamp) as t")
+    s = fvg.spark_fingerprint(df, float_mode="bits")
+
+    con = duckdb.connect()
+    d = fvg.duckdb_fingerprint(
+        con,
+        "SELECT 'a' AS k, TIMESTAMP '2024-05-10 06:30:00.123456' AS t "
+        "UNION ALL SELECT 'b', NULL",
+        "bits",
+    )
+    assert s == d and s[0] == 2
+
+    # sub-second precision must survive: micros differ -> folds differ
+    d2 = fvg.duckdb_fingerprint(
+        con,
+        "SELECT 'a' AS k, TIMESTAMP '2024-05-10 06:30:00.123457' AS t "
+        "UNION ALL SELECT 'b', NULL",
+        "bits",
+    )
+    assert s != d2

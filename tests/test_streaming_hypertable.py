@@ -85,23 +85,23 @@ def test_batch_sink_replay_is_noop(spark, tmp_path):
     assert os.path.exists(os.path.join(store, "_last_refresh_batch"))
 
 
-def test_sink_recovers_retired_partition_before_rebuild_probe(spark, tmp_path):
-    """r10 review: a crash inside refresh's two-rename swap on a
-    single-partition store leaves only .retired-part_date=d; the sink
-    must restore it BEFORE the has_data probe — probing first read the
-    store as empty and the rebuild branch's mode('overwrite') destroyed
-    the retired history."""
-    import shutil
-
+def test_sink_survives_aborted_attempt_debris(spark, tmp_path):
+    """Manifest-era descendant of the r10 retired-partition recovery
+    test: debris from an ABORTED refresh attempt (orphan object dirs
+    renamed into .obj plus a leftover .staging dir, manifest never
+    replaced) must neither read as an empty store (the marker would be
+    cleared mid-stream) nor pollute the next merge — the committed
+    history is untouched, the next batch merges on top of it, and the
+    debris is swept."""
     from pride_spark.operators.timeseries import build_hypertable_store
 
     store = str(tmp_path / "store")
     first = _events(spark, 0, 60)
     build_hypertable_store(first, "ts", AGGS, store, finest="hour")
-    # simulate the crash window on EVERY partition: retired, replacement
-    # missing — the pre-fix probe reads this as an empty store
-    for leaf in [n for n in os.listdir(store) if n.startswith("part_date=")]:
-        os.rename(os.path.join(store, leaf), os.path.join(store, ".retired-" + leaf))
+    # aborted-attempt debris: an unreferenced object dir and a staging
+    # dir, both crash leftovers the manifest never pointed at
+    os.makedirs(os.path.join(store, ".obj", "g999999-deadbeef-2024-05-10"))
+    os.makedirs(os.path.join(store, ".staging-deadbeef"))
 
     sink = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
     second = _events(spark, 60, 60)
@@ -112,6 +112,10 @@ def test_sink_recovers_retired_partition_before_rebuild_probe(spark, tmp_path):
         first.unionByName(second), "ts", AGGS, resolutions=("hour",)
     )
     assert _canon(served) == _canon(want)  # history survived the crash
+    assert not [n for n in os.listdir(store) if n.startswith(".staging-")]
+    assert "g999999-deadbeef-2024-05-10" not in os.listdir(
+        os.path.join(store, ".obj")
+    )
 
 
 def test_refresh_merges_null_timestamp_partition(spark, tmp_path):
@@ -236,57 +240,63 @@ def test_crash_between_merge_and_marker_is_exactly_once(spark, tmp_path):
         == _canon(want2)
 
 
-def test_crash_mid_swap_multi_date_is_exactly_once(spark, tmp_path):
-    """r11 verdict task #2, crash window (b): the swap is atomic per
-    PARTITION, not across a multi-date batch — a kill between the two
-    dates' swaps leaves the first date holding the batch's contribution
-    (with its _merged_batch stamp) while recovery reverts the second to
-    its pre-batch state.  The replay previously double-counted the batch
-    into the already-swapped date; now the stamp makes it skip that date
-    and merge ONLY the reverted one — the whole batch lands exactly
-    once."""
+def test_crash_mid_commit_multi_date_is_atomic_and_exactly_once(spark, tmp_path):
+    """r12 verdict task #1: under the manifest protocol a multi-date
+    batch is ONE atomic commit.  A kill between the two dates' object-
+    dir renames (the window that used to leave one date swapped and one
+    retired) now leaves the manifest untouched — readers see the exact
+    pre-batch state, with no partially-applied date at all — and the
+    replay merges the whole batch exactly once."""
+    from pride_spark.operators.timeseries import _read_manifest
+
     store = str(tmp_path / "store")
     sink = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
     b0 = _two_date_events(spark, 0, 30, 1.0)
     b1 = _two_date_events(spark, 100, 30, 2.0)
     sink(b0, 0)
+    man_before = _read_manifest(store)
 
-    state = {"staged": 0, "swapped_leaf": None}
+    state = {"staged": 0}
     real_rename = os.rename
 
-    def kill_on_second_swap(src, dst):
+    def kill_on_second_obj_rename(src, dst):
         if ".staging-" in src:
             state["staged"] += 1
             if state["staged"] == 2:
-                raise RuntimeError("injected kill mid-swap")
-            state["swapped_leaf"] = os.path.basename(dst)
+                raise RuntimeError("injected kill mid-commit")
         return real_rename(src, dst)
 
-    os.rename = kill_on_second_swap
+    os.rename = kill_on_second_obj_rename
     try:
-        with pytest.raises(RuntimeError, match="injected kill mid-swap"):
+        with pytest.raises(RuntimeError, match="injected kill mid-commit"):
             sink(b1, 1)
     finally:
         os.rename = real_rename
 
-    # post-crash state: one date swapped (holds b1 + its stamp), the
-    # other retired
-    swapped = state["swapped_leaf"]
-    assert swapped is not None and swapped.startswith("part_date=")
-    leaves = set(os.listdir(store))
-    assert swapped in leaves
-    assert os.path.exists(os.path.join(store, swapped, "_merged_batch"))
-    retired = [n for n in leaves if n.startswith(".retired-part_date=")]
-    assert len(retired) == 1
-    unswapped = retired[0][len(".retired-"):]
-    assert unswapped not in leaves  # live partition missing until recovery
+    # post-crash state: the manifest is byte-identical to the pre-batch
+    # commit — NO date holds any of b1 (the old protocol left one date
+    # swapped here), so a concurrent reader cannot see a torn batch
+    assert _read_manifest(store) == man_before
+    want0 = hypertable_rollup(b0, "ts", AGGS, resolutions=("hour",))
+    got0 = read_hypertable(spark, store, AGGS, resolutions=("hour",))
+    assert _canon(got0) == _canon(want0)
 
-    # replay after restart: recovery restores the un-swapped date FIRST,
-    # then the re-merge skips the stamped date and applies b1 only to
-    # the reverted one — no double count anywhere
+    # the aborted attempt's orphan object dir(s): on disk, unreferenced
+    before_live = {e["dir"] for e in man_before["partitions"].values()}
+    aborted = set(os.listdir(os.path.join(store, ".obj"))) - before_live
+    assert aborted  # the first date's rename landed before the kill
+
+    # replay after restart: no date carries batch id 1, so the whole
+    # batch re-merges — once.  The aborted attempt's orphans are swept
+    # at the refresh start; the dirs THIS commit dereferences (b0's)
+    # stay until the NEXT refresh begins — the reader grace window.
     sink(b1, 1)
-    assert not [n for n in os.listdir(store)
-                if n.startswith((".retired-", ".staging-"))]
+    assert not [n for n in os.listdir(store) if n.startswith(".staging-")]
+    man_after = _read_manifest(store)
+    live = {e["dir"] for e in man_after["partitions"].values()}
+    on_disk = set(os.listdir(os.path.join(store, ".obj")))
+    assert live <= on_disk
+    assert not (aborted & on_disk)
 
     want = hypertable_rollup(
         b0.unionByName(b1), "ts", AGGS, resolutions=("hour",),
@@ -296,12 +306,14 @@ def test_crash_mid_swap_multi_date_is_exactly_once(spark, tmp_path):
 
 
 def test_crash_during_first_batch_build_is_exactly_once(spark, tmp_path):
-    """The initial store build routes through the same staged
-    stamp-and-swap path as every refresh (r12): a kill between the first
-    batch's two date swaps leaves a partial store, and the replay
-    completes ONLY the missing date — previously the build branch's
-    whole-store overwrite made this window a silent double-count or a
-    history wipe depending on timing."""
+    """The initial store build routes through the same manifest-commit
+    path as every refresh: a kill between the first batch's two object
+    renames leaves NO committed store at all (the manifest was never
+    written — readers cannot see a half-built store, where the old
+    protocol exposed one live date), and the replay builds the whole
+    batch exactly once."""
+    from pride_spark.operators.timeseries import _read_manifest
+
     store = str(tmp_path / "store")
     sink = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
     b0 = _two_date_events(spark, 0, 30, 1.0)
@@ -323,16 +335,144 @@ def test_crash_during_first_batch_build_is_exactly_once(spark, tmp_path):
     finally:
         os.rename = real_rename
 
-    # partial store: exactly one of the two dates is live, no marker yet
-    live = [n for n in os.listdir(store) if n.startswith("part_date=")]
-    assert len(live) == 1
+    # nothing committed: no manifest, no marker — a reader sees "no
+    # store yet", never a partial build
+    assert _read_manifest(store) is None
     from pride_spark.streaming import timeseries as st
     assert st._read_marker(store) == -1
+    with pytest.raises(ValueError, match="manifest"):
+        read_hypertable(spark, store, AGGS, resolutions=("hour",))
 
-    sink(b0, 0)  # replay completes the missing date only
+    sink(b0, 0)  # replay rebuilds the whole first batch, once
     want = hypertable_rollup(b0, "ts", AGGS, resolutions=("hour",))
     got = read_hypertable(spark, store, AGGS, resolutions=("hour",))
     assert _canon(got) == _canon(want)
     assert st._read_marker(store) == 0
-    assert not [n for n in os.listdir(store)
-                if n.startswith((".retired-", ".staging-"))]
+    assert not [n for n in os.listdir(store) if n.startswith(".staging-")]
+    man = _read_manifest(store)
+    live = {e["dir"] for e in man["partitions"].values()}
+    assert live <= set(os.listdir(os.path.join(store, ".obj")))
+
+
+def test_reader_polling_during_multi_date_commits_sees_only_whole_generations(
+    spark, tmp_path
+):
+    """r12 verdict task #1 DONE criterion: a reader polling WHILE the
+    writer commits multi-date batches must never observe a missing or
+    mixed-generation partition set.  Each batch adds 30 events to each
+    of two dates, so any consistent snapshot totals a multiple of 60 —
+    a half-applied batch (one date new, one old) would total 30(k+j)
+    with k != j, and a momentarily-missing partition would total 30k;
+    both are detected.  Commits are slowed (sleep inside the object
+    renames and before the manifest replace) so polls land inside the
+    commit sequence."""
+    import threading
+    import time
+
+    from pride_spark.operators import timeseries as ot
+
+    store = str(tmp_path / "store")
+    sink = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
+    n_batches = 4
+
+    real_rename = os.rename
+    real_write_manifest = ot._write_manifest
+
+    def slow_rename(src, dst):
+        if ".staging-" in src:
+            time.sleep(0.25)
+        return real_rename(src, dst)
+
+    def slow_write_manifest(path, man):
+        time.sleep(0.25)
+        return real_write_manifest(path, man)
+
+    observed, errors, stop = [], [], threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            try:
+                rows = (
+                    read_hypertable(spark, store, AGGS, resolutions=("hour",))
+                    .filter("level = 'total'")
+                    .collect()
+                )
+                observed.append(rows[0]["n"] if rows else 0)
+            except ValueError:
+                observed.append(None)  # no committed store yet: fine
+            except Exception as e:  # a torn read IS the failure mode
+                errors.append(repr(e))
+                return
+
+    reader = threading.Thread(target=poll)
+    os.rename = slow_rename
+    ot._write_manifest = slow_write_manifest
+    try:
+        reader.start()
+        for b in range(n_batches):
+            sink(_two_date_events(spark, 1000 * b, 30, float(b)), b)
+            # grace-window contract: a reader must finish within one
+            # refresh interval; give in-flight polls time to drain
+            # before the next refresh's GC drops dereferenced dirs
+            time.sleep(1.5)
+    finally:
+        stop.set()
+        reader.join(timeout=60)
+        os.rename = real_rename
+        ot._write_manifest = real_write_manifest
+
+    assert not errors, errors
+    valid = {None} | {60 * (k + 1) for k in range(n_batches)}
+    assert set(observed) <= valid, sorted(
+        set(observed) - valid, key=repr
+    )
+    committed = [o for o in observed if o is not None]
+    assert committed == sorted(committed)  # commits are ordered: monotone
+    # the poller genuinely overlapped the run: it saw more than one state
+    assert len(set(observed)) >= 2, observed
+
+
+def test_writer_lease_single_writer_contract(spark, tmp_path):
+    """r12 verdict task #3: a second concurrent writer on the same
+    store fails loudly at construction; the SAME writer identity (a
+    restarted stream on its checkpoint) reclaims; an explicit release
+    or a stale heartbeat frees the store; a superseded writer's next
+    batch refuses instead of interleaving commits."""
+    import time
+
+    from pride_spark.streaming.timeseries import WriterLease
+
+    store = str(tmp_path / "store")
+    sink1 = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
+    with pytest.raises(RuntimeError, match="single-writer"):
+        make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
+
+    # same identity reclaims (stream restart on the same checkpoint)
+    s_a = make_hypertable_batch_sink(
+        store + "2", "ts", AGGS, writer_id="checkpoint:/x"
+    )
+    s_b = make_hypertable_batch_sink(
+        store + "2", "ts", AGGS, writer_id="checkpoint:/x"
+    )
+    s_b.release_lease()
+
+    # explicit release frees the store for a new writer
+    sink1.release_lease()
+    sink2 = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
+
+    # stale heartbeat: backdate the lease mtime past stale_after, then a
+    # new writer takes over; the superseded writer's next batch refuses
+    lease_path = os.path.join(store, "_writer_lease")
+    old = time.time() - 10_000
+    os.utime(lease_path, (old, old))
+    sink3 = make_hypertable_batch_sink(store, "ts", AGGS, finest="hour")
+    ev = _events(spark, 0, 10)
+    sink3(ev, 0)  # new owner merges fine
+    with pytest.raises(RuntimeError, match="lease"):
+        sink2(ev, 1)  # superseded writer must NOT merge
+    sink3.release_lease()
+
+    # direct lease API: release is idempotent
+    lease = WriterLease(store)
+    lease.release()
+    lease.release()

@@ -205,13 +205,69 @@ def test_hypertable_store_build_refresh_read(spark, ts_df, tmp_path):
     assert _rows(served, *cols) == _rows(direct, *cols)
 
 
-def test_hypertable_store_crash_recovery_restores_retired(spark, ts_df, tmp_path):
-    """Simulate a crash between the swap's two renames (live partition
-    retired to the deterministic hidden sibling, replacement never
-    landed): the next read/refresh must restore it, and a stale retired
-    dir left AFTER a successful swap must be cleaned, not restored."""
+def test_hypertable_store_manifest_crash_and_gc_grace(spark, ts_df, tmp_path):
+    """Manifest protocol (r13) crash/GC semantics: (1) debris from an
+    aborted refresh (orphan object dirs + staging, manifest untouched)
+    leaves reads byte-identical to the last commit; (2) a commit keeps
+    the object dirs it DEREFERENCES on disk until the NEXT refresh
+    begins — the reader grace window — then sweeps them."""
     import os
-    import shutil
+
+    from pride_spark.operators.timeseries import (
+        _read_manifest,
+        build_hypertable_store,
+        read_hypertable,
+        refresh_hypertable_store,
+    )
+
+    path = str(tmp_path / "ht")
+    build_hypertable_store(ts_df.filter("id < 250"), "ts", AGGS, path, finest="hour")
+    before = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
+    gen1_dirs = {
+        e["dir"] for e in _read_manifest(path)["partitions"].values()
+    }
+
+    # (1) aborted-attempt debris: reads are unaffected
+    os.makedirs(os.path.join(path, ".obj", "g999999-deadbeef-2024-01-01"))
+    os.makedirs(os.path.join(path, ".staging-deadbeef"))
+    after = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
+    assert after == before
+
+    # (2) a real refresh: sweeps the debris, commits new dirs for the
+    # touched dates, and KEEPS the dereferenced gen-1 dirs (grace)
+    refresh_hypertable_store(
+        spark, path, ts_df.filter("id >= 250"), "ts", AGGS, finest="hour"
+    )
+    on_disk = set(os.listdir(os.path.join(path, ".obj")))
+    assert "g999999-deadbeef-2024-01-01" not in on_disk
+    live = {e["dir"] for e in _read_manifest(path)["partitions"].values()}
+    assert live <= on_disk
+    dereferenced = gen1_dirs - live
+    assert dereferenced and dereferenced <= on_disk  # grace window holds
+
+    # the next refresh's GC (empty batch: GC still runs at start even
+    # though the merge is a no-op) finally removes the dereferenced dirs
+    refresh_hypertable_store(
+        spark, path, ts_df.filter("id < 0"), "ts", AGGS, finest="hour"
+    )
+    on_disk2 = set(os.listdir(os.path.join(path, ".obj")))
+    assert not (dereferenced & on_disk2)
+    final = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
+    direct = _rows(
+        hypertable_rollup(ts_df, "ts", AGGS, resolutions=("hour", "day")),
+        "level", "bucket_start", "n",
+    )
+    assert final == direct
+
+
+def test_hypertable_store_refuses_legacy_and_corrupt_manifest(spark, ts_df, tmp_path):
+    """A pre-manifest hive-layout store is refused by name (silently
+    reading it would bypass the commit protocol), and a PRESENT but
+    corrupt manifest raises instead of being guessed around."""
+    import json
+    import os
+
+    import pytest
 
     from pride_spark.operators.timeseries import (
         build_hypertable_store,
@@ -219,34 +275,32 @@ def test_hypertable_store_crash_recovery_restores_retired(spark, ts_df, tmp_path
         refresh_hypertable_store,
     )
 
+    # legacy layout: part_date= dirs at the store root, no manifest
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(os.path.join(legacy, "part_date=2024-01-01"))
+    with pytest.raises(ValueError, match="hive layout|pre-manifest"):
+        read_hypertable(spark, legacy, AGGS, resolutions=("hour",))
+    with pytest.raises(ValueError, match="hive layout|pre-manifest"):
+        refresh_hypertable_store(
+            spark, legacy, ts_df.limit(5), "ts", AGGS, finest="hour"
+        )
+
+    # corrupt manifest: refused loudly on read AND refresh
     path = str(tmp_path / "ht")
-    build_hypertable_store(ts_df, "ts", AGGS, path, finest="hour")
-    before = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
-
-    parts = sorted(p for p in os.listdir(path) if p.startswith("part_date="))
-    assert len(parts) >= 2
-    # crash window 1: retired, replacement missing -> must be restored
-    os.rename(os.path.join(path, parts[0]), os.path.join(path, ".retired-" + parts[0]))
-    # crash window 2: swap succeeded, cleanup missed -> stale copy must
-    # be DELETED (restoring it over the live partition would roll back)
-    shutil.copytree(
-        os.path.join(path, parts[1]), os.path.join(path, ".retired-" + parts[1])
-    )
-
-    after = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
-    assert after == before
-    assert not any(p.startswith(".retired-") for p in os.listdir(path))
-
-    # refresh also recovers first: retire a partition again, then merge
-    # an empty-overlap batch touching a different date — stored values
-    # must still equal the from-raw rollup afterwards
-    os.rename(os.path.join(path, parts[0]), os.path.join(path, ".retired-" + parts[0]))
-    refresh_hypertable_store(
-        spark, path, ts_df.filter("id < 0"), "ts", AGGS, finest="hour"
-    )
-    assert os.path.isdir(os.path.join(path, parts[0]))
-    final = _rows(read_hypertable(spark, path, AGGS), "level", "bucket_start", "n")
-    assert final == before
+    build_hypertable_store(ts_df.filter("id < 100"), "ts", AGGS, path, finest="hour")
+    with open(os.path.join(path, "_manifest"), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="corrupt"):
+        read_hypertable(spark, path, AGGS, resolutions=("hour",)).count()
+    with pytest.raises(ValueError, match="corrupt"):
+        refresh_hypertable_store(
+            spark, path, ts_df.limit(5), "ts", AGGS, finest="hour"
+        )
+    # structurally-wrong JSON (missing keys) is corrupt too
+    with open(os.path.join(path, "_manifest"), "w") as fh:
+        json.dump({"generation": "one"}, fh)
+    with pytest.raises(ValueError, match="corrupt"):
+        read_hypertable(spark, path, AGGS, resolutions=("hour",)).count()
 
 
 def test_hypertable_store_empty_refresh_noop(spark, ts_df, tmp_path):

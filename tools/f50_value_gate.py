@@ -183,8 +183,24 @@ def spark_fingerprint(df, *, canonicalize_complex: bool = False,
             df = df.select(
                 *[_b(c) if c in dbl else F.col(c) for c in df.columns]
             )
+    # timestamps ride as epoch MICROSECONDS (exact; both engines store
+    # micros) — their string renderings differ (zero-padding, 'T', tz
+    # suffix) but unix_micros/epoch_us agree bit-for-bit under the UTC
+    # session timezone the package pins (r13: the factor-10 distributed
+    # gate needs the window queries q19/q36/q37/q52, all timestamped)
+    dtypes = dict(df.dtypes)
+    ts = [c for c, t in dtypes.items() if t.startswith("timestamp")]
+    if ts:
+        df = df.select(
+            *[
+                F.unix_micros(F.col(c).cast("timestamp")).alias(c)
+                if c in ts
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
     # ints, booleans and dates cast to identical strings in Spark and
-    # DuckDB ("5", "true", "2020-01-02"); floats/timestamps do NOT
+    # DuckDB ("5", "true", "2020-01-02"); floats do NOT
     # (exponent/precision/zero-padding differ) and stay refused.
     portable = {"string", "int", "bigint", "smallint", "tinyint", "boolean", "date"}
     bad = [c for c, t in df.dtypes if t not in portable]
@@ -216,6 +232,14 @@ def spark_fingerprint(df, *, canonicalize_complex: bool = False,
 def duckdb_fingerprint(con, oracle_sql: str, float_mode: str = "refuse"):
     desc = con.sql(f"DESCRIBE SELECT * FROM ({oracle_sql}) LIMIT 0").fetchall()
     cols = [d[0] for d in desc]
+    # timestamps -> epoch micros, mirroring spark_fingerprint (exact)
+    stamps = {d[0] for d in desc if d[1].upper().startswith("TIMESTAMP")}
+    if stamps:
+        proj = ", ".join(
+            f"epoch_us({_q(c)}) AS {_q(c)}" if c in stamps else _q(c)
+            for c in cols
+        )
+        oracle_sql = f"SELECT {proj} FROM ({oracle_sql})"
     if float_mode in ("round9", "bits"):
         floats = {d[0] for d in desc if d[1].upper() in ("DOUBLE", "FLOAT", "REAL")}
         if floats:
