@@ -21,6 +21,7 @@ per-partition offsets (SURVEY §4 "custom work actually needed" item 1).
 
 from __future__ import annotations
 
+import time
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -29,6 +30,19 @@ from pyspark.sql import functions as F
 from pride_spark.session import checkpoint_handle, register_pinned, track_cached
 
 _KEY, _PID = "__fdr_key", "__fdr_pid"
+
+#: When a profiler sets this to a list, :func:`_global_two_pass` appends
+#: ``(phase_name, seconds)`` tuples around each of its four boundary
+#: materializations (quantiles, bucket-stats collect, FDR-window minima
+#: collect, q-value checkpoint).  ``None`` (the default) is zero-cost.
+#: Used by ``tools/profile_fdr_slope.py`` to attribute the factor-100
+#: scaling slope (r12 verdict task #4); never set in production paths.
+PHASE_LOG: list | None = None
+
+
+def _phase(name: str, t0: float) -> None:
+    if PHASE_LOG is not None:
+        PHASE_LOG.append((name, round(time.time() - t0, 3)))
 
 
 def add_fdr_qvalue(
@@ -142,7 +156,9 @@ def _global_two_pass(
     keyed = df.withColumn(_KEY, F.coalesce(key.cast("double"), F.lit(float("inf"))))
     qs = [i / n for i in range(1, n)]
     # loose relativeError: boundaries only balance load, never affect values
+    _t0 = time.time()
     bounds = sorted(set(keyed.stat.approxQuantile(_KEY, qs, 0.05))) if qs else []
+    _phase("quantiles", _t0)
     if bounds:
         blit = F.array(*[F.lit(b) for b in bounds])
         bucket = F.size(F.filter(blit, lambda b: b < F.col(_KEY)))
@@ -150,12 +166,14 @@ def _global_two_pass(
         bucket = F.lit(0)
     part = register_pinned(keyed.withColumn(_PID, bucket).persist())
 
+    _t0 = time.time()
     stats = {
         r[_PID]: (r["d"], r["t"])
         for r in part.groupBy(_PID)
         .agg(F.sum(decoy).alias("d"), F.sum(target).alias("t"))
         .collect()
     }
+    _phase("bucket_stats_collect", _t0)
     # Prefix offsets: totals of all better (lower-bucket) rows.
     offsets, cd, ct = [], 0, 0
     for pid in sorted(stats):
@@ -176,9 +194,11 @@ def _global_two_pass(
     )
     with_fdr = register_pinned(with_fdr)
     # Suffix minimum across buckets: min FDR of every worse bucket.
+    _t0 = time.time()
     pid_min = {
         r[_PID]: r["m"] for r in with_fdr.groupBy(_PID).agg(F.min(out_fdr).alias("m")).collect()
     }
+    _phase("fdr_window_minima_collect", _t0)
     suffix, running = [], float("inf")
     for pid in sorted(pid_min, reverse=True):
         suffix.append((pid, running))  # min over strictly-later buckets
@@ -217,7 +237,9 @@ def _global_two_pass(
     # the two boundary collects above (inherent to the two-pass shape), and
     # eager=False would force unpersisting the inputs before the checkpoint
     # materializes — recomputing the whole pipeline cacheless on first use
+    _t0 = time.time()
     out = out.localCheckpoint(eager=True)
+    _phase("qvalue_checkpoint", _t0)
     # checkpoint RDDs live outside the SQL CacheManager: register the
     # handle so release_cached_state can free it without _jsc
     track_cached(checkpoint_handle(out))

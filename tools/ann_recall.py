@@ -159,6 +159,67 @@ def main() -> int:
         f"default-knob recall {d_recall:.3f} fell below the 0.8 guardrail"
     )
 
+    # ------------------------------------------------------------------
+    # PLAIN IVF family (r12 verdict task #6): search_ivf_index has no
+    # rerank knob — scoring is always exact cosine over the probed
+    # buckets — so its only recall lever is n_probe.  Sweep it on the
+    # same corpus/truth, anchor full-probe == exact, and assert the
+    # SAME >= 0.8 defaults guardrail (n_probe="auto") as the PQ family.
+    # ------------------------------------------------------------------
+    idx_plain = os.path.join(
+        tempfile.gettempdir(), f"ann_recall_ivf_plain_c{args.n_centroids}"
+    )
+    shutil.rmtree(idx_plain, ignore_errors=True)
+    t0 = time.time()
+    ann_index.build_ivf_index(
+        emb, idx_plain, "vec_id", "embedding", n_centroids=args.n_centroids,
+    )
+    t_build_plain = round(time.time() - t0, 2)
+
+    def _plain_point(np_label, np_val):
+        best = None
+        got_sets: dict[int, set] = {}
+        for _ in range(max(args.runs, 1)):
+            t0 = time.time()
+            got = ann_index.search_ivf_index(
+                spark, idx_plain, probe, "vec_id", "embedding",
+                k=args.k, n_probe=np_val,
+            ).collect()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+            got_sets = {}
+            for r in got:
+                got_sets.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        recall = sum(
+            len(got_sets.get(q, set()) & ids) / len(ids)
+            for q, ids in truth.items()
+        ) / max(len(truth), 1)
+        row = {
+            "n_probe": np_label,
+            "recall_at_k": round(recall, 4),
+            "sec": round(best, 2),
+            "exact_match": all(
+                got_sets.get(q, set()) == ids for q, ids in truth.items()
+            ),
+        }
+        print(f"  [plain] n_probe={np_label!s:>15} "
+              f"recall@{args.k}={recall:.4f} {best:.2f}s", flush=True)
+        return row
+
+    plain_rows = [_plain_point(np_, np_) for np_ in n_probes]
+    plain_rows.append(_plain_point("auto(ceil sqrt)", "auto"))
+
+    full = [r for r in plain_rows if r["n_probe"] == args.n_centroids]
+    assert full and full[0]["exact_match"], (
+        "plain-IVF full probe must reproduce exact top-k (scoring is "
+        f"exact cosine; only coverage can differ) — got {full}"
+    )
+    d_plain = plain_rows[-1]["recall_at_k"]
+    assert d_plain >= 0.8, (
+        f"plain-IVF default-knob recall {d_plain:.3f} fell below the "
+        "0.8 guardrail"
+    )
+
     out = {
         "sf_dir": args.sf_dir,
         "corpus_rows": n_corpus,
@@ -169,7 +230,9 @@ def main() -> int:
         "pq": {"m": args.pq_m, "k": args.pq_k},
         "sec_exact_baseline": t_exact,
         "sec_index_build": t_build,
+        "sec_index_build_plain": t_build_plain,
         "sweep": rows,
+        "sweep_ivf_plain": plain_rows,
     }
     with open(f"{args.out}.json", "w") as fh:
         json.dump(out, fh, indent=2)
@@ -189,6 +252,24 @@ def main() -> int:
         md.append(
             f"| {r['n_probe']} | {r['rerank']} | {r['recall_at_k']} "
             f"| {r['sec']} | {'YES' if r['exact_match'] else ''} |"
+        )
+    md += [
+        "",
+        "## Plain IVF (no PQ) — `search_ivf_index`",
+        "",
+        f"Same corpus/truth; {args.n_centroids} centroids, no codebooks "
+        f"(built in {t_build_plain}s).  Scoring is always exact cosine over "
+        "the probed buckets, so n_probe is the only recall lever — the "
+        "defaults row (n_probe=auto) carries the same ≥0.8 guardrail, "
+        "asserted on every run.",
+        "",
+        "| n_probe | recall@%d | sec | exact |" % args.k,
+        "|---:|---:|---:|:---|",
+    ]
+    for r in plain_rows:
+        md.append(
+            f"| {r['n_probe']} | {r['recall_at_k']} | {r['sec']} "
+            f"| {'YES' if r['exact_match'] else ''} |"
         )
     md += [
         "",
