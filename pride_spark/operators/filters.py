@@ -87,6 +87,33 @@ def score_denoise(scores: Column) -> Column:
     )
 
 
+def score_denoise_flat(
+    df: DataFrame, key_cols: list[str], scores_col: str = "scores"
+) -> DataFrame:
+    """F16 for consumers that want one ROW per surviving score instead of
+    the filtered in-row array: explode first, then filter the exploded
+    struct with plain (whole-stage-codegen) predicates.
+
+    Same rows as ``explode(score_denoise(scores))`` — the array ``filter``
+    HOF runs interpreted AND Catalyst re-evaluates it inside the
+    ``size(...) > 0`` pre-filter a plain explode infers, so the flat shape
+    is both codegen-able and single-evaluation.  ``explode_outer`` keeps
+    empty/NULL score arrays as one NULL row, which the value-not-null
+    predicate (part of the denoise rule itself) then drops — identical
+    output, no inferred pre-filter.  Output: ``(*key_cols, s)`` with ``s``
+    the surviving score struct.
+    """
+    excluded = ("MS:1002355", "MS:1002354")
+    s = F.col("s")
+    v = s["value"]
+    return df.select(*key_cols, F.explode_outer(scores_col).alias("s")).filter(
+        v.isNotNull()
+        & ~F.isnan(v.cast("double"))
+        & (v.cast("double") != 0.0)
+        & ~s["accession"].isin(*excluded)
+    )
+
+
 def spectrum_validity_filter(
     df: DataFrame,
     masses: str = "masses",

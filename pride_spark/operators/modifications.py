@@ -76,7 +76,15 @@ def regroup_modifications_flat(
     shuffle replaces the explode's implicit one downstream).
     """
     flat = (
-        df.select(*key_cols, F.posexplode(mods_col).alias("__ord", "m"))
+        # posexplode_OUTER, not posexplode: plain explode makes Catalyst
+        # insert a `size(mods) > 0` pre-filter that re-evaluates the whole
+        # mods-array construction a second time per row (the same 2×
+        # double-eval the in-row variant's docstring warns about); the
+        # outer form generates one (NULL, NULL) row for empty/NULL arrays
+        # instead, and the accession-not-null filter below — needed for
+        # reference parity anyway — drops exactly those rows, so the
+        # output is identical (oracle-proven on q39)
+        df.select(*key_cols, F.posexplode_outer(mods_col).alias("__ord", "m"))
         .select(*key_cols, "__ord", "m.position", "m.accession", "m.name")
         # reference parity: accession-less PTMs are skipped (same rule the
         # in-row variant applies to its input array)

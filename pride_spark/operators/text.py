@@ -62,20 +62,45 @@ def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
 
 
 def detect_language(text: Column, profiles: dict[str, list[str]] | None = None) -> Column:
-    """Heuristic language ID: argmax of per-language stopword hit ratio.
+    """Heuristic language ID: argmax of per-language stopword hit count.
 
     Deterministic tie-break: language key order.  Returns 'und' when no
     profile scores > 0.
+
+    Perf note (r13, measured on the q21 plan): the obvious formulation —
+    per-language ``size(filter(toks, …))`` folded through a chain of
+    ``F.when`` — duplicates *Column subtrees at construction time*: each
+    ``when`` copies every previous round's ``hits`` tree, so the final
+    expression held ~80 copies of the tokenizer (split+trim+lower), all
+    interpreted (HOFs are CodegenFallback, so codegen CSE never sees
+    them).  This version tokenizes ONCE and keeps every expensive
+    subexpression single-referenced: one ``aggregate`` pass over the
+    tokens accumulates all per-language counts in a vector, and the
+    argmax is a second tiny fold over the zipped (lang, count) pairs —
+    identical result (strictly-greater replacement in sorted-language
+    order reproduces the original first-wins tie-break; NULL text folds
+    to NULL and coalesces to 'und', matching size(NULL-array) semantics).
     """
     profiles = profiles or LANG_PROFILES
+    langs = sorted(profiles)
     toks = tokens(F.lower(text))
-    best_lang, best_score = F.lit("und"), F.lit(0)
-    for lang in sorted(profiles):
-        hits = F.size(F.filter(toks, _in_set(profiles[lang])))
-        is_better = hits > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, hits).otherwise(best_score)
-    return best_lang
+    zero = F.array(*[F.lit(0) for _ in langs])
+
+    def count_step(acc: Column, t: Column) -> Column:
+        votes = F.array(*[t.isin(*profiles[lang]).cast("int") for lang in langs])
+        return F.zip_with(acc, votes, lambda a, b: a + b)
+
+    counts = F.aggregate(toks, zero, count_step)
+    tagged = F.zip_with(
+        F.array(*[F.lit(lang) for lang in langs]),
+        counts,
+        lambda lang, c: F.struct(c.alias("s"), lang.alias("l")),
+    )
+    init = F.struct(F.lit(0).alias("s"), F.lit("und").alias("l"))
+    best = F.aggregate(
+        tagged, init, lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc)
+    )
+    return F.coalesce(best["l"], F.lit("und"))
 
 
 def quality_score(text: Column) -> Column:

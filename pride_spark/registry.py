@@ -1760,7 +1760,7 @@ def q40_delta_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_score_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pride_spark.operators.filters import score_denoise
+    from pride_spark.operators.filters import score_denoise_flat
 
     li = _t(spark, sf_dir, "lineitem")
     scores = F.array(
@@ -1768,11 +1768,15 @@ def q41_score_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit("MS:1001153").alias("accession"), F.col("l_quantity").cast("string").alias("value")),
         F.struct(F.lit("MS:1001155").alias("accession"), F.col("l_tax").cast("string").alias("value")),
     )
-    kept = li.select(
+    raw = li.select(
         F.concat_ws("-", "l_orderkey", "l_linenumber").alias("psmId"),
-        score_denoise(scores).alias("kept"),
+        scores.alias("scores"),
     )
-    return kept.select("psmId", F.explode("kept").alias("s")).select(
+    # flat variant (r13): the query's output IS the exploded relation, so
+    # explode-then-filter keeps the whole plan in codegen; the in-row
+    # score_denoise HOF ran interpreted AND was evaluated twice (explode's
+    # inferred size()>0 pre-filter) — same rows, oracle-proven
+    return score_denoise_flat(raw, ["psmId"], "scores").select(
         "psmId", "s.accession", "s.value"
     )
 

@@ -140,3 +140,32 @@ def test_assay_validity_gate(spark):
     few = spark.createDataFrame([(1, True), (2, False)], "id long, isDecoy boolean")
     ok3, _ = assay_validity_gate(few, FilterConfig(min_psms=1000))
     assert not ok3
+
+
+def test_score_denoise_flat_matches_inrow(spark):
+    """The r13 flat variant must emit exactly explode(score_denoise(arr))
+    — incl. empty arrays, NULL arrays, NULL/NaN/zero values and the
+    excluded-CV set (the explode_outer + value-not-null composition)."""
+    from pride_spark.operators.filters import score_denoise, score_denoise_flat
+
+    sc = "array<struct<accession:string,value:string>>"
+    rows = [
+        ("a", [("MS:1001153", "1.5"), ("MS:1002355", "2.0")]),  # one excluded
+        ("b", [("MS:1001153", "0.0"), ("MS:1001155", None)]),   # zero + null
+        ("c", [("MS:1001153", "NaN"), ("MS:1001155", "3.25")]),  # NaN dropped
+        ("d", []),                                               # empty array
+        ("e", None),                                             # NULL array
+    ]
+    df = spark.createDataFrame(rows, f"psmId string, scores {sc}")
+    want = sorted(
+        df.select("psmId", F.explode(score_denoise(F.col("scores"))).alias("s"))
+        .select("psmId", "s.accession", "s.value")
+        .collect()
+    )
+    got = sorted(
+        score_denoise_flat(df, ["psmId"], "scores")
+        .select("psmId", "s.accession", "s.value")
+        .collect()
+    )
+    assert got == want
+    assert [r["psmId"] for r in got] == ["a", "c"]
