@@ -1669,12 +1669,13 @@ def q39_mod_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").alias("psmId"),
         mods.alias("modifications"),
     )
-    # flat variant: the query's output IS the flattened relation, so the
-    # codegen explode→hash-agg path beats building the in-row array with
-    # interpreted HOFs and exploding it (6.0s → ~1s at sf0.1); the in-row
-    # ``regroup_modifications`` stays the T1-record path
-    # (tests/test_modifications_ws.py checks both agree)
-    out = regroup_modifications_flat(raw, ["psmId"])
+    # flat variant with row_unique_keys (r13): psmId embeds the lineitem
+    # primary key (orderkey, linenumber), so every key group's mods live
+    # in one row — the regroup runs in-row and the groupBy exchange +
+    # ObjectHashAggregate vanish (plans/r13/q39_*_after.txt: 1 Exchange →
+    # 0).  Output identical (oracle-proven; operator equivalence asserted
+    # in tests/test_modifications_ws.py).
+    out = regroup_modifications_flat(raw, ["psmId"], row_unique_keys=True)
     # stringified for the driver's pandas canonicalizer (no ndarray cells)
     return out.withColumn(
         "positions", F.array_join(F.col("positions").cast("array<string>"), ",")

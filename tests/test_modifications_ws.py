@@ -63,6 +63,13 @@ def test_regroup_flat_agrees_with_in_row(spark):
     flat = regroup_modifications_flat(df, ["psmId"]).collect()
     key = lambda r: (r["psmId"], r["accession"])
     assert sorted(map(tuple, in_row)) == sorted(map(tuple, flat))
+    # r13: the zero-shuffle row_unique_keys path must agree exactly when
+    # the caller's guarantee holds (psmId is unique per row in _psms) —
+    # incl. empty mods arrays and null-accession entries
+    inrow_flat = regroup_modifications_flat(
+        df, ["psmId"], row_unique_keys=True
+    ).collect()
+    assert sorted(map(tuple, inrow_flat)) == sorted(map(tuple, flat))
 
 
 def test_protein_coordinate_mapping(spark):
