@@ -109,14 +109,22 @@ def shingle_rows(
     )
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.col("w")] + [F.lead("w", k).over(w) for k in range(1, n)]
+    # keep-row predicate, derived from the LAST lead instead of a second
+    # (count-over-id) window pass (r13): a full n-gram exists iff
+    # lead(n-1) is non-null (pos ≤ nw-n); the whole-document singleton for
+    # short docs (nw < n) is exactly the pos==0 row, where that lead is
+    # null.  Same rows as the old ``pos <= greatest(nw-n, 0)`` filter —
+    # for nw ≥ n the two predicates coincide (split elements are never
+    # null, so lead(n-1) null ⇔ pos > nw-n), for nw < n both keep only
+    # pos==0 — with one Window node instead of two.
     sh = (
         words.select(
             "id",
             "pos",
             F.concat_ws(" ", *leads).alias("sh"),
-            F.count("*").over(Window.partitionBy("id")).alias("__nw"),
+            leads[-1].alias("__last"),
         )
-        .filter(F.col("pos") <= F.greatest(F.col("__nw") - n, F.lit(0)))
+        .filter(F.col("__last").isNotNull() | (F.col("pos") == 0))
         .select("id", "sh")
     )
     return sh.distinct() if distinct else sh

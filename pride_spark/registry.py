@@ -1420,11 +1420,16 @@ def q33_mgf_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     # provably identical to the oracle's %10.3f (agreement asserted in
     # test_sources_sinks.py), so the oracle is unchanged; the fast
     # "decimal" opt-in remains available on write_mgf.
+    # n_peaks=2 (r13): this fixture builds exactly-2-wide peak arrays, so
+    # the per-peak format_string unrolls to whole-stage codegen instead of
+    # an interpreted zip_with lambda — byte-identical records (mgf_record
+    # docstring; oracle-proven).
     return s.select(
         "usi",
         mgf_record(
             F.col("usi"), F.col("peptidoform"), F.col("mz"), F.col("z"),
             F.col("masses"), F.col("intensities"), peak_format="exact",
+            n_peaks=2,
         ).alias("mgf"),
     )
 

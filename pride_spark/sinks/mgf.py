@@ -30,8 +30,20 @@ def mgf_record(
     masses: Column,
     intensities: Column,
     peak_format: str = "exact",
+    n_peaks: int | None = None,
 ) -> Column:
     """One complete BEGIN IONS…END IONS block as a string column.
+
+    ``n_peaks`` (r13 optimization): when the caller KNOWS every record has
+    exactly ``n_peaks`` peaks (a fixed-width fixture or a pre-validated
+    export), the per-peak formatting is unrolled into ``n_peaks`` plain
+    ``format_string`` columns joined by ``concat_ws`` — the SAME
+    ``%10.3f``/``%.3f`` calls on the same elements (byte-identical
+    output; ``concat_ws`` skips NULL entries exactly like ``array_join``
+    does) but whole-stage codegen instead of an interpreted
+    ``zip_with`` lambda (higher-order functions are CodegenFallback).
+    Contract: both arrays must have ≥ ``n_peaks`` elements (indexing past
+    the end raises under ANSI).  Leave ``None`` for ragged spectra.
 
     ``peak_format`` picks the peak-line formatter:
 
@@ -71,13 +83,22 @@ def mgf_record(
     # halves the per-element expression count inside the interpreted HOF
     # lambda — measured 3.2s → 2.5s on 6M 2-peak records at sf0.1.
     if peak_format == "exact":
-        peaks = F.array_join(
-            F.zip_with(
-                masses, intensities,
-                lambda m, i: F.format_string("%10.3f\t%.3f", m, i),
-            ),
-            "\n",
-        )
+        if n_peaks is not None:
+            peaks = F.concat_ws(
+                "\n",
+                *[
+                    F.format_string("%10.3f\t%.3f", masses[j], intensities[j])
+                    for j in range(n_peaks)
+                ],
+            )
+        else:
+            peaks = F.array_join(
+                F.zip_with(
+                    masses, intensities,
+                    lambda m, i: F.format_string("%10.3f\t%.3f", m, i),
+                ),
+                "\n",
+            )
     elif peak_format == "decimal":
 
         def _pad10(s: Column) -> Column:

@@ -816,3 +816,42 @@ def test_token_count_empty_text_is_zero(spark):
         [("", ), ("   ",), ("one two",)], "text string"
     ).select(T.token_count(F.col("text")).alias("n"))
     assert [r["n"] for r in df.collect()] == [0, 0, 2]
+
+
+def test_shingle_rows_matches_word_shingles(spark):
+    """r13: shingle_rows' keep-row predicate moved from a second
+    count-over-id window to ``lead(n-1) IS NOT NULL OR pos = 0`` — must
+    emit exactly the word_shingles multiset for every doc shape: empty
+    text, one word, exactly n-1 / n / n+1 words, long docs, and NULL
+    text (zero rows)."""
+    docs = [
+        (1, ""),
+        (2, "solo"),
+        (3, "two words"),
+        (4, "three little words"),
+        (5, "now four words here"),
+        (6, " ".join(f"w{i}" for i in range(30))),
+        (7, None),
+        (8, "   padded   whitespace   doc   "),
+        (9, "dup dup dup dup"),
+    ]
+    df = spark.createDataFrame(docs, "id long, t string")
+    for n in (1, 2, 3, 4):
+        got = sorted(
+            (r["id"], r["sh"])
+            for r in dedup.shingle_rows(df, "t", "id", n).collect()
+        )
+        want = sorted(
+            (r["id"], sh)
+            for r in df.filter(F.col("t").isNotNull())
+            .select("id", dedup.word_shingles(F.col("t"), n).alias("shs"))
+            .collect()
+            for sh in r["shs"]
+        )
+        assert got == want, f"n={n}"
+        # distinct=True variant dedups per (id, sh)
+        got_d = sorted(
+            (r["id"], r["sh"])
+            for r in dedup.shingle_rows(df, "t", "id", n, distinct=True).collect()
+        )
+        assert got_d == sorted(set(want)), f"n={n} distinct"

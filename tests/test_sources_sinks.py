@@ -327,6 +327,24 @@ def test_mgf_peak_format_modes(spark):
     with _pytest.raises(ValueError):
         rec("fast")
 
+    # r13: the static-width unroll (n_peaks) must be byte-identical to the
+    # generic zip_with fold — same format_string calls, codegen instead of
+    # an interpreted HOF.  2-wide arrays cover q33's exact shape.
+    two = spark.createDataFrame(
+        [(m, i, m * 2 + 0.125, i / 3.0) for m, i in vals[:2000]],
+        "m1 double, i1 double, m2 double, i2 double",
+    ).select(
+        F.array("m1", "m2").alias("masses"), F.array("i1", "i2").alias("intensities")
+    )
+
+    def rec2(**kw):
+        return mgf_record(
+            F.lit("u"), F.lit("P/1"), F.lit(1.0), F.lit(2),
+            F.col("masses"), F.col("intensities"), **kw,
+        )
+
+    assert two.filter(rec2(n_peaks=2) != rec2()).count() == 0
+
 
 def test_reference_layout_export(spark, tmp_path):
     """K6/K7 — export_reference_layout lands the exact BackupUtil.java:49-79
