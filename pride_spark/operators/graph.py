@@ -28,8 +28,9 @@ Scale notes:
   everyone else's cache (observed: q47 24s idle vs 131s at the tail of
   a stress sequence).  Only ``base`` and the final round stay pinned —
   they feed the returned plan;
-- convergence is a (count, hash-sum) scalar pair per round — row data
-  never reaches the driver.
+- convergence is a direct star-forest test (one grouped scalar pass
+  per round, r13) — row data never reaches the driver, and no
+  confirmation round is needed once the forest forms.
 """
 
 from __future__ import annotations
@@ -270,60 +271,134 @@ def connected_components(
         base = raw.distinct().localCheckpoint(eager=False)  # feeds every round
     track_cached(_checkpoint_rdd(base))  # pinned past return: session sweep frees it
     auto = skew_safe == "auto"
-    node_union = base.select(F.col("u").alias("node")).union(
-        base.select(F.col("v").alias("node"))
-    )
-    if auto:
-        # The input hub probe does double duty: the per-node degree
-        # aggregate IS the node table (groupBy ≈ the distinct the final
-        # join needs anyway), checkpointed so the final join reuses it —
-        # net extra cost is one scalar max over the checkpointed table.
-        nodes_deg = node_union.groupBy("node").agg(
-            F.count(F.lit(1)).alias("__deg")
-        ).localCheckpoint(eager=False)
-        track_cached(_checkpoint_rdd(nodes_deg))
-        maxd0 = nodes_deg.agg(F.max("__deg")).first()[0]  # materializes base + nodes_deg
-        mode = (maxd0 or 0) > skew_threshold
-        nodes = nodes_deg.select("node")
-    else:
-        nodes = node_union.distinct()
-        mode = bool(skew_safe)
-
     cur = base.filter(F.col("u") != F.col("v"))
     prev_ckpt = None
-    # Base-signature early exit (round 6): probe the INPUT edge list's
-    # convergence signature before the loop.  When the pre-contraction
-    # already produced a globally-deduped star forest (q47's chain edges
-    # are wholly co-located per customer, so the local pass IS the
-    # answer), round 1 is a no-op and its signature equals this one —
-    # the loop breaks after ONE round instead of paying a second
-    # confirmation round (3 shuffles of the full edge list).  Cost: one
-    # scalar aggregate over the checkpointed base — which also
-    # materializes the checkpoint in a job of its own, so round 1 starts
-    # from stored rows either way.  On graphs that DO need contraction
-    # the signatures differ and the loop proceeds exactly as before.
-    # The signature hash is a decimal SUM of per-row xxhash64 (not a
-    # bit_xor): xor cancels duplicate pairs, so a raw base containing
-    # dups could in principle match a distinct round-1 multiset on
-    # count+xor and break prematurely (ADVICE r6).  Sum is
-    # multiset-sensitive — duplicates add their multiplicity — which
-    # closes that hole WITHOUT the alternative fix's extra dedup
-    # shuffle (cur.distinct() cost q47/q48 +0.3-1.4 s at sf0.1: the
-    # probe is on the hot path of every CC call).  decimal(28,0)
-    # operands sum into decimal(38,0): overflow-free past 10^19 edges
-    # under ANSI.  Same aggregate on every side, so all comparisons
-    # stay like-for-like.
-    sig_h = F.sum(F.xxhash64("u", "v").cast("decimal(28,0)")).alias("h")
-    row0 = cur.agg(F.count(F.lit(1)).alias("n"), sig_h).first()
-    prev_sig = (row0["n"], row0["h"])
+
+    # Star-forest convergence test (r13 optimization round): an edge
+    # list whose edges all point strictly DOWN (v < u) is a star forest
+    # with min-centers ⟺ (1) every ``u`` appears EXACTLY once and
+    # (2) no ``u`` value appears as a ``v`` — then every u points at
+    # exactly one parent and every parent is a root (= its component's
+    # minimum, by the orientation condition).  Such a list is provably a
+    # fixpoint (large-star and small-star are identities on a
+    # min-centered star forest), so the loop breaks ONE FULL ROUND
+    # EARLIER than the previous signature-equality test, which had to
+    # run round k+1 to observe that round k changed nothing — the
+    # confirmation round (3 shuffles of the full edge list) is gone from
+    # every convergent CC call.  The test is EXACT — explode endpoints
+    # with a side marker, group by node, then fold three scalars:
+    #     max(per-node u-occurrences) <= 1        (condition 1)
+    #     no node has both a u- and a v-occurrence (condition 2)
+    #     max(v >= u) is false                    (orientation)
+    # Exactness matters: a hashed count-distinct variant would carry a
+    # BIRTHDAY collision risk (n²/2⁶⁴ over node pairs — 5% at 10⁹
+    # nodes) that could deadlock convergence; the groupBy shuffles only
+    # map-side-combined (node, flags) pairs, bounded by distinct nodes
+    # per partition.  The aggregate is also THE action that materializes
+    # each round's lazy checkpoint — still one driver job per round.
+    def _forest_row(df: DataFrame, probing: bool):
+        extra = ["__deg"] if probing else []
+        ex = df.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("x"), F.lit(0).alias("s")),
+                    F.struct(F.col("v").alias("x"), F.lit(1).alias("s")),
+                )
+            ).alias("e"),
+            # round outputs point down by construction (small-star emits
+            # (x, min)); the orientation flag matters for the BASE probe,
+            # whose pre-contracted edges are min-oriented per partition
+            # but could in principle arrive otherwise.
+            (F.col("v") >= F.col("u")).alias("__up"),
+            *extra,
+        ).select("e.x", "e.s", "__up", *extra)
+        per_x = ex.groupBy("x").agg(
+            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("cu"),
+            F.max(F.col("s") == 1).alias("has_v"),
+            F.max("__up").alias("up"),
+            *([F.max("__deg").alias("maxd")] if probing else []),
+        )
+        aggs = [
+            F.max("cu").alias("max_cu"),
+            F.max(F.col("has_v") & (F.col("cu") > 0)).alias("overlap"),
+            F.max("up").alias("up"),
+        ]
+        if probing:
+            aggs.append(F.max("maxd").alias("maxd"))
+        return per_x.agg(*aggs).first()
+
+    def _is_forest(row) -> bool:
+        # Nones arise only on an empty edge list: trivially a forest.
+        return (
+            not row["up"]
+            and (row["max_cu"] or 0) <= 1
+            and not row["overlap"]
+        )
+
+    if auto:
+        # The input hub probe does TRIPLE duty (r13): the per-node
+        # aggregate IS the node table (groupBy ≈ the distinct the final
+        # join needs anyway, checkpointed so the final join reuses it),
+        # its max degree is the skew probe, AND — when the base is
+        # pre-contracted — the same grouped pass carries the star-forest
+        # flags, so the base early-exit costs ZERO extra jobs.
+        # Self-loop edges (keep_singletons emits (n, n)) count toward
+        # __deg and the node table but are EXCLUDED from the forest
+        # flags via the ``real`` marker: the loop never sees them
+        # (``cur`` filters u != v), so they must not veto convergence.
+        ex0 = base.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("node"), F.lit(0).alias("s")),
+                    F.struct(F.col("v").alias("node"), F.lit(1).alias("s")),
+                )
+            ).alias("e"),
+            (F.col("u") != F.col("v")).alias("real"),
+            (F.col("v") >= F.col("u")).alias("__up"),
+        ).select("e.node", "e.s", "real", "__up")
+        nodes_deg = ex0.groupBy("node").agg(
+            F.count(F.lit(1)).alias("__deg"),
+            F.sum(
+                F.when((F.col("s") == 0) & F.col("real"), 1).otherwise(0)
+            ).alias("cu"),
+            F.max((F.col("s") == 1) & F.col("real")).alias("has_v"),
+            F.max(F.col("real") & F.col("__up")).alias("up"),
+        ).localCheckpoint(eager=False)
+        track_cached(_checkpoint_rdd(nodes_deg))
+        row0 = nodes_deg.agg(  # materializes base + nodes_deg
+            F.max("__deg").alias("maxd"),
+            F.max("cu").alias("max_cu"),
+            F.max(F.col("has_v") & (F.col("cu") > 0)).alias("overlap"),
+            F.max("up").alias("up"),
+        ).first()
+        mode = (row0["maxd"] or 0) > skew_threshold
+        nodes = nodes_deg.select("node")
+        converged = pre_contract and _is_forest(row0)
+    else:
+        nodes = base.select(F.col("u").alias("node")).union(
+            base.select(F.col("v").alias("node"))
+        ).distinct()
+        mode = bool(skew_safe)
+        converged = pre_contract and _is_forest(_forest_row(cur, False))
+
     # Checkpoint hygiene tracks each round's checkpoint RDD by DIRECT
     # handle (the LogicalRDD's rdd — see _checkpoint_rdd), so concurrent
     # driver threads persisting their own RDDs are never touched.  Only
     # the immediately superseded round is freed; ``base`` and the final
     # round (both feeding the returned plan) stay pinned.
     prev_desc = spark.sparkContext.getLocalProperty("spark.job.description")
-    converged = False
+    # ``converged`` above probed only the PRE-CONTRACTED base: the local
+    # union-find emits min-oriented spanning stars, so a base whose
+    # partitions covered whole components (q47: chain edges co-located
+    # per customer) is already the answer and the loop runs ZERO rounds
+    # (previously one no-op round + a confirmation).  A distinct-path
+    # base is raw input orientation (e.g. q48's key_a < key_b pair
+    # lists point UP), so the probe is skipped there; round 1's
+    # aggregate then materializes the base checkpoint in the same job
+    # as its own.
     for i in range(max_iterations):
+        if converged:
+            break
         # label THIS round's jobs (the checkpoint-materializing aggregate
         # below) — setting it at loop end labeled each round's jobs with
         # the PREVIOUS round's number
@@ -335,20 +410,12 @@ def connected_components(
         cur = _small_star(
             _large_star(sym, mode, probing), mode, probing
         ).localCheckpoint(eager=False)
-        # Scalar-only convergence signature — ONE single-phase global
-        # aggregate either way, and THE action that materializes this
-        # round's lazy checkpoint (one driver job per round total).
-        # While auto mode is probing, the rows carry ``__deg``
-        # (large-star partition sizes, computed for free inside the
-        # window pass that runs anyway), so max(__deg) probes this
-        # round's hub size with zero extra shuffles or jobs.
-        aggs = [
-            F.count(F.lit(1)).alias("n"),
-            sig_h,
-        ]
-        if probing:
-            aggs.append(F.max("__deg").alias("maxd"))
-        row = cur.agg(*aggs).first()
+        # Star-forest test — one job that also materializes this
+        # round's lazy checkpoint.  While auto mode is probing, the
+        # rows carry ``__deg`` (large-star partition sizes, computed for
+        # free inside the window pass that runs anyway), so max(__deg)
+        # probes this round's hub size with zero extra jobs.
+        row = _forest_row(cur, probing)
         # the previous round's checkpoint fed this one and is now dead;
         # free it instead of waiting for a driver GC.  MUST happen after
         # the aggregate above: cur's checkpoint data exists only from
@@ -362,11 +429,7 @@ def connected_components(
         track_cached(prev_ckpt)
         if probing and (row["maxd"] or 0) > skew_threshold:
             mode = True
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
-            converged = True
-            break
-        prev_sig = sig
+        converged = _is_forest(row)
     # restore the caller's job description — leaving ours set would
     # mislabel every later job on this driver thread in the Spark UI
     spark.sparkContext.setJobDescription(prev_desc)

@@ -448,3 +448,38 @@ def test_cluster_spectra_multi_empty_methods_raises(spark):
     )
     with _pytest.raises(ValueError, match="method"):
         cluster_spectra_multi(df, methods=())
+
+
+def test_connected_components_up_pointing_star_base(spark):
+    """r13 star-forest convergence test soundness: a base whose edges all
+    point UP (leaf < center, e.g. (1,5),(2,5)) satisfies the two set
+    conditions (u-unique, u∩v=∅) but is NOT a valid fixpoint — labeling
+    it directly would give node 2 the label 2 instead of 1.  The
+    orientation condition must force a contraction round.  Exercised on
+    every path combination: pre-contraction on/off × auto/window/groupBy
+    star steps."""
+    edges = spark.createDataFrame([(1, 5), (2, 5)], "src long, dst long")
+    want = {1: 1, 2: 1, 5: 1}
+    for pre in (True, False):
+        for mode in ("auto", False, True):
+            out = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    edges, skew_safe=mode, pre_contract=pre
+                ).collect()
+            }
+            assert out == want, (pre, mode, out)
+
+
+def test_connected_components_zero_round_exit_correct(spark):
+    """r13: a pre-contracted base that is already a min-oriented star
+    forest exits with ZERO contraction rounds — labels must still be
+    complete and correct (incl. self-loop singletons and an empty list)."""
+    # one partition => the local union-find IS the global answer
+    edges = spark.createDataFrame(
+        [(5, 1), (3, 1), (9, 7), (20, 20)], "src long, dst long"
+    ).coalesce(1)
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 3: 1, 5: 1, 7: 7, 9: 7, 20: 20}
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
