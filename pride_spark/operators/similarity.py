@@ -76,6 +76,32 @@ def pair_cosine(q_vec: Column, nbr_vec: Column, q_norm: Column, nbr_norm: Column
     return F.when(denom > 0, dot(q_vec, nbr_vec) / denom).otherwise(F.lit(0.0))
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the input has FEWER partitions (r13 optimization round).
+
+    The candidate-scoring stages of the ANN family are CPU-bound per
+    pair (a ``dim``-wide double fold, or ``m`` LUT lookups), and Spark
+    fuses them into the candidate side's scan stage when the probe side
+    is broadcast — so a small or single-row-group parquet input pins the
+    WHOLE scoring pass to its scan partition count (measured at sf0.1:
+    the embeddings table is one file, one row group → one task does all
+    500k pair cosines; ``spark.sql.files.minPartitionNum`` cannot help
+    because a row group is the parquet split atom).  This is guide §2.5
+    "input skew: repartition immediately after the read", guarded to be
+    a PLAN NO-OP whenever the input is already at least default-parallel
+    — at production scale the scan has thousands of partitions and the
+    guard never fires, so no shuffle is added where data is big.  The
+    keyless repartition round-robins (deterministic under retry via
+    Spark's sort-before-repartition default)."""
+    try:
+        parts = df.rdd.getNumPartitions()
+        want = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # planning quirk — never fail the query for a hint
+        return df
+    return df.repartition(want) if parts < want else df
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
@@ -91,7 +117,7 @@ def brute_force_topk(
     against.  Norms are hoisted per row.  Output: (query_id, neighbor_id,
     cosine, rank).
     """
-    base = df.select(
+    base = _widen(df).select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),
         l2_norm(F.col(vec_col)).alias("__nn"),
@@ -101,7 +127,13 @@ def brute_force_topk(
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    pairs = q.join(base, F.col("query_id") != F.col("nbr_id"))
+    # Build the nested loop on the PROBE side explicitly (r13): the
+    # docstring's contract ("the probe side is broadcast when small")
+    # was left to size estimates, and the planner was observed to build
+    # on the CORPUS side instead — which at scale broadcasts the big
+    # relation and locally pins the per-pair cosine to the probe scan's
+    # partition count rather than the widened corpus side's.
+    pairs = base.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id"))
     scored = pairs.select(
         "query_id",
         "nbr_id",
@@ -513,7 +545,7 @@ def ivf_topk(
         if assign_replicas <= 1
         else F.explode(F.transform(F.slice(order, 1, assign_replicas), lambda s: s["cid"]))
     )
-    assigned = df.select(
+    assigned = _widen(df).select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),
         l2_norm(F.col(vec_col)).alias("__nn"),
@@ -528,7 +560,17 @@ def ivf_topk(
             F.transform(F.slice(order, 1, n_probe), lambda s: s["cid"])
         ).alias("centroid_id"),
     )
-    pairs = probed.join(assigned, "centroid_id").filter(F.col("query_id") != F.col("nbr_id"))
+    # Broadcast the PROBED side explicitly (r13): it is the bounded query
+    # batch × n_probe — small by contract — while ``assigned`` is the
+    # corpus.  Left to size estimates, the planner was observed to
+    # broadcast the CORPUS side (the probe's explode inflates its
+    # estimate), which both inverts the scale story (a 100 TB corpus
+    # must stream, never build) and pins the per-pair cosine stage to
+    # the probe scan's partition count instead of the widened corpus
+    # side's.
+    pairs = assigned.join(F.broadcast(probed), "centroid_id").filter(
+        F.col("query_id") != F.col("nbr_id")
+    )
     scored = pairs.select(
         "query_id",
         "nbr_id",
@@ -806,6 +848,7 @@ def pq_topk(
             F.col(id_col).alias("nbr_id"),
             pq_encode_expr(vec_col, codebooks).alias("codes"),
         )
+    codes_df = _widen(codes_df)
     q = probe if probe is not None else df
     probed = q.select(
         F.col(id_col).alias("query_id"),
