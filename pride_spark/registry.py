@@ -36,6 +36,7 @@ from pride_spark.functions.spectrum_id import normalize_spectrum_id
 from pride_spark.operators import cluster as cluster_ops
 from pride_spark.operators import dedup, inference, similarity, text
 from pride_spark.operators.fdr import add_fdr_qvalue, repair_zero_qvalues, top_n_per_spectrum
+from pride_spark.operators.similarity import _widen
 from pride_spark.sinks.mgf import mgf_record
 from pride_spark.operators.joins import contains_first_match, positional_zip_join, semi_join_members
 from pride_spark.operators.rollup import distinguishable_categories, protein_rollup
@@ -94,6 +95,24 @@ def oracle_sql() -> dict[str, str]:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + guarded round-robin widen (r13) — for queries whose heavy
+    per-row work (formatting, regex, in-row regroups, per-row hashing)
+    would otherwise FUSE into the scan stage: the bench corpus tables
+    are single-file, single-row-group parquet, and a row group is the
+    parquet split atom, so such a stage runs on ONE core no matter the
+    session's parallelism.  ``_widen`` is guide §2.5's "repartition
+    immediately after the read", a plan no-op whenever the scan already
+    has >= default-parallelism partitions (any real deployment).
+    Deliberately NOT applied to every query: a blanket widen in ``_t``
+    was measured (full battery at sf0.1) to cost +0.1-1.3 s per query
+    on the shuffle-light rows — the extra exchange outweighs
+    parallelism wherever per-row work is trivial or the first real
+    operator exchanges anyway — while the CPU-bound narrow rows gained
+    1.3-2x; only the measured winners opt in."""
+    return _widen(_t(spark, sf_dir, name))
 
 
 def _dsum(col) -> F.Column:
@@ -579,7 +598,7 @@ def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")  # r13: per-row token/fingerprint exprs are scan-fused
     return docs.select(
         "doc_id",
         text.token_count(F.col("text")).alias("n_tokens"),
@@ -1194,7 +1213,7 @@ def q28_protein_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q29_mass_cleavage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
+    p = _tw(spark, sf_dir, "part")  # r13: mass/cleavage exprs are scan-fused
     seq = F.regexp_replace(F.upper(F.col("p_name")), " ", "")
     return p.select(
         "p_partkey",
@@ -1349,7 +1368,7 @@ def q31_occams_razor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q32_spectrum_id_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")  # r13: per-row regex is scan-fused
     mod = F.col("l_linenumber") % 4
     src = li.select(
         "l_orderkey",
@@ -1404,7 +1423,7 @@ def q32_spectrum_id_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q33_mgf_record(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")  # r13: format_string is scan-fused
     s = li.select(
         F.concat_ws("-", "l_orderkey", "l_linenumber").alias("usi"),
         F.lit("PEPK/2").alias("peptidoform"),
@@ -1458,7 +1477,7 @@ def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join, shuffles 8n rows) instead of a (id_b BETWEEN …) theta join,
     # which Spark can only plan as a broadcast nested loop — O(n²)
     # comparisons, 20× slower at sf0.1 and fatal at 100 TB.
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")  # r13: pair cosines are scan-fused
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
@@ -1655,7 +1674,9 @@ def q38_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q39_mod_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pride_spark.operators.modifications import regroup_modifications_flat
 
-    li = _t(spark, sf_dir, "lineitem")
+    # r13: the in-row regroup (zero-shuffle since the row_unique_keys
+    # rewrite) fuses into the scan stage — widen or it runs on one core
+    li = _tw(spark, sf_dir, "lineitem")
     acc = F.concat(F.lit("UNIMOD:"), F.col("l_partkey") % 2)
     name = F.concat(F.lit("MOD"), F.col("l_partkey") % 2)
     mods = F.array(
@@ -1810,7 +1831,7 @@ def q41_score_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q42_proforma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pride_spark.functions.proforma import encode_peptidoform
 
-    p = _t(spark, sf_dir, "part")
+    p = _tw(spark, sf_dir, "part")  # r13: the encode HOF is scan-fused
     seq = F.regexp_replace(F.upper(F.col("p_name")), " ", "")
     t = p.select(
         "p_partkey",
