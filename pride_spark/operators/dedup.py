@@ -504,21 +504,23 @@ def simhash_df(
     exploded = shingle_rows(df, text_col, id_col, shingle_n, distinct=True).select(
         "id", hasher.alias("h")
     )
+    # The per-bit vote sums and the bit packing are rendered as SQL text
+    # and parsed JVM-side (r13, the lit_vec technique): the Column-API
+    # form cost ~800 py4j round trips (~1.1 s of pure plan CONSTRUCTION
+    # per run — measured equal to the whole execution).  Expressions are
+    # identical after parsing: `&` on (bigint, int) promotes to bigint
+    # exactly like bitwiseAND(lit(1)).cast("long"), and the packed CASE
+    # chain folds left-associated like the Column `+` loop.
     votes = exploded.groupBy("id").agg(
         *[
-            F.sum(
-                F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-            ).alias(f"v{b}")
+            F.expr(f"sum((shiftrightunsigned(h, {b}) & 1) * 2 - 1) AS v{b}")
             for b in range(n_bits)
         ]
     )
-    packed = None
-    for b in range(n_bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        packed = term if packed is None else packed + term
-    hashed = votes.select("id", packed.alias("simhash"))
+    packed = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(n_bits)
+    )
+    hashed = votes.select("id", F.expr(packed).alias("simhash"))
     # NULL-text docs produced zero shingle rows; restore them with NULL
     # simhash (the in-row fold variants also yield NULL there).  Exactly
     # the ``text IS NULL`` rows vanish (word_shingles emits ≥1 shingle for

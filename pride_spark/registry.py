@@ -2710,6 +2710,9 @@ _Q48_COLLAPSE_FLAG: dict[str, bool] = {}
 
 
 def _q48_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened (r13): the binning work is amortized across the
+    # clusterer's persisted reuse, and an A/B of _tw here read 1.06x —
+    # the CC loop's fixed round cost dominates q48, not the scan stage
     emb = _t(spark, sf_dir, "embeddings")
     dims = F.slice(F.col("embedding"), 1, 24)
     return emb.select(
