@@ -76,30 +76,9 @@ def pair_cosine(q_vec: Column, nbr_vec: Column, q_norm: Column, nbr_norm: Column
     return F.when(denom > 0, dot(q_vec, nbr_vec) / denom).otherwise(F.lit(0.0))
 
 
-def _widen(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the session's default parallelism
-    when the input has FEWER partitions (r13 optimization round).
-
-    The candidate-scoring stages of the ANN family are CPU-bound per
-    pair (a ``dim``-wide double fold, or ``m`` LUT lookups), and Spark
-    fuses them into the candidate side's scan stage when the probe side
-    is broadcast — so a small or single-row-group parquet input pins the
-    WHOLE scoring pass to its scan partition count (measured at sf0.1:
-    the embeddings table is one file, one row group → one task does all
-    500k pair cosines; ``spark.sql.files.minPartitionNum`` cannot help
-    because a row group is the parquet split atom).  This is guide §2.5
-    "input skew: repartition immediately after the read", guarded to be
-    a PLAN NO-OP whenever the input is already at least default-parallel
-    — at production scale the scan has thousands of partitions and the
-    guard never fires, so no shuffle is added where data is big.  The
-    keyless repartition round-robins (deterministic under retry via
-    Spark's sort-before-repartition default)."""
-    try:
-        parts = df.rdd.getNumPartitions()
-        want = df.sparkSession.sparkContext.defaultParallelism
-    except Exception:  # planning quirk — never fail the query for a hint
-        return df
-    return df.repartition(want) if parts < want else df
+#: shared helper (promoted to operators/partitioning.py in r14; the alias
+#: keeps this module's historical import surface working)
+from .partitioning import widen as _widen  # noqa: E402
 
 
 def brute_force_topk(
@@ -111,18 +90,20 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every probe row (default: all rows).
 
-    The probe side is broadcast when small; the dot product runs inside
-    whole-stage codegen.  O(n·m) compute but zero shuffle beyond the final
-    per-probe top-k window — the right baseline to verify ANN recall
-    against.  Norms are hoisted per row.  Output: (query_id, neighbor_id,
-    cosine, rank).
+    A caller-supplied ``probe`` batch (bounded by contract) is broadcast
+    explicitly; with ``probe=None`` (self-search over the corpus) the
+    planner picks the join strategy — never a forced broadcast of the
+    full corpus.  The dot product runs inside whole-stage codegen.
+    O(n·m) compute but zero shuffle beyond the final per-probe top-k
+    window — the right baseline to verify ANN recall against.  Norms are
+    hoisted per row.  Output: (query_id, neighbor_id, cosine, rank).
     """
     base = _widen(df).select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),
         l2_norm(F.col(vec_col)).alias("__nn"),
     )
-    q = (probe or df).select(
+    q = (probe if probe is not None else df).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("__qn"),
@@ -132,8 +113,13 @@ def brute_force_topk(
     # was left to size estimates, and the planner was observed to build
     # on the CORPUS side instead — which at scale broadcasts the big
     # relation and locally pins the per-pair cosine to the probe scan's
-    # partition count rather than the widened corpus side's.
-    pairs = base.join(F.broadcast(q), F.col("query_id") != F.col("nbr_id"))
+    # partition count rather than the widened corpus side's.  The hint
+    # applies ONLY when a probe batch was passed (bounded by contract,
+    # r13 ADVICE): with ``probe=None`` the probed side IS the corpus,
+    # and force-broadcasting it would hard-fail past Spark's 8 GB
+    # broadcast cap at scale — the planner keeps the choice there.
+    qh = F.broadcast(q) if probe is not None else q
+    pairs = base.join(qh, F.col("query_id") != F.col("nbr_id"))
     scored = pairs.select(
         "query_id",
         "nbr_id",
@@ -521,6 +507,12 @@ def ivf_topk(
     job entirely — the train-once / search-many pattern a production
     index uses (the caller trains on one bounded sample, then every
     search reuses the same driver-side centroid literals).
+
+    A caller-supplied ``probe`` batch (bounded by contract) is broadcast
+    explicitly into the candidates join; with ``probe=None``
+    (self-search) the probed side is the corpus exploded ``n_probe``
+    ways, so no broadcast is forced — the planner keeps its scalable
+    shuffle equi-join on ``centroid_id``.
     """
     cents = (
         centroids
@@ -567,8 +559,14 @@ def ivf_topk(
     # estimate), which both inverts the scale story (a 100 TB corpus
     # must stream, never build) and pins the per-pair cosine stage to
     # the probe scan's partition count instead of the widened corpus
-    # side's.
-    pairs = assigned.join(F.broadcast(probed), "centroid_id").filter(
+    # side's.  The hint applies ONLY when a probe batch was passed
+    # (bounded by contract, r13 ADVICE): in self-join mode
+    # (``probe=None``) the probed side IS the corpus exploded n_probe
+    # ways, and force-broadcasting it would OOM/hard-fail past the 8 GB
+    # broadcast cap at scale where the planner's shuffle equi-join on
+    # centroid_id scales fine — the planner keeps the choice there.
+    ph = F.broadcast(probed) if probe is not None else probed
+    pairs = assigned.join(ph, "centroid_id").filter(
         F.col("query_id") != F.col("nbr_id")
     )
     scored = pairs.select(

@@ -36,7 +36,7 @@ from pride_spark.functions.spectrum_id import normalize_spectrum_id
 from pride_spark.operators import cluster as cluster_ops
 from pride_spark.operators import dedup, inference, similarity, text
 from pride_spark.operators.fdr import add_fdr_qvalue, repair_zero_qvalues, top_n_per_spectrum
-from pride_spark.operators.similarity import _widen
+from pride_spark.operators.partitioning import widen as _widen
 from pride_spark.sinks.mgf import mgf_record
 from pride_spark.operators.joins import contains_first_match, positional_zip_join, semi_join_members
 from pride_spark.operators.rollup import distinguishable_categories, protein_rollup
@@ -111,8 +111,22 @@ def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     on the shuffle-light rows — the extra exchange outweighs
     parallelism wherever per-row work is trivial or the first real
     operator exchanges anyway — while the CPU-bound narrow rows gained
-    1.3-2x; only the measured winners opt in."""
-    return _widen(_t(spark, sf_dir, name))
+    1.3-2x; only the measured winners opt in.
+
+    The scan's partition count is memoized per (dir, table,
+    parallelism): it is plan METADATA (file splits — stable for a given
+    table and session parallelism, never row data), and the probe
+    (``df.rdd.getNumPartitions()``) forces a full plan analysis + RDD
+    conversion per call (r13 ADVICE item)."""
+    df = _t(spark, sf_dir, name)
+    key = (sf_dir, name, spark.sparkContext.defaultParallelism)
+    if key not in _TW_PARTS:
+        _TW_PARTS[key] = df.rdd.getNumPartitions()
+    return _widen(df, parts=_TW_PARTS[key])
+
+
+#: (sf_dir, table, defaultParallelism) -> scan partition count (see _tw)
+_TW_PARTS: dict[tuple, int] = {}
 
 
 def _dsum(col) -> F.Column:

@@ -165,6 +165,66 @@ def test_ivf_topk_exact_when_probing_all(spark):
     assert recall >= 0.9, f"ivf recall@3 {recall:.2f}"
 
 
+def test_ann_broadcast_hint_gated_on_probe(spark):
+    """r14 (r13 ADVICE): the explicit broadcast hint on the probed side
+    must apply ONLY when a bounded probe batch was passed — in self-join
+    mode the probed side IS the corpus, and a forced broadcast of it
+    caps out at scale (8 GB / 512M-row broadcast limit)."""
+    from pride_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = emb.filter("vec_id < 5")
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    for fn in (
+        lambda p: similarity.brute_force_topk(emb, "vec_id", "embedding", k=1, probe=p),
+        lambda p: similarity.ivf_topk(
+            emb, "vec_id", "embedding", k=1, n_centroids=4, probe=p
+        ),
+    ):
+        assert "ResolvedHint" in analyzed(fn(probe))
+        assert "ResolvedHint" not in analyzed(fn(None))
+
+    # results are hint-independent: self-join mode still computes the
+    # same neighbors as before the gating
+    got = {
+        (r["query_id"], r["rank"]): r["nbr_id"]
+        for r in similarity.brute_force_topk(
+            emb.filter("vec_id < 30"), "vec_id", "embedding", k=1
+        ).collect()
+    }
+    via_probe = {
+        (r["query_id"], r["rank"]): r["nbr_id"]
+        for r in similarity.brute_force_topk(
+            emb.filter("vec_id < 30"), "vec_id", "embedding", k=1,
+            probe=emb.filter("vec_id < 30"),
+        ).collect()
+    }
+    assert got == via_probe
+
+
+def test_widen_shared_helper_and_parts_hint(spark):
+    """r14: ``widen`` promoted to operators/partitioning.py; the
+    ``parts`` hint skips the build-time RDD probe and must produce the
+    same plan decision."""
+    from pride_spark.operators.partitioning import widen
+    from pride_spark.operators.similarity import _widen  # back-compat alias
+
+    assert _widen is widen
+    df = spark.range(10).coalesce(1)
+    want = spark.sparkContext.defaultParallelism
+    probed = widen(df)
+    hinted = widen(df, parts=1)
+    assert probed.rdd.getNumPartitions() == want
+    assert hinted.rdd.getNumPartitions() == want
+    # already-wide inputs are a plan no-op in both forms
+    wide = spark.range(1000).repartition(want)
+    assert widen(wide).semanticHash() == wide.semanticHash()
+    assert widen(wide, parts=want).semanticHash() == wide.semanticHash()
+
+
 def test_lsh_topk_recall_at_3_on_embeddings(spark):
     # OR-construction: 12 tables x 3 planes; single-table recall on this
     # fixture is ~0.24, multi-table ~0.95
