@@ -29,10 +29,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pride_spark.operators.dedup import (
-    _band_digests,
-    jaccard_of_sets,
+    _band_digests_sql,
+    jaccard_of_sets_sql,
     minhash_signatures_df,
-    word_shingles,
+    word_shingles_sql,
 )
 
 
@@ -320,8 +320,8 @@ def _tagged_signatures(
             df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
             carry={"dg": F.md5(F.col(text_col))},
         )
-    sigs = minhash_df.filter(F.col("mh0").isNotNull())
-    digs = F.array(*_band_digests(num_hashes, bands))
+    sigs = minhash_df.filter("mh0 IS NOT NULL")
+    digs = F.expr(f"array({', '.join(_band_digests_sql(num_hashes, bands))})")
     # the hash-family parameters ride the digest column as schema
     # metadata (survives a parquet round-trip), so a later flags run can
     # refuse signatures built under a different family instead of
@@ -489,8 +489,10 @@ def incremental_near_dup_flags(
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         )
 
-    corpus_banded = corpus.select(
-        "id_c", "digs_c", "dg_c", F.posexplode("digs_c").alias("band", "bucket")
+    # SQL-text rendering below (r14): identical parsed expressions
+    # (tools/plan_normdiff.py), a fraction of the py4j plan-build calls.
+    corpus_banded = corpus.selectExpr(
+        "id_c", "digs_c", "dg_c", "posexplode(digs_c) AS (band, bucket)"
     )
     if max_bucket is not None:
         # cap + null-masked band rebuild (shared lsh_common primitives —
@@ -506,22 +508,21 @@ def incremental_near_dup_flags(
                 out_digs="digs_c",
                 carry=["dg_c"],
             )
-            .select(
-                "id_c", "digs_c", "dg_c",
-                F.posexplode("digs_c").alias("band", "bucket"),
+            .selectExpr(
+                "id_c", "digs_c", "dg_c", "posexplode(digs_c) AS (band, bucket)"
             )
-            .filter(F.col("bucket").isNotNull())
+            .filter("bucket IS NOT NULL")
         )
 
-    new_banded = new.select(
-        "id_n", "digs_n", "dg_n", F.posexplode("digs_n").alias("band", "bucket")
-    )
-    first_agree = F.array_position(
-        F.zip_with(F.col("digs_n"), F.col("digs_c"), lambda x, y: x == y), True
+    new_banded = new.selectExpr(
+        "id_n", "digs_n", "dg_n", "posexplode(digs_n) AS (band, bucket)"
     )
     pairs = (
         new_banded.join(corpus_banded, ["band", "bucket"])
-        .filter(first_agree == F.col("band") + 1)
+        .filter(
+            "array_position(zip_with(digs_n, digs_c, (x, y) -> x = y), true)"
+            " = band + 1"
+        )
         .select("id_n", "id_c", "dg_n", "dg_c")
     )
     from pyspark.storagelevel import StorageLevel
@@ -531,11 +532,9 @@ def incremental_near_dup_flags(
     # both branches below scan the candidate pairs; pinned for the life
     # of the returned plan — see session.pinned_scope for cleanup
     pairs = register_pinned(pairs.persist(StorageLevel.MEMORY_AND_DISK))
-    same = F.coalesce(F.col("dg_n") == F.col("dg_c"), F.lit(False))
-    eq = pairs.filter(same).select(
-        F.col("id_n").alias("id"),
-        F.col("id_c").alias("match_id"),
-        F.lit(1.0).alias("jaccard"),
+    same = F.expr("coalesce(dg_n = dg_c, false)")
+    eq = pairs.filter(same).selectExpr(
+        "id_n AS id", "id_c AS match_id", "1.0D AS jaccard"
     )
 
     # semi-filter each side to the ids the differing-digest pairs need
@@ -544,23 +543,20 @@ def incremental_near_dup_flags(
     need = pairs.filter(~same).select("id_n", "id_c")
 
     def _sets(df: DataFrame, alias: str) -> DataFrame:
-        ids = need.select(F.col(alias).alias(id_col)).distinct()
-        return df.join(ids, id_col, "left_semi").select(
-            F.col(id_col).alias(alias),
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias(
-                f"sh_{alias}"
-            ),
+        ids = need.selectExpr(f"{alias} AS `{id_col}`").distinct()
+        return df.join(ids, id_col, "left_semi").selectExpr(
+            f"`{id_col}` AS {alias}",
+            f"array_distinct({word_shingles_sql(f'`{text_col}`', shingle_n)})"
+            f" AS sh_{alias}",
         )
 
     neq = (
         need.join(_sets(new_df, "id_n"), "id_n")
         .join(_sets(corpus_df, "id_c"), "id_c")
-        .select(
-            F.col("id_n").alias("id"),
-            F.col("id_c").alias("match_id"),
-            F.round(jaccard_of_sets(F.col("sh_id_n"), F.col("sh_id_c")), 6).alias(
-                "jaccard"
-            ),
+        .selectExpr(
+            "id_n AS id",
+            "id_c AS match_id",
+            f"round({jaccard_of_sets_sql('sh_id_n', 'sh_id_c')}, 6) AS jaccard",
         )
     )
     return eq.unionByName(neq).filter(F.col("jaccard") >= threshold)

@@ -49,6 +49,18 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingles_sql(text_sql: str, n: int = 3) -> str:
+    """SQL text of :func:`word_shingles` over a column rendered as
+    ``text_sql`` — parses to the identical expression in one py4j call
+    (r14 plan-construction optimization; equivalence pinned by
+    tools/plan_normdiff.py and the q13/q24 oracles)."""
+    words = r"split(trim(" + text_sql + r"), '\\s+')"
+    return (
+        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)), "
+        f"i -> array_join(slice({words}, i, {n}), ' '))"
+    )
+
+
 #: hash i = 8-hex-char (32-bit) chunk i%4 of md5(f"{i//4}|" + shingle).
 #: One md5 yields FOUR independent 32-bit min-hash values: md5 output bits
 #: are uniform and independent, and 32 bits is ample for a min-hash value
@@ -103,12 +115,16 @@ def shingle_rows(
     (SimHash counts each distinct shingle once); min-style consumers
     (MinHash) skip it, since duplicate shingles cannot change a min.
     """
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    # SQL-text rendering throughout (r14, the r13 simhash technique):
+    # the Column-API form cost ~250 py4j round trips of pure plan
+    # construction per call; the parsed expressions are identical
+    # (verified with tools/plan_normdiff.py against the Column form).
+    words = df.selectExpr(
+        f"`{id_col}` AS id",
+        r"posexplode(split(trim(`" + text_col + r"`), '\\s+')) AS (pos, w)",
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.col("w")] + [F.lead("w", k).over(w) for k in range(1, n)]
+    over = "OVER (PARTITION BY id ORDER BY pos)"
+    leads = ["w"] + [f"lead(w, {k}) {over}" for k in range(1, n)]
     # keep-row predicate, derived from the LAST lead instead of a second
     # (count-over-id) window pass (r13): a full n-gram exists iff
     # lead(n-1) is non-null (pos ≤ nw-n); the whole-document singleton for
@@ -118,13 +134,13 @@ def shingle_rows(
     # null, so lead(n-1) null ⇔ pos > nw-n), for nw < n both keep only
     # pos==0 — with one Window node instead of two.
     sh = (
-        words.select(
+        words.selectExpr(
             "id",
             "pos",
-            F.concat_ws(" ", *leads).alias("sh"),
-            leads[-1].alias("__last"),
+            f"concat_ws(' ', {', '.join(leads)}) AS sh",
+            f"{leads[-1]} AS __last",
         )
-        .filter(F.col("__last").isNotNull() | (F.col("pos") == 0))
+        .filter("__last IS NOT NULL OR pos = 0")
         .select("id", "sh")
     )
     return sh.distinct() if distinct else sh
@@ -157,22 +173,22 @@ def minhash_signatures_df(
     """
     n_digests = (num_hashes + 3) // 4
     sh = shingle_rows(df, text_col, id_col, shingle_n)
-    digests = sh.select(
+    # The per-hash column families are rendered as SQL text and parsed
+    # JVM-side in one call each (r13's lit_vec/simhash technique): the
+    # Column-API loops cost ~6-10 py4j round trips per column — a pure
+    # plan-CONSTRUCTION tax that cProfile put at ~1 s/run on the LSH
+    # queries (r13 verdict task #2).  The parsed expressions are
+    # identical: md5/concat/substring/min over literal names.
+    digests = sh.selectExpr(
         "id",
-        *[
-            F.md5(F.concat(F.lit(f"{d}|"), F.col("sh"))).alias(f"d{d}")
-            for d in range(n_digests)
-        ],
+        *[f"md5(concat('{d}|', sh)) AS d{d}" for d in range(n_digests)],
     )
-    hashed = digests.select(
+    hashed = digests.selectExpr(
         "id",
-        *[
-            F.substring(F.col(f"d{i // 4}"), (i % 4) * 8 + 1, 8).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+        *[f"substring(d{i // 4}, {(i % 4) * 8 + 1}, 8) AS h{i}" for i in range(num_hashes)],
     )
     aggs = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(h{i}) AS mh{i}") for i in range(num_hashes)]
     )
     # Null-text docs produce zero shingle rows and would vanish; the q23
     # oracle's LIST_MIN aggregate keeps them with NULL signature values —
@@ -185,22 +201,26 @@ def minhash_signatures_df(
     return ids.join(aggs, "id", "left")
 
 
+def _band_digests_sql(num_hashes: int, bands: int) -> list[str]:
+    """SQL text of the per-band bucket digests — see :func:`_band_digests`."""
+    rows = num_hashes // bands
+    return [
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{i}" for i in range(b * rows, (b + 1) * rows))
+        + "))"
+        for b in range(bands)
+    ]
+
+
 def _band_digests(num_hashes: int, bands: int) -> list[Column]:
     """Per-band bucket digests (md5 of the signature band slice), one
     Column per band.  The ONE definition of the banding key — shared by
     :func:`lsh_candidate_pairs` (join key + first-collision array) and
     :func:`lsh_bucket_stats`: the stats are only meaningful if they hash
     the EXACT same banding the join uses (and the q24 DuckDB oracle
-    mirrors this expression)."""
-    rows = num_hashes // bands
-    return [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]
-            )
-        )
-        for b in range(bands)
-    ]
+    mirrors this expression).  Rendered as SQL text parsed JVM-side
+    (plan-construction cost, r13 technique — identical expressions)."""
+    return [F.expr(s) for s in _band_digests_sql(num_hashes, bands)]
 
 
 def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -269,22 +289,22 @@ def lsh_candidate_pairs(
     # SURVIVING agreeing band: a pair loses nothing to the cap unless
     # EVERY agreeing band is over-cap (in which case its members are
     # mutually near-identical and covered by exact dedup upstream).
-    digs = F.array(*_band_digests(num_hashes, bands))
+    # SQL-text rendering throughout (r14): identical parsed expressions
+    # (tools/plan_normdiff.py), a fraction of the py4j plan-build calls.
     # null-signature rows (null-text docs, preserved by
     # minhash_signatures_df for oracle parity) must not enter banding:
     # their band digest would be the md5 of "" — a CONSTANT that sweeps
     # every null doc into one bucket per band — where the oracle's NULL
     # buckets never equi-join.
-    perid = sigs.filter(F.col("mh0").isNotNull()).select(F.col("id"), digs.alias("digs"))
+    digs_sql = f"array({', '.join(_band_digests_sql(num_hashes, bands))})"
+    perid = sigs.filter("mh0 IS NOT NULL").selectExpr("id", f"{digs_sql} AS digs")
     if max_bucket is not None:
         # cap + null-masked band rebuild (shared lsh_common primitives:
         # a capped band can never be the first agreement, so
         # first-collision falls through to the first SURVIVING band)
         from pride_spark.operators.lsh_common import cap_buckets, rebuild_masked_digests
 
-        banded0 = perid.select(
-            "id", F.posexplode("digs").alias("band", "bucket")
-        )
+        banded0 = perid.selectExpr("id", "posexplode(digs) AS (band, bucket)")
         perid = rebuild_masked_digests(
             cap_buckets(banded0, ["band", "bucket"], max_bucket),
             id_cols=["id"],
@@ -293,26 +313,24 @@ def lsh_candidate_pairs(
     extra = [c for c in payload.columns if c != "id"] if payload is not None else []
     if payload is not None:
         perid = perid.join(payload, "id")
-    banded = perid.select(
-        "id", "digs", *extra, F.posexplode("digs").alias("band", "bucket")
-    ).filter(F.col("bucket").isNotNull())
+    banded = perid.selectExpr(
+        "id", "digs", *extra, "posexplode(digs) AS (band, bucket)"
+    ).filter("bucket IS NOT NULL")
     a, b = banded.alias("a"), banded.alias("b")
-    first_agree = F.array_position(
-        F.zip_with(F.col("a.digs"), F.col("b.digs"), lambda x, y: x == y), True
-    )
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+            F.expr("a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"),
         )
-        .filter(first_agree == F.col("a.band") + 1)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            *[F.col(f"a.{c}").alias(f"{c}_a") for c in extra],
-            *[F.col(f"b.{c}").alias(f"{c}_b") for c in extra],
+        .filter(
+            "array_position(zip_with(a.digs, b.digs, (x, y) -> x = y), true)"
+            " = a.band + 1"
+        )
+        .selectExpr(
+            "a.id AS id_a",
+            "b.id AS id_b",
+            *[f"a.{c} AS {c}_a" for c in extra],
+            *[f"b.{c} AS {c}_b" for c in extra],
         )
     )
 
@@ -362,6 +380,14 @@ def jaccard_of_sets(sa: Column, sb: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def jaccard_of_sets_sql(sa: str, sb: str) -> str:
+    """SQL text of :func:`jaccard_of_sets` over columns rendered as SQL —
+    identical parsed expression, one py4j call (r14)."""
+    inter = f"CAST(size(array_intersect({sa}, {sb})) AS DOUBLE)"
+    union = f"(CAST((size({sa}) + size({sb})) AS DOUBLE) - {inter})"
+    return f"CASE WHEN {union} > 0 THEN {inter} / {union} ELSE 0.0D END"
+
+
 def near_dedup_minhash(
     df: DataFrame,
     text_col: str,
@@ -389,7 +415,7 @@ def near_dedup_minhash(
     # digests ride the banding rows as a lsh_candidate_pairs payload, so
     # pairs emerge with dg_a/dg_b already attached — no post-hoc join
     # that would re-shuffle the (huge, on adversarial corpora) pair set.
-    payload = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("dg"))
+    payload = df.selectExpr(f"`{id_col}` AS id", f"md5(`{text_col}`) AS dg")
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, max_bucket=max_bucket, payload=payload,
@@ -406,8 +432,8 @@ def near_dedup_minhash(
     from pride_spark.session import register_pinned
 
     pairs = register_pinned(pairs.persist(StorageLevel.MEMORY_AND_DISK))
-    same = F.coalesce(F.col("dg_a") == F.col("dg_b"), F.lit(False))
-    eq = pairs.filter(same).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    same = F.expr("coalesce(dg_a = dg_b, false)")
+    eq = pairs.filter(same).selectExpr("id_a", "id_b", "1.0D AS jaccard")
     # Only the differing-digest remainder — tiny on duplicate-heavy
     # corpora — joins the shingle sets for the exact Jaccard.  Each side
     # is SEMI-FILTERED to the ids those pairs actually need before the
@@ -416,19 +442,18 @@ def near_dedup_minhash(
     need = pairs.filter(~same).select("id_a", "id_b")
 
     def _sets(side: str) -> DataFrame:
-        ids = need.select(F.col(side).alias(id_col)).distinct()
-        return df.join(ids, id_col, "left_semi").select(
-            F.col(id_col).alias(side),
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias(
-                f"sh_{side}"
-            ),
+        ids = need.selectExpr(f"{side} AS `{id_col}`").distinct()
+        return df.join(ids, id_col, "left_semi").selectExpr(
+            f"`{id_col}` AS {side}",
+            f"array_distinct({word_shingles_sql(f'`{text_col}`', shingle_n)})"
+            f" AS sh_{side}",
         )
 
     neq = (
         need.join(_sets("id_a"), "id_a")
         .join(_sets("id_b"), "id_b")
         .withColumn(
-            "jaccard", F.round(jaccard_of_sets(F.col("sh_id_a"), F.col("sh_id_b")), 6)
+            "jaccard", F.expr(f"round({jaccard_of_sets_sql('sh_id_a', 'sh_id_b')}, 6)")
         )
         .select("id_a", "id_b", "jaccard")
     )

@@ -51,6 +51,14 @@ def _unpersist_handle(rdd) -> None:
     except Exception:
         pass
 
+#: SQL-text rendering note (r14): the star steps and the convergence
+#: test run PER ROUND, so their Column-API plan construction (~0.2 s of
+#: py4j round trips per round at 32 partitions) is a recurring driver
+#: tax; the hot builders below render expression families as SQL text
+#: parsed JVM-side — identical expressions (tools/plan_normdiff.py),
+#: one call each.
+
+
 def _with_min_b(df: DataFrame, skew_safe: bool, with_deg: bool = False) -> DataFrame:
     """Attach ``m = min(b) over rows sharing a``.
 
@@ -72,14 +80,13 @@ def _with_min_b(df: DataFrame, skew_safe: bool, with_deg: bool = False) -> DataF
     aggregate), used by the auto-mode hub probe.
     """
     if skew_safe:
-        aggs = [F.min("b").alias("m")]
+        aggs = [F.expr("min(b) AS m")]
         if with_deg:
-            aggs.append(F.count(F.lit(1)).alias("__deg"))
+            aggs.append(F.expr("count(1) AS __deg"))
         return df.join(df.groupBy("a").agg(*aggs), "a")
-    w = Window.partitionBy("a")
-    out = df.withColumn("m", F.min("b").over(w))
+    out = df.withColumn("m", F.expr("min(b) OVER (PARTITION BY a)"))
     if with_deg:
-        out = out.withColumn("__deg", F.count(F.lit(1)).over(w))
+        out = out.withColumn("__deg", F.expr("count(1) OVER (PARTITION BY a)"))
     return out
 
 
@@ -93,14 +100,12 @@ def _large_star(sym: DataFrame, skew_safe: bool = False, with_deg: bool = False)
     # no distinct here: the output feeds straight into small-star's
     # per-``a`` min, where duplicate (u,v) rows can't change the min —
     # the round's edge list is deduped once, at small-star's output
-    cols = [F.col("b").alias("u"), F.col("m").alias("v")]
-    if with_deg:
-        cols.append(F.col("__deg"))
+    cols = ["b AS u", "m AS v"] + (["__deg"] if with_deg else [])
     return (
         _with_min_b(sym, skew_safe, with_deg)
-        .withColumn("m", F.least(F.col("m"), F.col("a")))
-        .filter(F.col("b") > F.col("a"))
-        .select(*cols)
+        .withColumn("m", F.expr("least(m, a)"))
+        .filter("b > a")
+        .selectExpr(*cols)
     )
 
 
@@ -112,8 +117,8 @@ def _small_star(edges: DataFrame, skew_safe: bool = False, with_deg: bool = Fals
     only — which ``__deg`` survives is arbitrary, fine for a threshold
     probe."""
     extra = ["__deg"] if with_deg else []
-    oriented = edges.select(
-        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b"), *extra
+    oriented = edges.selectExpr(
+        "greatest(u, v) AS a", "least(u, v) AS b", *extra
     )
     with_m = _with_min_b(oriented, skew_safe)
     # emit {(b, m), (a, m)} via explode, NOT a union of two selects: the
@@ -121,16 +126,12 @@ def _small_star(edges: DataFrame, skew_safe: bool = False, with_deg: bool = Fals
     # the window's exchange is reused, the WindowExec itself runs once per
     # branch — explode keeps one window pass per round (measured ~15% off
     # the q47 round cost at sf0.1)
-    links = with_m.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("b").alias("u"), F.col("m").alias("v")),
-                F.struct(F.col("a").alias("u"), F.col("m").alias("v")),
-            )
-        ).alias("e"),
+    links = with_m.selectExpr(
+        "explode(array(named_struct('u', b, 'v', m),"
+        " named_struct('u', a, 'v', m))) AS e",
         *extra,
     ).select("e.u", "e.v", *extra)
-    links = links.filter(F.col("u") != F.col("v"))
+    links = links.filter("u != v")
     return links.dropDuplicates(["u", "v"]) if with_deg else links.distinct()
 
 
@@ -208,12 +209,26 @@ def connected_components(
     skew_safe: bool | str = "auto",
     skew_threshold: int = 500_000,
     pre_contract: bool = True,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Label every node with the MIN node id of its connected component.
 
     ``edges`` is an undirected edge list (any orientation, duplicates and
     self-loops fine); isolated nodes appearing in the list label
     themselves.  Returns ``(node, component)``.
+
+    ``edges_unique=True`` declares a caller CONTRACT that the edge rows
+    are already distinct as (src, dst) pairs (e.g. first-collision-wins
+    candidate generation emits each pair exactly once), which skips the
+    base ``distinct()`` — one full shuffle of the edge list saved at any
+    scale (only on the non-pre-contracted path; the local union-find
+    already replaces the distinct elsewhere).  The claim is SAFE even if
+    wrong: large-star/small-star minima are duplicate-invariant, round 1
+    dedups at small-star's output as always, and the probe flags only
+    become conservative (an inflated ``cu`` can veto the zero-round
+    early-exit, never fabricate convergence) — labels are identical
+    either way.  NB (src, dst) AND (dst, src) both present still counts
+    as unique here; only exact duplicate ROWS are the distinct's target.
 
     ``skew_safe=True`` swaps the per-key window for a map-side-combined
     groupBy+join in each star step (see :func:`_with_min_b`) — needed
@@ -267,6 +282,11 @@ def connected_components(
         # node at small-star as always.  keep_singletons preserves
         # self-loop-only nodes for the node table below.
         base = _local_contract(raw, keep_singletons=True).localCheckpoint(eager=False)
+    elif edges_unique:
+        # caller-declared distinct pairs (see docstring): the base dedup
+        # shuffle is pure overhead — q48's banded first-collision pair
+        # lists hit exactly this path (struct nodes skip pre-contraction)
+        base = raw.localCheckpoint(eager=False)
     else:
         base = raw.distinct().localCheckpoint(eager=False)  # feeds every round
     track_cached(_checkpoint_rdd(base))  # pinned past return: session sweep frees it
@@ -298,33 +318,29 @@ def connected_components(
     # each round's lazy checkpoint — still one driver job per round.
     def _forest_row(df: DataFrame, probing: bool):
         extra = ["__deg"] if probing else []
-        ex = df.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u").alias("x"), F.lit(0).alias("s")),
-                    F.struct(F.col("v").alias("x"), F.lit(1).alias("s")),
-                )
-            ).alias("e"),
+        ex = df.selectExpr(
+            "explode(array(named_struct('x', u, 's', 0),"
+            " named_struct('x', v, 's', 1))) AS e",
             # round outputs point down by construction (small-star emits
             # (x, min)); the orientation flag matters for the BASE probe,
             # whose pre-contracted edges are min-oriented per partition
             # but could in principle arrive otherwise.
-            (F.col("v") >= F.col("u")).alias("__up"),
+            "v >= u AS __up",
             *extra,
         ).select("e.x", "e.s", "__up", *extra)
         per_x = ex.groupBy("x").agg(
-            F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("cu"),
-            F.max(F.col("s") == 1).alias("has_v"),
-            F.max("__up").alias("up"),
-            *([F.max("__deg").alias("maxd")] if probing else []),
+            F.expr("sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS cu"),
+            F.expr("max(s = 1) AS has_v"),
+            F.expr("max(__up) AS up"),
+            *([F.expr("max(__deg) AS maxd")] if probing else []),
         )
         aggs = [
-            F.max("cu").alias("max_cu"),
-            F.max(F.col("has_v") & (F.col("cu") > 0)).alias("overlap"),
-            F.max("up").alias("up"),
+            F.expr("max(cu) AS max_cu"),
+            F.expr("max(has_v AND cu > 0) AS overlap"),
+            F.expr("max(up) AS up"),
         ]
         if probing:
-            aggs.append(F.max("maxd").alias("maxd"))
+            aggs.append(F.expr("max(maxd) AS maxd"))
         return per_x.agg(*aggs).first()
 
     def _is_forest(row) -> bool:
@@ -346,30 +362,24 @@ def connected_components(
         # __deg and the node table but are EXCLUDED from the forest
         # flags via the ``real`` marker: the loop never sees them
         # (``cur`` filters u != v), so they must not veto convergence.
-        ex0 = base.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u").alias("node"), F.lit(0).alias("s")),
-                    F.struct(F.col("v").alias("node"), F.lit(1).alias("s")),
-                )
-            ).alias("e"),
-            (F.col("u") != F.col("v")).alias("real"),
-            (F.col("v") >= F.col("u")).alias("__up"),
+        ex0 = base.selectExpr(
+            "explode(array(named_struct('node', u, 's', 0),"
+            " named_struct('node', v, 's', 1))) AS e",
+            "u != v AS real",
+            "v >= u AS __up",
         ).select("e.node", "e.s", "real", "__up")
         nodes_deg = ex0.groupBy("node").agg(
-            F.count(F.lit(1)).alias("__deg"),
-            F.sum(
-                F.when((F.col("s") == 0) & F.col("real"), 1).otherwise(0)
-            ).alias("cu"),
-            F.max((F.col("s") == 1) & F.col("real")).alias("has_v"),
-            F.max(F.col("real") & F.col("__up")).alias("up"),
+            F.expr("count(1) AS __deg"),
+            F.expr("sum(CASE WHEN s = 0 AND real THEN 1 ELSE 0 END) AS cu"),
+            F.expr("max(s = 1 AND real) AS has_v"),
+            F.expr("max(real AND __up) AS up"),
         ).localCheckpoint(eager=False)
         track_cached(_checkpoint_rdd(nodes_deg))
         row0 = nodes_deg.agg(  # materializes base + nodes_deg
-            F.max("__deg").alias("maxd"),
-            F.max("cu").alias("max_cu"),
-            F.max(F.col("has_v") & (F.col("cu") > 0)).alias("overlap"),
-            F.max("up").alias("up"),
+            F.expr("max(__deg) AS maxd"),
+            F.expr("max(cu) AS max_cu"),
+            F.expr("max(has_v AND cu > 0) AS overlap"),
+            F.expr("max(up) AS up"),
         ).first()
         mode = (row0["maxd"] or 0) > skew_threshold
         nodes = nodes_deg.select("node")
@@ -405,8 +415,8 @@ def connected_components(
         spark.sparkContext.setJobDescription(f"connected_components round {i + 1}")
         probing = auto and not mode
         sym = cur.select("u", "v").union(
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+            cur.selectExpr("v AS u", "u AS v")
+        ).selectExpr("u AS a", "v AS b")
         cur = _small_star(
             _large_star(sym, mode, probing), mode, probing
         ).localCheckpoint(eager=False)
@@ -447,11 +457,11 @@ def connected_components(
 
     # stars: every non-root points at its root; roots label themselves
     sym = cur.select("u", "v").union(
-        cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        cur.selectExpr("v AS u", "u AS v")
     )
     root = (
         sym.groupBy("u")
-        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        .agg(F.expr("least(min(v), first(u)) AS component"))
         .withColumnRenamed("u", "node")
     )
     return nodes.join(root, "node", "left").select(

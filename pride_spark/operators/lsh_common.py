@@ -123,15 +123,19 @@ def rebuild_masked_digests(
     ride the same aggregate via ``first()``.  One extra id-keyed
     shuffle — paid only on the capped (adversarial-skew) path.
     """
+    # expression families rendered as SQL text (r14 plan-build cost;
+    # identical parsed expressions — tools/plan_normdiff.py)
     per_id = surviving.groupBy(*id_cols).agg(
-        *[F.first(c).alias(c) for c in carry],
+        *[F.expr(f"first({c}) AS {c}") for c in carry],
         *[
-            F.max(F.when(F.col(band_col) == b, F.col(bucket_col))).alias(f"__b{b}")
+            F.expr(
+                f"max(CASE WHEN {band_col} = {b} THEN {bucket_col} END) AS __b{b}"
+            )
             for b in range(bands)
         ],
     )
-    return per_id.select(
+    return per_id.selectExpr(
         *id_cols,
         *carry,
-        F.array(*[F.col(f"__b{b}") for b in range(bands)]).alias(out_digs),
+        f"array({', '.join(f'__b{b}' for b in range(bands))}) AS {out_digs}",
     )

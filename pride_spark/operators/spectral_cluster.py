@@ -44,7 +44,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from pride_spark.operators.dedup import jaccard_of_sets
+from pride_spark.operators.dedup import jaccard_of_sets, jaccard_of_sets_sql
 from pride_spark.operators.graph import connected_components
 from pride_spark.operators.lsh_common import cap_buckets
 from pride_spark.session import register_pinned
@@ -81,10 +81,39 @@ def bin_peaks(
     )
 
 
+def _dlit(x: float) -> str:
+    """SQL double literal (``repr`` + D suffix — bit-identical parse to
+    ``F.lit(float)``; a bare ``2.0`` would parse as DECIMAL)."""
+    return f"{float(x)!r}D"
+
+
+def bin_peaks_sql(
+    masses_sql: str,
+    intensities_sql: str,
+    *,
+    top_k: int = 50,
+    bin_width: float = 1.0005,
+) -> str:
+    """SQL text of :func:`bin_peaks` over columns rendered as SQL —
+    identical parsed expression, a handful of py4j calls instead of one
+    per operator (r14 plan-construction optimization; equivalence pinned
+    by tools/plan_normdiff.py and the q48 oracle)."""
+    pairs = (
+        f"reverse(array_sort(zip_with({intensities_sql}, {masses_sql}, "
+        "(x, y) -> named_struct('i', x, 'mz', y))))"
+    )
+    return (
+        "array_sort(array_distinct(transform("
+        f"slice({pairs}, 1, {top_k}), "
+        f"p -> CAST(floor(p.mz / {_dlit(bin_width)} + {_dlit(0.5)}) AS BIGINT))))"
+    )
+
+
 #: exact Jaccard over distinct element arrays — shared with the dedup
 #: family (single definition; returns 0.0 on two empty sets where the
 #: old inline inter/(|a|+|b|-inter) form produced NULL via 0/0)
 _jaccard = jaccard_of_sets
+_jaccard_sql = jaccard_of_sets_sql
 
 
 # ---------------------------------------------------------------------------
@@ -108,13 +137,13 @@ def _binned_frame(
     from candidate generation at the ``reps`` stage instead (r9 review —
     the former ``size(bins) > 0`` filter here silently dropped them from
     the output entirely)."""
-    return spectra.select(
-        F.col(key_col).alias("key"),
-        F.col(precursor_col).alias("pmz"),
-        F.coalesce(
-            bin_peaks(masses_col, intensities_col, top_k=top_k, bin_width=bin_width),
-            F.array().cast("array<bigint>"),
-        ).alias("bins"),
+    bins = bin_peaks_sql(
+        f"`{masses_col}`", f"`{intensities_col}`", top_k=top_k, bin_width=bin_width
+    )
+    return spectra.selectExpr(
+        f"`{key_col}` AS key",
+        f"`{precursor_col}` AS pmz",
+        f"coalesce({bins}, CAST(array() AS ARRAY<BIGINT>)) AS bins",
     )
 
 
@@ -131,38 +160,40 @@ def _sig_frame(binned: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
     of (key, bin) rows, all whole-stage codegen; the min-agg then joins
     back to the binned frame on its key.
     """
-    binrows = binned.select("key", F.explode("bins").alias("b"))
+    # expression families rendered as SQL text (r14 plan-build cost;
+    # identical parsed expressions — tools/plan_normdiff.py)
+    binrows = binned.selectExpr("key", "explode(bins) AS b")
     if hash_fn == "md5":
         # chunked md5 (dedup._chunk_hash): 4 independent 8-hex-char
         # minhash values per digest, one md5 per (bin, seed-group)
         n_digests = (num_hashes + 3) // 4
-        digests = binrows.select(
+        digests = binrows.selectExpr(
             "key",
             *[
-                F.md5(F.concat(F.lit(f"{d}|"), F.col("b").cast("string"))).alias(f"d{d}")
+                f"md5(concat('{d}|', CAST(b AS STRING))) AS d{d}"
                 for d in range(n_digests)
             ],
         )
-        hashed = digests.select(
+        hashed = digests.selectExpr(
             "key",
             *[
-                F.substring(F.col(f"d{s // 4}"), (s % 4) * 8 + 1, 8).alias(f"h{s}")
+                f"substring(d{s // 4}, {(s % 4) * 8 + 1}, 8) AS h{s}"
                 for s in range(num_hashes)
             ],
         )
     else:
-        hashed = binrows.select(
+        hashed = binrows.selectExpr(
             "key",
-            *[F.xxhash64("b", F.lit(s)).alias(f"h{s}") for s in range(num_hashes)],
+            *[f"xxhash64(b, {s}) AS h{s}" for s in range(num_hashes)],
         )
     mins = hashed.groupBy("key").agg(
-        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(num_hashes)]
+        *[F.expr(f"min(h{s}) AS mh{s}") for s in range(num_hashes)]
     )
-    return binned.join(mins, "key").select(
+    return binned.join(mins, "key").selectExpr(
         "key",
         "pmz",
         "bins",
-        F.array(*[F.col(f"mh{s}") for s in range(num_hashes)]).alias("sig"),
+        f"array({', '.join(f'mh{s}' for s in range(num_hashes))}) AS sig",
     )
 
 
@@ -200,15 +231,15 @@ def _rep_collapse(binned: DataFrame) -> DataFrame:
     window would otherwise merge identical-``bins`` null-pmz rows into
     one cluster, breaking the label-identity contract above.
     """
-    w = Window.partitionBy("pmz", "bins")
     # empty-bins rows are likewise uncollapsed: they never reach
     # candidate generation (filtered at the reps stage), so in the
     # uncollapsed graph they are always singletons
     return binned.withColumn(
         "rep",
-        F.when(
-            F.col("pmz").isNull() | (F.size("bins") == 0), F.col("key")
-        ).otherwise(F.min("key").over(w)),
+        F.expr(
+            "CASE WHEN pmz IS NULL OR size(bins) = 0 THEN key"
+            " ELSE min(key) OVER (PARTITION BY pmz, bins) END"
+        ),
     )
 
 
@@ -243,16 +274,15 @@ def _has_duplicates(binned: DataFrame) -> bool:
     return bool(row["n"] > 1.2 * row["d"])
 
 
-def _pbs(precursor_window: float) -> Column:
+def _pbs_sql(precursor_window: float) -> str:
     """Two overlapping precursor blocks per spectrum (floor + half-shift),
     so pairs straddling a block edge are still co-blocked.  Every
     candidate row carries the FULL array so the join can apply
-    FIRST-COLLISION-WINS on the smallest shared block."""
-    return F.array_distinct(
-        F.array(
-            F.floor(F.col("pmz") / F.lit(precursor_window)),
-            F.floor(F.col("pmz") / F.lit(precursor_window) + F.lit(0.5)),
-        )
+    FIRST-COLLISION-WINS on the smallest shared block.  SQL text (r14)."""
+    w = _dlit(precursor_window)
+    return (
+        f"array_distinct(array(floor(pmz / {w}),"
+        f" floor(pmz / {w} + {_dlit(0.5)})))"
     )
 
 
@@ -264,13 +294,9 @@ def _pbs(precursor_window: float) -> Column:
 _cap_frame = cap_buckets
 
 
-def _first_block() -> Column:
-    """The smallest shared precursor block wins — dedups the 2×2 block
-    overlap.  (A function, not a module constant: Column construction
-    needs an active SparkContext.)"""
-    return F.col("pblock") == F.array_min(
-        F.array_intersect(F.col("pbs_a"), F.col("pbs_b"))
-    )
+#: the smallest shared precursor block wins — dedups the 2×2 block
+#: overlap (SQL text, r14 — parsed once per query build)
+_FIRST_BLOCK_SQL = "pblock = array_min(array_intersect(pbs_a, pbs_b))"
 
 
 def _pairs_block(
@@ -280,27 +306,21 @@ def _pairs_block(
     (key_a, key_b).  Deterministic and exact (the oracle/recall baseline),
     at O(block²) cost."""
     blocked = _cap_frame(
-        binned.select("key", "bins", _pbs(precursor_window).alias("pbs"))
-        .select("key", "bins", "pbs", F.explode("pbs").alias("pblock")),
+        binned.selectExpr("key", "bins", f"{_pbs_sql(precursor_window)} AS pbs")
+        .selectExpr("key", "bins", "pbs", "explode(pbs) AS pblock"),
         ["pblock"],
         max_bucket,
     )
-    left = blocked.select(
-        F.col("key").alias("key_a"),
-        F.col("bins").alias("bins_a"),
-        F.col("pbs").alias("pbs_a"),
-        "pblock",
+    left = blocked.selectExpr(
+        "key AS key_a", "bins AS bins_a", "pbs AS pbs_a", "pblock"
     )
-    right = blocked.select(
-        F.col("key").alias("key_b"),
-        F.col("bins").alias("bins_b"),
-        F.col("pbs").alias("pbs_b"),
-        "pblock",
+    right = blocked.selectExpr(
+        "key AS key_b", "bins AS bins_b", "pbs AS pbs_b", "pblock"
     )
-    cand = left.join(right, ["pblock"]).filter(_first_block())
+    cand = left.join(right, ["pblock"]).filter(_FIRST_BLOCK_SQL)
     return (
-        cand.filter(F.col("key_a") < F.col("key_b"))
-        .filter(_jaccard(F.col("bins_a"), F.col("bins_b")) >= threshold)
+        cand.filter("key_a < key_b")
+        .filter(f"{_jaccard_sql('bins_a', 'bins_b')} >= {_dlit(threshold)}")
         .select("key_a", "key_b")
     )
 
@@ -327,57 +347,44 @@ def _pairs_lsh(
 
     # band digest over the signature slice; hash family follows the
     # signature's (md5 digests compare as strings, same banding shape)
-    def _band_digest(b: int) -> Column:
-        joined = F.array_join(
-            F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-            ",",
+    def _band_digest(b: int) -> str:
+        joined = (
+            f"array_join(transform(slice(sig, {b * rows_per_band + 1},"
+            f" {rows_per_band}), x -> CAST(x AS STRING)), ',')"
         )
-        return F.md5(joined) if hash_fn == "md5" else F.xxhash64(joined)
+        return f"md5({joined})" if hash_fn == "md5" else f"xxhash64({joined})"
 
-    digs = F.array(*[_band_digest(b) for b in range(bands)])
+    digs = f"array({', '.join(_band_digest(b) for b in range(bands))})"
     buckets = _cap_frame(
-        sigs.select("key", "bins", _pbs(precursor_window).alias("pbs"), digs.alias("digs"))
-        .select("key", "bins", "pbs", "digs", F.explode("pbs").alias("pblock"))
-        .select(
+        sigs.selectExpr(
+            "key", "bins", f"{_pbs_sql(precursor_window)} AS pbs", f"{digs} AS digs"
+        )
+        .selectExpr("key", "bins", "pbs", "digs", "explode(pbs) AS pblock")
+        .selectExpr(
             "key", "bins", "pbs", "digs", "pblock",
-            F.posexplode("digs").alias("band", "bandHash"),
+            "posexplode(digs) AS (band, bandHash)",
         ),
         ["pblock", "band", "bandHash"],
         max_bucket,
     )
-    left = buckets.select(
-        F.col("key").alias("key_a"),
-        F.col("bins").alias("bins_a"),
-        F.col("pbs").alias("pbs_a"),
-        F.col("digs").alias("digs_a"),
-        "pblock",
-        "band",
-        "bandHash",
+    left = buckets.selectExpr(
+        "key AS key_a", "bins AS bins_a", "pbs AS pbs_a", "digs AS digs_a",
+        "pblock", "band", "bandHash",
     )
-    right = buckets.select(
-        F.col("key").alias("key_b"),
-        F.col("bins").alias("bins_b"),
-        F.col("pbs").alias("pbs_b"),
-        F.col("digs").alias("digs_b"),
-        "pblock",
-        "band",
-        "bandHash",
+    right = buckets.selectExpr(
+        "key AS key_b", "bins AS bins_b", "pbs AS pbs_b", "digs AS digs_b",
+        "pblock", "band", "bandHash",
     )
     first_band = (
-        F.array_position(
-            F.zip_with(F.col("digs_a"), F.col("digs_b"), lambda x, y: x == y), True
-        )
-        == F.col("band") + 1
+        "array_position(zip_with(digs_a, digs_b, (x, y) -> x = y), true)"
+        " = band + 1"
     )
     cand = left.join(right, ["pblock", "band", "bandHash"]).filter(
-        _first_block() & first_band
+        f"({_FIRST_BLOCK_SQL}) AND ({first_band})"
     )
     return (
-        cand.filter(F.col("key_a") < F.col("key_b"))
-        .filter(_jaccard(F.col("bins_a"), F.col("bins_b")) >= threshold)
+        cand.filter("key_a < key_b")
+        .filter(f"{_jaccard_sql('bins_a', 'bins_b')} >= {_dlit(threshold)}")
         .select("key_a", "key_b")
     )
 
@@ -505,7 +512,10 @@ def cluster_spectra(
         precursor_window=precursor_window, num_hashes=num_hashes, bands=bands,
         hash_fn=hash_fn, max_bucket=max_bucket, threshold=threshold,
     )
-    comp = connected_components(pairs, "key_a", "key_b")
+    # first-collision-wins emission guarantees each (key_a, key_b) pair
+    # appears exactly once in both candidate modes — the CC base distinct
+    # would be a pure extra shuffle of the edge list (r14, edges_unique)
+    comp = connected_components(pairs, "key_a", "key_b", edges_unique=True)
     return (
         binned.select("key", "rep")
         .join(comp, binned["rep"] == comp["node"], "left")
@@ -590,8 +600,8 @@ def cluster_spectra_multi(
             )
         )
 
-    def tag(i: int, c: str) -> Column:
-        return F.struct(F.lit(i).cast("int").alias("t"), F.col(c).alias("k"))
+    def tag(i: int, c: str) -> str:
+        return f"named_struct('t', CAST({i} AS INT), 'k', {c})"
 
     edge_sets = []
     for i, m in enumerate(methods):
@@ -600,12 +610,19 @@ def cluster_spectra_multi(
             precursor_window=precursor_window, num_hashes=num_hashes, bands=bands,
             hash_fn=hash_fn, max_bucket=max_bucket, threshold=threshold, sigs=sigs,
         )
-        edge_sets.append(pairs.select(tag(i, "key_a").alias("src"), tag(i, "key_b").alias("dst")))
+        edge_sets.append(
+            pairs.selectExpr(
+                f"{tag(i, 'key_a')} AS src", f"{tag(i, 'key_b')} AS dst"
+            )
+        )
     edges = edge_sets[0]
     for e in edge_sets[1:]:
         edges = edges.unionByName(e)
 
-    comp = connected_components(edges, "src", "dst")
+    # per-method pair sets are first-collision-unique and the tagged
+    # union is disjoint across methods — rows are distinct by
+    # construction, so the CC base distinct is skipped (r14)
+    comp = connected_components(edges, "src", "dst", edges_unique=True)
     # CC has materialized the edge subtree into its own base checkpoint
     # by the time it returns, and nothing downstream reads the signature
     # frame — free it now instead of at scope exit / driver GC.
@@ -617,7 +634,7 @@ def cluster_spectra_multi(
     )
     all_keys = None
     for i, _ in enumerate(methods):
-        tagged = binned.select(F.col("key"), tag(i, "rep").alias("node"))
+        tagged = binned.selectExpr("key", f"{tag(i, 'rep')} AS node")
         all_keys = tagged if all_keys is None else all_keys.unionByName(tagged)
     return (
         all_keys.join(comp, "node", "left")

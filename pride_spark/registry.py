@@ -561,12 +561,12 @@ def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             carry={"dg": F.md5(F.col("text")), "is_new": is_new},
         ).persist()
     )
-    exact = mh.groupBy("dg").agg(F.min("id").alias("doc_id")).select(
-        F.lit("exact").alias("kind"),
+    exact = mh.groupBy("dg").agg(F.expr("min(id) AS doc_id")).selectExpr(
+        "'exact' AS kind",
         "doc_id",
-        F.lit(None).cast("long").alias("match_id"),
-        F.col("dg").alias("digest"),
-        F.lit(None).cast("double").alias("jaccard"),
+        "CAST(NULL AS BIGINT) AS match_id",
+        "dg AS digest",
+        "CAST(NULL AS DOUBLE) AS jaccard",
     )
     flags = incremental_near_dup_flags(
         docs.filter(is_new), docs.filter(~is_new), "text", "doc_id",
@@ -578,11 +578,11 @@ def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             None, "text", "doc_id", minhash_df=mh.filter(~F.col("is_new")).drop("is_new")
         ),
     )
-    inc = flags.select(
-        F.lit("inc_dup").alias("kind"),
-        F.col("id").alias("doc_id"),
+    inc = flags.selectExpr(
+        "'inc_dup' AS kind",
+        "id AS doc_id",
         "match_id",
-        F.lit(None).cast("string").alias("digest"),
+        "CAST(NULL AS STRING) AS digest",
         "jaccard",
     )
     return exact.unionByName(inc)
