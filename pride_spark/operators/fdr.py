@@ -32,9 +32,10 @@ from pride_spark.session import checkpoint_handle, register_pinned, track_cached
 _KEY, _PID = "__fdr_key", "__fdr_pid"
 
 #: When a profiler sets this to a list, :func:`_global_two_pass` appends
-#: ``(phase_name, seconds)`` tuples around each of its four boundary
-#: materializations (quantiles, bucket-stats collect, FDR-window minima
-#: collect, q-value checkpoint).  ``None`` (the default) is zero-cost.
+#: ``(phase_name, seconds)`` tuples around each of its three boundary
+#: materializations (histogram collect — the r14 fusion of the former
+#: quantile probe + bucket-stats collect — FDR-window minima collect,
+#: q-value checkpoint).  ``None`` (the default) is zero-cost.
 #: Used by ``tools/profile_fdr_slope.py`` to attribute the factor-100
 #: scaling slope (r12 verdict task #4); never set in production paths.
 PHASE_LOG: list | None = None
@@ -133,12 +134,13 @@ def _global_two_pass(
 ) -> DataFrame:
     """Distributed global-order FDR: value-derived buckets + broadcast offsets.
 
-    Pass 0: approx quantiles of the badness key (column-pruned scan) →
-    bucket boundaries; ``bucket = #bounds strictly below key``, so EQUAL
-    keys always land in the same bucket (tie-stable) and bucketing is a
-    pure value function — immune to AQE partition coalescing/splitting
+    Pass 0+1 (fused, r14): ONE monotone-fine-bucket histogram of the
+    badness key (see ``partitioning.fine_bucket_sql``) → bucket boundaries AND
+    exact per-bucket decoy/target totals → driver prefix sums.  The
+    coarse bucket is ``#splits strictly below fine(key)`` — a pure value
+    function, so EQUAL keys always land in the same bucket (tie-stable)
+    and bucketing is immune to AQE partition coalescing/splitting
     (unlike ``spark_partition_id`` over ``repartitionByRange``).
-    Pass 1: per-bucket decoy/target totals (tiny) → driver prefix sums.
     Pass 2: ONE hash shuffle on the bucket: RANGE-frame cumsums + broadcast
     offsets → FDR; cached with its partitioning, so
     Pass 3's per-bucket suffix-min window reuses the same exchange, and the
@@ -148,38 +150,50 @@ def _global_two_pass(
     spark = df.sparkSession
     n = num_range_partitions or spark.sparkContext.defaultParallelism
     # Ascending "badness" key: smaller = better match.  A null score maps
-    # to +inf so unscored rows rank WORST everywhere downstream (quantile
-    # bounds, bucket assignment, in-bucket RANGE frames) — the raw null
-    # would land in bucket 0 (the filter predicate is null → dropped) and
-    # sort FIRST in the ascending in-bucket window, i.e. best.
+    # to +inf so unscored rows rank WORST everywhere downstream (bucket
+    # assignment, in-bucket RANGE frames) — the raw null would land in
+    # bucket 0 (the filter predicate is null → dropped) and sort FIRST in
+    # the ascending in-bucket window, i.e. best.
     key = -F.col(score_col) if better == "higher" else F.col(score_col)
     keyed = df.withColumn(_KEY, F.coalesce(key.cast("double"), F.lit(float("inf"))))
-    qs = [i / n for i in range(1, n)]
-    # loose relativeError: boundaries only balance load, never affect values
-    _t0 = time.time()
-    bounds = sorted(set(keyed.stat.approxQuantile(_KEY, qs, 0.05))) if qs else []
-    _phase("quantiles", _t0)
-    if bounds:
-        blit = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(blit, lambda b: b < F.col(_KEY)))
-    else:  # degenerate single-bucket request (test path only)
-        bucket = F.lit(0)
-    part = register_pinned(keyed.withColumn(_PID, bucket).persist())
+
+    # Pass 0+1 fused (r14, r13-verdict task #4): ONE aggregation over the
+    # monotone fine bucket (partitioning.fine_bucket_sql) yields the
+    # boundary candidates AND the exact per-range decoy/target totals —
+    # the shape previously took two driver jobs (an approxQuantile scan,
+    # then a per-bucket stats collect that scanned the input again).
+    # Because fine ranges are order-contiguous in _KEY and equal keys
+    # share a fine value, any boundary choice over fine values reproduces
+    # the global ordering exactly (boundaries still only balance load:
+    # FDR/q-values are provably bucket-boundary-invariant — offsets +
+    # in-bucket RANGE cumsums telescope to the global cumsum).
+    from pride_spark.operators.partitioning import (
+        FINE,
+        fine_bucket_sql,
+        fine_histogram_partition,
+    )
 
     _t0 = time.time()
-    stats = {
-        r[_PID]: (r["d"], r["t"])
-        for r in part.groupBy(_PID)
-        .agg(F.sum(decoy).alias("d"), F.sum(target).alias("t"))
-        .collect()
-    }
-    _phase("bucket_stats_collect", _t0)
-    # Prefix offsets: totals of all better (lower-bucket) rows.
+    fined = keyed.withColumn(FINE, F.expr(fine_bucket_sql(_KEY)))
+    if n > 1:
+        hist, bucket = fine_histogram_partition(
+            fined, n, [F.sum(decoy).alias("d"), F.sum(target).alias("t")]
+        )
+    else:  # degenerate single-bucket request (test path only): no probe job
+        hist, bucket = [], F.lit(0)
+    _phase("histogram_collect", _t0)
+
+    # prefix offsets per coarse bucket: totals of all better rows.
+    # _KEY is never NULL here (coalesced to +inf above), so no -1 bucket.
+    n_pids = (max((h["pid"] for h in hist), default=0)) + 1
     offsets, cd, ct = [], 0, 0
-    for pid in sorted(stats):
+    for pid in range(n_pids):
         offsets.append((pid, cd, ct))
-        cd += stats[pid][0]
-        ct += stats[pid][1]
+        cd += sum(h["d"] for h in hist if h["pid"] == pid)
+        ct += sum(h["t"] for h in hist if h["pid"] == pid)
+    part = register_pinned(
+        fined.withColumn(_PID, bucket).drop(FINE).persist()
+    )
     off_df = spark.createDataFrame(offsets, f"{_PID} int, __off_d long, __off_t long")
 
     w_cum = Window.partitionBy(_PID).orderBy(_KEY).rangeBetween(Window.unboundedPreceding, Window.currentRow)

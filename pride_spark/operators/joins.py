@@ -158,34 +158,40 @@ def global_row_index(
         keyed = left.withColumn("__zkey", zkey)
         if pin:
             keyed = register_pinned(keyed.persist())
-        qs = [i / n for i in range(1, n)]
-        # loose relativeError: boundaries only balance load, never values
-        bounds = sorted(set(keyed.stat.approxQuantile("__zkey", qs, 0.05))) if qs else []
-        if bounds:
-            # plain comparison sum, not a HOF lambda: lambda captures of
-            # outer attributes break self-join attribute deduplication
-            nonnull = sum(
-                ((F.col("__zkey") > F.lit(b)).cast("int") for b in bounds), F.lit(0)
-            )
+        # Fused probe (r14, the fdr._global_two_pass pattern): ONE
+        # monotone-fine-bucket histogram yields the load-balancing
+        # splits AND the exact per-bucket counts that previously took a
+        # second driver job after the approxQuantile scan.
+        from pride_spark.operators.partitioning import (
+            FINE,
+            fine_bucket_sql,
+            fine_histogram_partition,
+        )
+
+        fined = keyed.withColumn(FINE, F.expr(fine_bucket_sql("__zkey")))
+        if n > 1:
+            hist, chain = fine_histogram_partition(fined, n, [])
             # null lead keys sort first under Spark's asc ordering → bucket -1
-            bucket = F.when(F.col("__zkey").isNull(), F.lit(-1)).otherwise(nonnull)
+            bucket = F.when(F.col("__zkey").isNull(), F.lit(-1)).otherwise(chain)
         else:
-            bucket = F.lit(0)
-        part = keyed.withColumn("__zb", bucket)
-        counts = {
-            r["__zb"]: r["c"]
-            for r in part.groupBy("__zb").agg(F.count("*").alias("c")).collect()
-        }
-        offsets, cum = [], 0
-        for b in sorted(counts):
-            offsets.append((b, cum))
-            cum += counts[b]
+            hist, bucket = None, F.lit(0)
+        part = fined.withColumn("__zb", bucket)
+        if hist is None:
+            offsets = [(0, 0)]
+        else:
+            counts: dict[int, int] = {}
+            for h in hist:
+                counts[h["pid"]] = counts.get(h["pid"], 0) + h["c"]
+            offsets, cum = [], 0
+            for b in sorted(counts):
+                offsets.append((b, cum))
+                cum += counts[b]
         off = spark.createDataFrame(offsets, "__zb int, __zoff long")
         w = Window.partitionBy("__zb").orderBy(*order_cols)
         indexed = (
             part.join(F.broadcast(off), "__zb")
             .withColumn(index_name, F.row_number().over(w) - 1 + F.col("__zoff"))
-            .drop("__zkey", "__zb", "__zoff")
+            .drop("__zkey", "__zb", "__zoff", FINE)
         )
     else:
         w = Window.orderBy(*order_cols)
@@ -400,31 +406,51 @@ def asof_join(
             )
     else:
         n = num_range_partitions or spark.sparkContext.defaultParallelism
-        qs = [i / n for i in range(1, n)]
-        bounds = sorted(set(unioned.stat.approxQuantile(on, qs, 0.05))) if qs else []
-        if bounds:
-            nonnull = sum(
-                ((F.col(on) > F.lit(b)).cast("int") for b in bounds), F.lit(0)
+        # Fused probe (r14, the fdr._global_two_pass pattern): ONE
+        # monotone-fine-bucket histogram yields the load-balancing splits
+        # AND the per-bucket edge payloads that previously took a second
+        # driver job after the approxQuantile scan.  ``max_by`` skips
+        # rows whose ordering key is NULL, so the CASE key confines the
+        # edges to right rows exactly like the old ``__p IS NOT NULL``
+        # pre-filter; per-bucket edges fold from per-fine edges on the
+        # driver (fine is monotone in ``on``, so the max edge of a
+        # bucket is the max edge of its highest fine value with any
+        # right row, and ties on equal ``on`` stay within one fine).
+        from pride_spark.operators.partitioning import (
+            FINE,
+            fine_bucket_sql,
+            fine_histogram_partition,
+        )
+
+        fined = unioned.withColumn(
+            FINE, F.expr(fine_bucket_sql(f"CAST(`{on}` AS DOUBLE)"))
+        )
+        edge_key = (
+            f"CASE WHEN __p IS NOT NULL THEN named_struct('o', `{on}`, 't', __tie)"
+            " END"
+        )
+        if n > 1:
+            hist, chain = fine_histogram_partition(
+                fined,
+                n,
+                [
+                    F.expr(f"max_by(__p, {edge_key}) AS lp"),
+                    F.expr(f"min_by(__p, {edge_key}) AS fp"),
+                ],
             )
-            bucket = F.when(F.col(on).isNull(), F.lit(-1)).otherwise(nonnull)
+            bucket = F.when(F.col(on).isNull(), F.lit(-1)).otherwise(chain)
         else:
-            bucket = F.lit(0)
-        part = unioned.withColumn("__zb", bucket)
-        # one row per bucket: the bucket's last and first right payloads
-        # under the same tie order as the windows (numeric order col only;
-        # the default struct tie is engine-defined, as documented)
-        edge_key = F.struct(F.col(on), F.col("__tie"))
-        edge = {
-            r["__zb"]: (r["lp"], r["fp"])
-            for r in part.filter(F.col("__p").isNotNull())
-            .groupBy("__zb")
-            .agg(
-                F.max_by("__p", edge_key).alias("lp"),
-                F.min_by("__p", edge_key).alias("fp"),
-            )
-            .collect()
-        }
-        all_buckets = sorted(set([-1] + list(range(len(bounds) + 1)) + list(edge)))
+            hist, bucket = [], F.lit(0)
+        part = fined.withColumn("__zb", bucket).drop(FINE)
+        # fold fine-level edges to per-bucket (last, first) right payloads
+        edge: dict[int, tuple] = {}
+        for h in hist:  # hist is fine-ascending; later entries overwrite lp
+            if h["lp"] is not None:
+                prev = edge.get(h["pid"])
+                edge[h["pid"]] = (h["lp"], prev[1] if prev else h["fp"])
+        all_buckets = sorted(
+            set([-1] + [h["pid"] for h in hist] + list(edge))
+        )
         seeds_b, carry = {}, None
         for b in all_buckets:  # prefix scan: latest right payload BEFORE bucket b
             seeds_b[b] = carry

@@ -69,6 +69,83 @@ def test_scalable_equals_naive(scored):
     assert n == s
 
 
+def test_fine_bucket_monotone_on_adversarial_doubles(spark):
+    """r14: the one-pass histogram bucketing is correct ONLY if the fine
+    map is monotone under Spark's double ordering (with -0.0 = 0.0 and
+    NaN largest) — pin it on denormals, decade/ulp edges, infinities."""
+    import math
+    import struct as _struct
+
+    from pride_spark.operators.partitioning import fine_bucket_sql as _fine_bucket_sql
+
+    def ulp_next(x, up=True):
+        b = _struct.unpack("<q", _struct.pack("<d", x))[0]
+        b += 1 if (x >= 0) == up else -1
+        return _struct.unpack("<d", _struct.pack("<q", b))[0]
+
+    vals = [float("-inf"), -1.8e308, -1e3, -1.0005, -1e-300, -5e-324,
+            -0.0, 0.0, 5e-324, 1e-320, 1e-300, 0.1, 0.5, 1.0, 1.0005]
+    for base in (1e-3, 1.0, 10.0, 1e3, 1e10, 1e300):
+        vals += [ulp_next(base, False), base, ulp_next(base, True),
+                 -ulp_next(base, False), -base]
+    import random
+    rnd = random.Random(11)
+    vals += [rnd.uniform(-1e6, 1e6) for _ in range(200)]
+    vals += [rnd.uniform(-1, 1) * 10 ** rnd.randint(-308, 308) for _ in range(200)]
+    vals += [float("inf"), float("nan")]
+    df = spark.createDataFrame([(v,) for v in vals], "k double")
+    rows = df.selectExpr("k", f"{_fine_bucket_sql('k')} AS fine").collect()
+    fines = {}
+    for r in rows:
+        key = repr(r["k"])
+        fines.setdefault(key, set()).add(r["fine"])
+    for k, f in fines.items():
+        assert len(f) == 1, f"fine not deterministic for {k}: {f}"
+    # Spark's ordering of the keys = the sorted frame's order
+    ordered = df.orderBy("k").selectExpr(f"{_fine_bucket_sql('k')} AS fine").collect()
+    seq = [r["fine"] for r in ordered]
+    assert seq == sorted(seq), "fine bucket is not monotone in key order"
+    # -0.0 and 0.0 are equal keys and must share a fine value
+    zf = {r["fine"] for r in rows if r["k"] == 0.0 and not math.isnan(r["k"])}
+    assert len(zf) == 1
+
+
+def test_scalable_fdr_on_extreme_scores_equals_naive(spark):
+    """The fused histogram path must reproduce the single-window result
+    even when scores span denormals/huge magnitudes and include +/-inf
+    and repeated values.  (Null scores are exercised separately in
+    test_null_scores_rank_worst: the scalable path keys nulls as +inf —
+    a pre-existing documented conflation with REAL +inf scores under
+    better='lower', identical before and after the r14 histogram fusion,
+    so this test keeps infinities and nulls apart.)"""
+    import random
+    rnd = random.Random(3)
+    rows = []
+    for i in range(800):
+        kind = i % 8
+        if kind == 0:
+            s = rnd.choice([1.8e308, -1.8e308, 12345.678])
+        elif kind == 1:
+            s = float("inf") if i % 16 else float("-inf")
+        elif kind == 2:
+            s = rnd.choice([5e-324, 1e-320, -5e-324, 0.0, -0.0])
+        elif kind == 3:
+            s = rnd.uniform(-1, 1) * 10 ** rnd.randint(-308, 307)
+        else:
+            s = round(rnd.uniform(0, 50), 1)  # plenty of ties
+        rows.append((i, s, rnd.random() < 0.4))
+    df = spark.createDataFrame(rows, "id long, score double, isDecoy boolean")
+    for better in ("higher", "lower"):
+        naive = add_fdr_qvalue(df, "score", "isDecoy", better=better, scalable=False)
+        scal = add_fdr_qvalue(
+            df, "score", "isDecoy", better=better, scalable=True,
+            num_range_partitions=7,
+        )
+        n = {r["id"]: (r["fdr"], r["qvalue"]) for r in naive.collect()}
+        s = {r["id"]: (r["fdr"], r["qvalue"]) for r in scal.collect()}
+        assert n == s, f"mismatch (better={better})"
+
+
 def test_lazy_two_pass_equals_eager(scored):
     """r10: lazy=True (the plan-only escape hatch) skips the eager
     localCheckpoint but yields identical values; the eager default's
