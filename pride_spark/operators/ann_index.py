@@ -63,7 +63,9 @@ from pyspark.sql import functions as F
 from pride_spark.session import register_pinned
 from pride_spark.operators.similarity import (
     _kmeans_centroids,
+    _l2_sql,
     _nearest_centroids_expr,
+    _pair_cosine_sql,
     l2_norm,
     pair_cosine,
     pq_adc_from_luts,
@@ -419,20 +421,23 @@ def search_ivf_pq_index(
             # the same rounded value), and quantization error is orders
             # of magnitude above 1e-6 anyway
             F.round(
-                pq_adc_from_luts(F.col("__luts"), F.col("codes"), m=len(books)), 6
+                pq_adc_from_luts("__luts", "codes", m=len(books)), 6
             ).alias("adc"),
         )
         if meta.get("assign_replicas", 1) > 1:
             scored = scored.dropDuplicates(["query_id", "nbr_id"])
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("adc").desc(), F.col("nbr_id")
-        )
         # shortlist stays NARROW (ids + adc) through the window shuffle;
         # the float q_vec joins back per shortlist row only (<= rerank
         # per query) and the query norm folds once per query, not per
         # candidate pair
         shortlist = (
-            scored.withColumn("rank", F.row_number().over(w))
+            scored.withColumn(
+                "rank",
+                F.expr(
+                    "row_number() OVER"
+                    " (PARTITION BY query_id ORDER BY adc DESC, nbr_id)"
+                ),
+            )
             .filter(F.col("rank") <= max(rerank, k))
             .select("query_id", "nbr_id")
         )
@@ -441,7 +446,7 @@ def search_ivf_pq_index(
     qside = (
         probed.select("query_id", "q_vec")
         .dropDuplicates(["query_id"])
-        .withColumn("__qn", l2_norm(F.col("q_vec")))
+        .withColumn("__qn", F.expr(_l2_sql("q_vec")))
     )
     vecs = _rerank_vectors(spark, path, meta, probe_cids)
     # no explicit broadcast hint on the query side (r9 advice): a forced
@@ -454,16 +459,14 @@ def search_ivf_pq_index(
     exact = (
         shortlist.join(vecs, "nbr_id")
         .join(qside, "query_id")
-        .select(
+        .selectExpr(
             "query_id",
             "nbr_id",
-            F.round(
-                pair_cosine(
-                    F.col("q_vec"), F.col("nbr_vec"), F.col("__qn"), F.col("nbr_norm")
-                ),
-                6,
-            ).alias("cosine"),
+            f"round({_pair_cosine_sql('q_vec', 'nbr_vec', '__qn', 'nbr_norm')}, 6)"
+            " AS cosine",
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
-    return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+    return exact.withColumn(
+        "rank",
+        F.expr("row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id)"),
+    ).filter(F.col("rank") <= k)

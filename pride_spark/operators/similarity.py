@@ -76,6 +76,37 @@ def pair_cosine(q_vec: Column, nbr_vec: Column, q_norm: Column, nbr_norm: Column
     return F.when(denom > 0, dot(q_vec, nbr_vec) / denom).otherwise(F.lit(0.0))
 
 
+# --- SQL-text twins of the scoring expressions (r14): the ANN plan
+# builders re-create these trees per run, and the Column API costs ~6-10
+# py4j round trips per operator — rendered as text they parse JVM-side
+# in one call, to IDENTICAL expressions (tools/plan_normdiff.py).
+
+def _dot_cols_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot` over two column references."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _l2_sql(vs: str) -> str:
+    """SQL text of :func:`l2_norm` over a column reference."""
+    return (
+        f"sqrt(aggregate({vs}, 0.0D, "
+        "(acc, v) -> acc + (CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    )
+
+
+def _pair_cosine_sql(qv: str, nv: str, qn: str, nn: str) -> str:
+    """SQL text of :func:`pair_cosine` over column references."""
+    denom = f"({qn} * {nn})"
+    return (
+        f"CASE WHEN {denom} > 0 THEN ({_dot_cols_sql(qv, nv)}) / {denom} "
+        "ELSE 0.0D END"
+    )
+
+
 #: shared helper (promoted to operators/partitioning.py in r14; the alias
 #: keeps this module's historical import surface working)
 from .partitioning import widen as _widen  # noqa: E402
@@ -98,15 +129,12 @@ def brute_force_topk(
     window — the right baseline to verify ANN recall against.  Norms are
     hoisted per row.  Output: (query_id, neighbor_id, cosine, rank).
     """
-    base = _widen(df).select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nbr_vec"),
-        l2_norm(F.col(vec_col)).alias("__nn"),
+    iq, vq = _vec_sql(id_col), _vec_sql(vec_col)
+    base = _widen(df).selectExpr(
+        f"{iq} AS nbr_id", f"{vq} AS nbr_vec", f"{_l2_sql(vq)} AS __nn"
     )
-    q = (probe if probe is not None else df).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
+    q = (probe if probe is not None else df).selectExpr(
+        f"{iq} AS query_id", f"{vq} AS q_vec", f"{_l2_sql(vq)} AS __qn"
     )
     # Build the nested loop on the PROBE side explicitly (r13): the
     # docstring's contract ("the probe side is broadcast when small")
@@ -119,19 +147,17 @@ def brute_force_topk(
     # and force-broadcasting it would hard-fail past Spark's 8 GB
     # broadcast cap at scale — the planner keeps the choice there.
     qh = F.broadcast(q) if probe is not None else q
-    pairs = base.join(qh, F.col("query_id") != F.col("nbr_id"))
-    scored = pairs.select(
+    pairs = base.join(qh, F.expr("query_id != nbr_id"))
+    scored = pairs.selectExpr(
         "query_id",
         "nbr_id",
-        F.round(
-            pair_cosine(F.col("q_vec"), F.col("nbr_vec"), F.col("__qn"), F.col("__nn")), 6
-        ).alias("cosine"),
+        f"round({_pair_cosine_sql('q_vec', 'nbr_vec', '__qn', '__nn')}, 6)"
+        " AS cosine",
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return scored.withColumn(
+        "rank",
+        F.expr("row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id)"),
+    ).filter(F.col("rank") <= k)
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -537,17 +563,18 @@ def ivf_topk(
         if assign_replicas <= 1
         else F.explode(F.transform(F.slice(order, 1, assign_replicas), lambda s: s["cid"]))
     )
+    iq, vq = _vec_sql(id_col), _vec_sql(vec_col)
     assigned = _widen(df).select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nbr_vec"),
-        l2_norm(F.col(vec_col)).alias("__nn"),
+        F.expr(f"{iq} AS nbr_id"),
+        F.expr(f"{vq} AS nbr_vec"),
+        F.expr(f"{_l2_sql(vq)} AS __nn"),
         bucket.alias("centroid_id"),
     )
     q = probe if probe is not None else df
     probed = q.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
+        F.expr(f"{iq} AS query_id"),
+        F.expr(f"{vq} AS q_vec"),
+        F.expr(f"{_l2_sql(vq)} AS __qn"),
         F.explode(
             F.transform(F.slice(order, 1, n_probe), lambda s: s["cid"])
         ).alias("centroid_id"),
@@ -566,21 +593,20 @@ def ivf_topk(
     # broadcast cap at scale where the planner's shuffle equi-join on
     # centroid_id scales fine — the planner keeps the choice there.
     ph = F.broadcast(probed) if probe is not None else probed
-    pairs = assigned.join(ph, "centroid_id").filter(
-        F.col("query_id") != F.col("nbr_id")
-    )
-    scored = pairs.select(
+    pairs = assigned.join(ph, "centroid_id").filter("query_id != nbr_id")
+    scored = pairs.selectExpr(
         "query_id",
         "nbr_id",
-        F.round(
-            pair_cosine(F.col("q_vec"), F.col("nbr_vec"), F.col("__qn"), F.col("__nn")), 6
-        ).alias("cosine"),
+        f"round({_pair_cosine_sql('q_vec', 'nbr_vec', '__qn', '__nn')}, 6)"
+        " AS cosine",
     )
     if assign_replicas > 1:
         # with replicas a (query, nbr) pair can meet in several buckets
         scored = scored.dropDuplicates(["query_id", "nbr_id"])
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn(
+        "rank",
+        F.expr("row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id)"),
+    ).filter(F.col("rank") <= k)
 
 
 # ---------------------------------------------------------------------------
@@ -767,19 +793,34 @@ def pq_luts_expr(q_vec: Column | str, codebooks: list[list[list[float]]]) -> Col
     return F.array(*luts)
 
 
-def pq_adc_from_luts(luts: Column, codes: Column, m: int | None = None) -> Column:
+def pq_adc_from_luts(
+    luts: Column | str, codes: Column | str, m: int | None = None
+) -> Column:
     """ADC inner product from precomputed query LUTs: ``sum_j
     luts[j][codes[j]]`` — ``m`` lookups + adds per pair, no dot folds.
     Left-to-right addition starting from the first term — bit-identical
     to the 0.0-init ``dot`` fold (IEEE: ``0.0 + x == x``).  Pass ``m``
     (statically known from the codebooks) to unroll the fold into a
     plain codegen addition chain instead of a per-row HOF evaluation —
-    the pair loop is the hot path."""
+    the pair loop is the hot path.  With ``m`` and column NAMES the
+    chain renders as SQL text parsed in one py4j call (r14; identical
+    expression, tools/plan_normdiff.py)."""
+    ls, cs = _vec_sql(luts), _vec_sql(codes)
     if m is None:
+        if ls is not None:
+            luts, codes = F.col(luts), F.col(codes)  # type: ignore[arg-type]
         return F.aggregate(
             F.zip_with(luts, codes, lambda lut, c: F.element_at(lut, c + F.lit(1))),
             F.lit(0.0),
             lambda acc, v: acc + v,
+        )
+    if ls is not None and cs is not None:
+        return F.expr(
+            " + ".join(
+                f"element_at(element_at({ls}, {j + 1}),"
+                f" element_at({cs}, {j + 1}) + 1)"
+                for j in range(m)
+            )
         )
     terms = [
         F.element_at(F.element_at(luts, j + 1), F.element_at(codes, j + 1) + F.lit(1))
@@ -841,21 +882,22 @@ def pq_topk(
     fold and the scan reads the compressed codes.  At IVF scale, bucket
     the codes table by centroid and join on the probed bucket ids
     instead (IVF-PQ) — same scoring expression, equi-join pruning."""
+    iq, vq = _vec_sql(id_col), _vec_sql(vec_col)
     if codes_df is None:
         codes_df = df.select(
-            F.col(id_col).alias("nbr_id"),
+            F.expr(f"{iq} AS nbr_id"),
             pq_encode_expr(vec_col, codebooks).alias("codes"),
         )
     codes_df = _widen(codes_df)
     q = probe if probe is not None else df
     probed = q.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        F.expr(f"{iq} AS query_id"),
+        F.expr(f"{vq} AS q_vec"),
         # the m x k dot folds run HERE, once per query row, before the
         # broadcast — per pair the score is m array lookups
         pq_luts_expr(vec_col, codebooks).alias("__luts"),
     )
-    pairs = codes_df.join(F.broadcast(probed), F.col("query_id") != F.col("nbr_id"))
+    pairs = codes_df.join(F.broadcast(probed), F.expr("query_id != nbr_id"))
     # adc rounded to 6 dp ONCE, before either branch ranks: the rounded
     # ADC is the cross-engine-stable quantity both the no-rerank output
     # and search_ivf_pq_index shortlist on — an unrounded shortlist cut
@@ -864,45 +906,35 @@ def pq_topk(
         "query_id",
         "nbr_id",
         F.round(
-            pq_adc_from_luts(F.col("__luts"), F.col("codes"), m=len(codebooks)), 6
+            pq_adc_from_luts("__luts", "codes", m=len(codebooks)), 6
         ).alias("adc"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("nbr_id"))
+    rank = F.expr("row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, nbr_id)")
     if rerank is None:
-        return scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
-        )
+        return scored.withColumn("rank", rank).filter(F.col("rank") <= k)
     # shortlist stays NARROW (ids + adc) through the window shuffle; the
     # float q_vec joins back per shortlist row only — <= rerank rows per
     # query instead of every candidate pair — and the query norm is
     # computed once per query, not re-folded per pair
     shortlist = (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", rank)
         .filter(F.col("rank") <= max(rerank, k))
         .select("query_id", "nbr_id")
     )
-    nbr_vecs = df.select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nbr_vec"),
-        l2_norm(F.col(vec_col)).alias("__nn"),
+    nbr_vecs = df.selectExpr(
+        f"{iq} AS nbr_id", f"{vq} AS nbr_vec", f"{_l2_sql(vq)} AS __nn"
     )
-    qside = q.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
+    qside = q.selectExpr(
+        f"{iq} AS query_id", f"{vq} AS q_vec", f"{_l2_sql(vq)} AS __qn"
     )
     exact = (
         shortlist.join(nbr_vecs, "nbr_id")
         .join(F.broadcast(qside), "query_id")
-        .select(
+        .selectExpr(
             "query_id",
             "nbr_id",
-            F.round(
-                pair_cosine(
-                    F.col("q_vec"), F.col("nbr_vec"), F.col("__qn"), F.col("__nn")
-                ),
-                6,
-            ).alias("cosine"),
+            f"round({_pair_cosine_sql('q_vec', 'nbr_vec', '__qn', '__nn')}, 6)"
+            " AS cosine",
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
