@@ -93,27 +93,39 @@ def add_fdr_qvalue(
         # so the cumulative min visits them before every scored row.
         # better='higher' matches Spark's defaults (desc=nulls-last,
         # asc=nulls-first); better='lower' needs the explicit variants.
-        order = (
-            F.col(score_col).desc_nulls_last()
-            if better == "higher"
-            else F.col(score_col).asc_nulls_last()
+        # Rendered as SQL text (r14 plan-build cost; identical parsed
+        # expressions — tools/plan_normdiff.py).
+        sc = f"`{score_col}`"
+        ord_fwd = (
+            f"{sc} DESC NULLS LAST" if better == "higher" else f"{sc} ASC NULLS LAST"
         )
         # q-value = min FDR over all rows ranked at-or-worse.  Expressed as a
         # cumulative min under the REVERSED ordering: Spark's
         # (currentRow, unboundedFollowing) RANGE frame re-aggregates per
         # frame — O(n²) per partition — while (unboundedPreceding,
         # currentRow) is incremental O(n).  Same result, same tie handling.
-        rev = (
-            F.col(score_col).asc_nulls_first()
-            if better == "higher"
-            else F.col(score_col).desc_nulls_first()
+        ord_rev = (
+            f"{sc} ASC NULLS FIRST" if better == "higher" else f"{sc} DESC NULLS FIRST"
         )
-        base = Window.partitionBy(*partition_cols) if partition_cols else Window
-        w_cum = base.orderBy(order).rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        w_rev = base.orderBy(rev).rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        fdr = (F.sum(decoy).over(w_cum) / F.greatest(F.sum(target).over(w_cum), F.lit(1))).alias(out_fdr)
-        df = df.withColumn(out_fdr, fdr)
-        return df.withColumn(out_qvalue, F.min(out_fdr).over(w_rev))
+        part = (
+            "PARTITION BY " + ", ".join(f"`{c}`" for c in partition_cols) + " "
+            if partition_cols
+            else ""
+        )
+        frame = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        dsql = f"CAST(`{is_decoy_col}` AS BIGINT)"
+        w_cum = f"OVER ({part}ORDER BY {ord_fwd} {frame})"
+        df = df.withColumn(
+            out_fdr,
+            F.expr(
+                f"sum({dsql}) {w_cum} / "
+                f"greatest(sum(1 - {dsql}) {w_cum}, 1)"
+            ),
+        )
+        return df.withColumn(
+            out_qvalue,
+            F.expr(f"min(`{out_fdr}`) OVER ({part}ORDER BY {ord_rev} {frame})"),
+        )
 
     return _global_two_pass(
         df, score_col, decoy, target, better, out_fdr, out_qvalue,
@@ -350,15 +362,27 @@ def combined_fdr_score(
 
     # null score → +inf badness, consistent with add_fdr_qvalue: unscored
     # rows sit at the worst end of the interpolation axis instead of
-    # sorting first (null-first) and anchoring the q-value step function
-    key = (-F.col(score_col) if better == "higher" else F.col(score_col)).cast("double")
-    d = out.withColumn("__k", F.coalesce(key, F.lit(float("inf"))))
-    w_lag = Window.partitionBy(engine_set_col).orderBy("__k")
-    prev_q = F.lag("__grp_q").over(w_lag)
-    is_step = prev_q.isNull() | (F.col("__grp_q") > prev_q)
+    # sorting first (null-first) and anchoring the q-value step function.
+    # All expressions below render as SQL text (r14 plan-build cost;
+    # identical parsed trees — tools/plan_normdiff.py): repeated window
+    # references are textually identical, so the analyzer's window
+    # extraction computes each once exactly as with shared Column objects.
+    neg = "-" if better == "higher" else ""
+    d = out.withColumn(
+        "__k",
+        F.expr(
+            f"coalesce(CAST({neg}`{score_col}` AS DOUBLE),"
+            " CAST('Infinity' AS DOUBLE))"
+        ),
+    )
+    eg = f"`{engine_set_col}`"
+    prev_q = f"lag(__grp_q) OVER (PARTITION BY {eg} ORDER BY __k)"
     d = d.withColumn(
         "__step",
-        F.when(is_step, F.struct(F.col("__k").alias("x"), F.col("__grp_q").alias("q"))),
+        F.expr(
+            f"CASE WHEN ({prev_q} IS NULL OR __grp_q > {prev_q}) "
+            "THEN named_struct('x', __k, 'q', __grp_q) END"
+        ),
     )
     # RANGE frames, not ROWS: a ROWS frame makes knot visibility depend on
     # the intra-tie row order — a row tied with its group's step row could
@@ -369,25 +393,16 @@ def combined_fdr_score(
     # A RANGE frame includes ALL score-peers, and the only non-null step
     # struct among peers is the group's single step row, so
     # last(ignorenulls) is value-deterministic under any tie order.
-    w_fwd = (
-        Window.partitionBy(engine_set_col)
-        .orderBy("__k")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    frame = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    prev = f"last(__step, true) OVER (PARTITION BY {eg} ORDER BY __k {frame})"
+    nxt = f"last(__step, true) OVER (PARTITION BY {eg} ORDER BY __k DESC {frame})"
+    interp = (
+        f"CASE WHEN ({prev} IS NULL OR {nxt} IS NULL OR ({nxt}).x = ({prev}).x) "
+        "THEN __grp_q "
+        f"ELSE ({prev}).q + (({nxt}).q - ({prev}).q) * "
+        f"((__k - ({prev}).x) / (({nxt}).x - ({prev}).x)) END"
     )
-    w_bwd = (
-        Window.partitionBy(engine_set_col)
-        .orderBy(F.col("__k").desc())
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    prev = F.last("__step", ignorenulls=True).over(w_fwd)   # step at or before
-    nxt = F.last("__step", ignorenulls=True).over(w_bwd)    # step at or after
-    interp = F.when(
-        prev.isNull() | nxt.isNull() | (nxt["x"] == prev["x"]), F.col("__grp_q")
-    ).otherwise(
-        prev["q"]
-        + (nxt["q"] - prev["q"]) * ((F.col("__k") - prev["x"]) / (nxt["x"] - prev["x"]))
-    )
-    return d.withColumn(out_col, interp).drop("__k", "__step", "__grp_q")
+    return d.withColumn(out_col, F.expr(interp)).drop("__k", "__step", "__grp_q")
 
 
 def group_psm_sets(
